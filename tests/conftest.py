@@ -1,0 +1,60 @@
+import os
+import shutil
+import subprocess
+from pathlib import Path
+
+# Multi-device CPU mesh for sharding tests; must be set before jax import.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ.setdefault(
+    "XLA_FLAGS",
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8",
+)
+
+import pytest
+
+REPO = Path(__file__).resolve().parents[1]
+REF_DIR = Path("/root/reference")
+REF_TEST = REF_DIR / "test"
+ORACLE = REPO / ".golden" / "minigraph_ref"
+
+
+def _ensure_oracle() -> bool:
+    """Build the reference binary (test oracle only) if sources are present."""
+    if ORACLE.exists():
+        return True
+    if not REF_DIR.exists() or shutil.which("gcc") is None:
+        return False
+    ORACLE.parent.mkdir(exist_ok=True)
+    srcs = sorted(str(p) for p in REF_DIR.glob("*.c"))
+    try:
+        subprocess.run(
+            ["gcc", "-O2", "-o", str(ORACLE), *srcs, "-lz", "-lpthread", "-lm"],
+            check=True, capture_output=True)
+        return True
+    except subprocess.CalledProcessError:
+        return False
+
+
+@pytest.fixture(scope="session")
+def ref_test_dir():
+    if not REF_TEST.exists():
+        pytest.skip("reference test data not available")
+    return REF_TEST
+
+
+@pytest.fixture(scope="session")
+def oracle():
+    """Path to the compiled reference binary, used to generate golden outputs."""
+    if not _ensure_oracle():
+        pytest.skip("reference oracle binary not available")
+    return ORACLE
+
+
+@pytest.fixture(scope="session")
+def run_oracle(oracle):
+    def _run(*args, stdin_data=None):
+        r = subprocess.run([str(oracle), *args], capture_output=True,
+                           text=True, input=stdin_data)
+        assert r.returncode == 0, r.stderr
+        return r.stdout
+    return _run
