@@ -1,0 +1,579 @@
+"""Graph chaining: DP over linear chains with graph reachability
+(mg_gchain1_dp, gchain1.c:62-240), chain materialization with path
+bridging (mg_gchain_gen, gchain1.c:443-520), and per-chain extras
+(mg_gchain_extra, gchain1.c:242-297).
+"""
+from __future__ import annotations
+
+import math
+import sys
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import numpy as np
+
+from ..graph.shortk import PathDst, shortest_k
+from ..options import MG_MAX_SHORT_K
+from ..utils.hashes import kh_hash_uint32, mg_log2
+from ..utils.ksort import radix_argsort
+from .lchain import LChain, _i32, chain_backtrack
+
+INT32_MIN = -0x80000000
+U64 = np.uint64
+F32 = np.float32
+U32M = 0xFFFFFFFF
+
+
+@dataclass
+class LLChain:
+    """mg_llchain_t (minigraph.h:108-113)."""
+    off: int = 0
+    cnt: int = 0
+    v: int = 0
+    score: int = 0
+    ed: int = -1
+
+
+@dataclass
+class Cigar:
+    """mg_cigar_t (minigraph.h:115-118)."""
+    n_cigar: int = 0
+    mlen: int = 0
+    blen: int = 0
+    aplen: int = 0
+    ss: int = 0
+    ee: int = 0
+    cigar: List[int] = field(default_factory=list)
+
+
+@dataclass
+class GChain:
+    """mg_gchain_t (minigraph.h:125-138)."""
+    id: int = 0
+    parent: int = 0
+    off: int = 0
+    cnt: int = 0
+    n_anchor: int = 0
+    score: int = 0
+    qs: int = -1
+    qe: int = -1
+    plen: int = 0
+    ps: int = -1
+    pe: int = -1
+    blen: int = 0
+    mlen: int = 0
+    div: float = -1.0
+    hash: int = 0
+    subsc: int = 0
+    n_sub: int = 0
+    mapq: int = 0
+    flt: int = 0
+    p: Optional[Cigar] = None
+    ds: Optional[object] = None  # DsString
+
+
+@dataclass
+class GChains:
+    """mg_gchains_t (minigraph.h:140-146)."""
+    gc: List[GChain] = field(default_factory=list)
+    lc: List[LLChain] = field(default_factory=list)
+    ax: np.ndarray = field(default_factory=lambda: np.empty(0, dtype=np.uint64))
+    ay: np.ndarray = field(default_factory=lambda: np.empty(0, dtype=np.uint64))
+    rep_len: int = 0
+
+    @property
+    def n_gc(self):
+        return len(self.gc)
+
+    @property
+    def n_lc(self):
+        return len(self.lc)
+
+    @property
+    def n_a(self):
+        return len(self.ax)
+
+
+def _target_dist(g, l0: LChain, l1: LChain) -> int:
+    """mg_target_dist (gchain1.c:31-36)."""
+    return (l1.qs - l0.qe) - (g.seg[l0.v >> 1].len - l0.re) \
+        + (g.seg[l1.v >> 1].len - l1.rs)
+
+
+def _cal_sc(dj: PathDst, li: LChain, lc: List[LChain], ay: np.ndarray,
+            a_i, f: np.ndarray, bw: int, ref_bonus: int,
+            chn_pen_gap: float) -> int:
+    """Transition score for graph chaining (cal_sc, gchain1.c:38-60)."""
+    if dj.n_path == 0:
+        return INT32_MIN
+    segi = (int(ay[li.off]) >> 48) & 0xFF
+    gap = dj.dist - dj.target_dist
+    lj = lc[a_i[dj.meta]]
+    segj = (int(ay[lj.off + lj.cnt - 1]) >> 48) & 0xFF
+    if gap < 0:
+        gap = -gap
+    if segi == segj and gap > bw:
+        return INT32_MIN
+    if lj.qe <= li.qs:
+        sc = li.score
+    else:
+        sc = int((li.qe - lj.qe) / (li.qe - li.qs) * li.score + 0.499)
+    if dj.is_0:
+        sc += ref_bonus
+    lin_pen = F32(F32(chn_pen_gap) * F32(gap))
+    log_pen = F32(mg_log2(gap)) if gap >= 2 else F32(0.0)
+    sc -= int(F32(lin_pen + log_pen))
+    sc += int(f[dj.meta])
+    return sc
+
+
+def gchain1_dp(g, lc: List[LChain], qlen: int, max_dist_g: int,
+               max_dist_q: int, bw: int, max_skip: int, ref_bonus: int,
+               chn_pen_gap: float, chn_pen_skip: float, mask_level: float,
+               ay: np.ndarray):
+    """Graph-chaining DP.  Returns (n_u, u, new_lc) where new_lc is the
+    lchain list reordered into gchain layout."""
+    n_lc = len(lc)
+    if n_lc == 0:
+        return 0, np.empty(0, dtype=np.uint64), lc
+
+    srt = np.empty(n_lc, dtype=np.uint64)
+    a_i = np.empty(n_lc, dtype=np.int64)
+    n_ext = 0
+    for i, r in enumerate(lc):
+        r.dist_pre = -1
+        min_end_dist_g = g.seg[r.v >> 1].len - r.re
+        if r.rs < min_end_dist_g:
+            min_end_dist_g = r.rs
+        is_isolated = 0
+        if min_end_dist_g > max_dist_g:
+            is_isolated = 1
+        elif (min_end_dist_g >> 3) > r.score:
+            is_isolated = 1
+        srt[i] = U64(((is_isolated << 31) | r.qe) & U32M)
+        a_i[i] = i
+        if not is_isolated:
+            n_ext += 1
+    if n_ext < 2:
+        u = np.asarray([(r.score << 32) | 1 for r in lc], dtype=np.uint64)
+        return n_lc, u, lc
+    perm = radix_argsort(srt)
+    srt = srt[perm]
+    a_i = a_i[perm]
+
+    f = np.zeros(n_ext, dtype=np.int64)
+    p = np.full(n_ext, -1, dtype=np.int64)
+    t = np.full(n_ext, -1, dtype=np.int64)
+    v = np.zeros(n_lc, dtype=np.int64)
+
+    for i in range(n_ext):
+        li = lc[a_i[i]]
+        segi = (int(ay[li.off]) >> 48) & 0xFF
+        # collect candidate predecessors
+        x = li.qs + bw
+        if x > qlen:
+            x = qlen
+        # find_max: largest index with srt < x (gchain1.c:16-29)
+        lo, hi = 0, i
+        if i == 0:
+            xj = -1
+        elif srt[i - 1] < x:
+            xj = i - 1
+        elif srt[0] >= x:
+            xj = -1
+        else:
+            s, e = 0, i
+            while e > s:
+                m = s + (e - s) // 2
+                if srt[m] >= x:
+                    e = m
+                else:
+                    s = m + 1
+            xj = s
+        dst: List[PathDst] = []
+        n_skip = 0
+        for j in range(xj, -1, -1):
+            lj = lc[a_i[j]]
+            if lj.qs >= li.qs:
+                continue
+            if lj.qe > li.qs:
+                o = lj.qe - li.qs
+                if o > (lj.qe - lj.qs) * mask_level \
+                        or o > (li.qe - li.qs) * mask_level:
+                    continue
+            dq = li.qs - lj.qe
+            segj = (int(ay[lj.off + lj.cnt - 1]) >> 48) & 0xFF
+            if segi == segj:
+                if dq > max_dist_q:
+                    break
+            else:
+                if dq > max_dist_g and dq > max_dist_q:
+                    break
+            if li.v != lj.v:
+                min_dist = li.rs + (g.seg[lj.v >> 1].len - lj.re)
+                if min_dist > max_dist_g:
+                    continue
+                if segi == segj and min_dist - bw > li.qs - lj.qe:
+                    continue
+                target_dist = _target_dist(g, lj, li)
+                if target_dist < 0:
+                    continue
+            elif lj.rs >= li.rs or lj.re >= li.re:
+                continue
+            else:
+                dr = li.rs - lj.re
+                w = dr - dq if dr > dq else dq - dr
+                if segi == segj and w > bw:
+                    continue
+                if dr > max_dist_g or dr < -max_dist_g:
+                    continue
+                if lj.re > li.rs:
+                    o = lj.re - li.rs
+                    if o > (lj.re - lj.rs) * mask_level \
+                            or o > (li.re - li.rs) * mask_level:
+                        continue
+                target_dist = _target_dist(g, lj, li)
+            q = PathDst()
+            q.inner = 1 if li.v == lj.v else 0
+            q.v = lj.v ^ 1
+            q.meta = j
+            q.qlen = li.qs - lj.qe
+            q.target_dist = target_dist
+            q.target_hash = 0
+            q.check_hash = 0
+            dst.append(q)
+            if t[j] == i:
+                n_skip += 1
+                if n_skip > max_skip:
+                    break
+            if p[j] >= 0:
+                t[p[j]] = i
+        # reachability
+        shortest_k(g, li.v ^ 1, dst,
+                   max_dist_g + (g.seg[li.v >> 1].len - li.rs),
+                   MG_MAX_SHORT_K, False)
+        kept = []
+        for dj in dst:
+            if dj.n_path == 0:
+                continue
+            sc = _cal_sc(dj, li, lc, ay, a_i, f, bw, ref_bonus, chn_pen_gap)
+            if sc == INT32_MIN:
+                continue
+            if sc + li.score < 0:
+                continue
+            kept.append(dj)
+        # DP
+        max_f, max_j, max_d, max_inner = li.score, -1, -1, 0
+        max_hash = 0
+        for dj in kept:
+            sc = _cal_sc(dj, li, lc, ay, a_i, f, bw, ref_bonus, chn_pen_gap)
+            if sc == INT32_MIN:
+                continue
+            if sc > max_f:
+                max_f, max_j = sc, dj.meta
+                max_d, max_hash, max_inner = dj.dist, dj.hash, dj.inner
+        f[i] = max_f
+        p[i] = max_j
+        li.dist_pre = max_d
+        li.hash_pre = max_hash
+        li.inner_pre = max_inner
+        v[i] = v[max_j] if (max_j >= 0 and v[max_j] > max_f) else max_f
+
+    u, vv, n_u, n_v = chain_backtrack(n_ext, f, p, 0, 0, 0x7FFFFFFF,
+                                      n_lc - n_ext)
+    u = list(u[:n_u])
+    vv = list(vv)
+    for i in range(n_lc - n_ext):
+        u.append((lc[a_i[n_ext + i]].score << 32) | 1)
+        vv.append(n_ext + i)
+        n_u += 1
+        n_v += 1
+    # reorder lchains into gchain layout
+    swap: List[LChain] = []
+    k = 0
+    for i in range(n_u):
+        ni = int(u[i]) & U32M
+        k0 = k
+        for j in range(ni):
+            swap.append(lc[a_i[vv[k0 + (ni - j - 1)]]])
+            k += 1
+    assert k == n_v
+    return n_u, np.asarray(u, dtype=np.uint64), swap
+
+
+# ----------------------------------------------------------------------
+# gchain materialization
+# ----------------------------------------------------------------------
+
+class _BridgeAux:
+    def __init__(self, g, es, qseq, n_seg):
+        self.g = g
+        self.es = es
+        self.qseq = qseq
+        self.n_seg = n_seg
+        self.llc: List[LLChain] = []
+        self.a_out_x: List[np.ndarray] = []
+        self.a_out_y: List[np.ndarray] = []
+        self.n_a = 0
+
+
+def _copy_lchain(aux: _BridgeAux, p: LChain, ax, ay, ed: int) -> None:
+    q = LLChain(cnt=p.cnt, v=p.v, score=p.score, ed=ed, off=aux.n_a)
+    aux.a_out_x.append(ax[p.off: p.off + p.cnt].copy())
+    aux.a_out_y.append(ay[p.off: p.off + p.cnt].copy())
+    aux.n_a += p.cnt
+    aux.llc.append(q)
+
+
+def _bridge_shortk(aux: _BridgeAux, l0: LChain, l1: LChain) -> int:
+    dst = PathDst()
+    dst.v = l0.v ^ 1
+    assert l1.dist_pre >= 0
+    dst.target_dist = l1.dist_pre
+    dst.target_hash = l1.hash_pre
+    dst.check_hash = 1
+    path = shortest_k(aux.g, l1.v ^ 1, [dst], dst.target_dist,
+                      MG_MAX_SHORT_K, True)
+    if not path or dst.target_hash != dst.hash:
+        sys.stderr.write(
+            f"[W::bridge] {'><'[(l1.v ^ 1) & 1]}"
+            f"{aux.g.seg[l1.v >> 1].name}[{l1.v ^ 1}] -> "
+            f"{'><'[(l0.v ^ 1) & 1]}{aux.g.seg[l0.v >> 1].name}"
+            f"[{l0.v ^ 1}], dist={dst.dist}, target_dist={dst.target_dist}; "
+            f"chain skiped.\n")
+        return -1
+    for s in range(len(path) - 2, 0, -1):
+        aux.llc.append(LLChain(off=0, cnt=0, score=0, v=path[s].v ^ 1, ed=-1))
+    return 0
+
+
+def _bridge_gwfa(aux: _BridgeAux, kmer_size: int, gdp_max_ed: int,
+                 l0: LChain, l1: LChain):
+    """GWFA bridging (bridge_gwfa, gchain1.c:349-381).  Returns (found, ed)."""
+    from ..align.gwfa import gwfa_bridge
+    qs = l0.qe - kmer_size
+    qe = l1.qs + kmer_size
+    end0 = l0.re - kmer_size
+    end1 = l1.rs + kmer_size - 1
+    s, walk = gwfa_bridge(aux.g, aux.es, aux.qseq[qs:qe], l0.v, end0,
+                          l1.v, end1, gdp_max_ed)
+    if s < 0:
+        return 0, -1
+    for j in range(1, len(walk) - 1):
+        aux.llc.append(LLChain(off=0, cnt=0, score=0, v=walk[j], ed=-1))
+    return 1, s
+
+
+def _bridge_lchains(gc_out: GChains, aux: _BridgeAux, kmer_size: int,
+                    gdp_max_ed: int, l0: LChain, l1: LChain, ax, ay) -> int:
+    if l1.v != l0.v:
+        ed = -1
+        ret = 0
+        if aux.n_seg > 1:
+            ret = _bridge_shortk(aux, l0, l1)
+        else:
+            found, ed = _bridge_gwfa(aux, kmer_size, gdp_max_ed, l0, l1)
+            if not found:
+                ret = _bridge_shortk(aux, l0, l1)
+        if ret < 0:
+            return -1
+        _copy_lchain(aux, l1, ax, ay, ed)
+    else:
+        t = aux.llc[-1]
+        k = 0
+        while k < l1.cnt:
+            akx = _i32(int(ax[l1.off + k]))
+            aky = _i32(int(ay[l1.off + k]))
+            if akx > l0.re and aky > l0.qe:
+                break
+            k += 1
+        if k < l1.cnt:
+            t.cnt += l1.cnt - k
+            t.score += l1.score
+            aux.a_out_x.append(ax[l1.off + k: l1.off + l1.cnt].copy())
+            aux.a_out_y.append(ay[l1.off + k: l1.off + l1.cnt].copy())
+            aux.n_a += l1.cnt - k
+    return 0
+
+
+def _resolve_overlap(l0: LChain, l1: LChain, ax, ay) -> None:
+    """resolve_overlap (gchain1.c:409-441)."""
+    x = _i32(int(ax[l1.off]))
+    y = _i32(int(ay[l1.off]))
+    j = l0.cnt - 1
+    while j >= 0:
+        if _i32(int(ay[l0.off + j])) <= y and \
+                (l0.v != l1.v or _i32(int(ax[l0.off + j])) <= x):
+            break
+        j -= 1
+    shift0 = l0.cnt - 1 - j
+    x = _i32(int(ax[l0.off + l0.cnt - 1]))
+    y = _i32(int(ay[l0.off + l0.cnt - 1]))
+    j = 0
+    while j < l1.cnt:
+        if _i32(int(ay[l1.off + j])) >= y and \
+                (l0.v != l1.v or _i32(int(ax[l1.off + j])) >= x):
+            break
+        j += 1
+    shift1 = j
+    assert shift1 < l1.cnt
+    if shift0 > 0:
+        l0.cnt -= shift0
+        if l0.cnt:
+            l0.qe = _i32(int(ay[l0.off + l0.cnt - 1])) + 1
+            l0.re = _i32(int(ax[l0.off + l0.cnt - 1])) + 1
+    if shift1 > 0:
+        l1.off += shift1
+        l1.cnt -= shift1
+        span = (int(ay[l1.off]) >> 32) & 0xFF
+        l1.qs = _i32(int(ay[l1.off])) + 1 - span
+        l1.rs = _i32(int(ax[l1.off])) + 1 - span
+    if l0.cnt == 0:
+        l0.qs = l0.qe = l1.qs
+        l0.rs = l0.re = l1.rs
+
+
+def gchain_gen(g, es, n_u: int, u: np.ndarray, lc: List[LChain],
+               ax: np.ndarray, ay: np.ndarray, hash_: int, min_gc_cnt: int,
+               min_gc_score: int, gdp_max_ed: int, n_seg: int,
+               qseq: str) -> GChains:
+    """mg_gchain_gen (gchain1.c:443-520)."""
+    gcs = GChains()
+    if n_u == 0 or len(lc) == 0:
+        return gcs
+    aux = _BridgeAux(g, es, qseq, n_seg)
+    kmer_size = (int(ay[0]) >> 32) & 0xFF
+    st = 0
+    for i in range(n_u):
+        nui = int(u[i]) & 0xFFFFFFFF
+        m = sum(lc[st + j].cnt for j in range(nui))
+        if m >= min_gc_cnt and (int(u[i]) >> 32) >= min_gc_score:
+            n_a0 = aux.n_a
+            n_llc0 = len(aux.llc)
+            gci = GChain(score=int(u[i]) >> 32, off=n_llc0)
+            h = hash_
+            for j in range(nui):
+                pj = lc[st + j]
+                h = (h + kh_hash_uint32(pj.qs & 0xFFFFFFFF)
+                     + kh_hash_uint32(pj.re & 0xFFFFFFFF)
+                     + kh_hash_uint32(pj.v)) & 0xFFFFFFFF
+            gci.hash = kh_hash_uint32(h)
+            for j in range(1, nui):
+                _resolve_overlap(lc[st + j - 1], lc[st + j], ax, ay)
+            _copy_lchain(aux, lc[st], ax, ay, -1)
+            j0 = 0
+            for j in range(1, nui):
+                l0, l1 = lc[st + j0], lc[st + j]
+                if l1.cnt > 0:
+                    ret = _bridge_lchains(gcs, aux, kmer_size, gdp_max_ed,
+                                          l0, l1, ax, ay)
+                    if ret < 0:
+                        for tt in range(j0, j):
+                            ret = _bridge_lchains(gcs, aux, kmer_size,
+                                                  gdp_max_ed, lc[st + tt],
+                                                  lc[st + tt + 1], ax, ay)
+                            assert ret >= 0
+                    j0 = j
+            gci.cnt = len(aux.llc) - n_llc0
+            gci.n_anchor = aux.n_a - n_a0
+            gcs.gc.append(gci)
+        st += nui
+    gcs.lc = aux.llc
+    if aux.a_out_x:
+        gcs.ax = np.concatenate(aux.a_out_x)
+        gcs.ay = np.concatenate(aux.a_out_y)
+    gchain_extra(g, gcs)
+    gchain_sort_by_score(gcs)
+    return gcs
+
+
+def gchain_extra(g, gcs: GChains) -> None:
+    """Compute qs/qe/ps/pe/plen/blen/mlen/divergence (gchain1.c:242-297)."""
+    for p in gcs.gc:
+        p.qs = p.qe = p.ps = p.pe = -1
+        p.plen = p.blen = p.mlen = 0
+        p.div = -1.0
+        if p.cnt == 0:
+            continue
+        q = gcs.lc[p.off]
+        q_span = (int(gcs.ay[q.off]) >> 32) & 0xFF
+        p.qs = _i32(int(gcs.ay[q.off])) + 1 - q_span
+        p.ps = _i32(int(gcs.ax[q.off])) + 1 - q_span
+        tmp = int(gcs.ax[q.off]) >> 32
+        assert p.qs >= 0 and p.ps >= 0
+        q = gcs.lc[p.off + p.cnt - 1]
+        p.qe = _i32(int(gcs.ay[q.off + q.cnt - 1])) + 1
+        p.pe = g.seg[q.v >> 1].len - _i32(int(gcs.ax[q.off + q.cnt - 1])) - 1
+        n_mini = (int(gcs.ax[q.off + q.cnt - 1]) >> 32) - tmp + 1
+        assert p.n_anchor > 0
+
+        rest_pl = 0
+        last_x = int(gcs.ax[gcs.lc[p.off].off])
+        last_y = int(gcs.ay[gcs.lc[p.off].off])
+        for j in range(p.cnt):
+            q = gcs.lc[p.off + j]
+            vlen = g.seg[q.v >> 1].len
+            p.plen += vlen
+            for k in range(q.cnt):
+                rx = int(gcs.ax[q.off + k])
+                ry = int(gcs.ay[q.off + k])
+                ql = _i32(ry) - _i32(last_y)
+                span = (ry >> 32) & 0xFF
+                if j == 0 and k == 0:
+                    pl = ql = span
+                elif j > 0 and k == 0:
+                    pl = _i32(rx) + 1 + rest_pl
+                else:
+                    pl = _i32(rx) - _i32(last_x)
+                if ql < 0:
+                    ql = -ql
+                    n_mini += (last_x >> 32) - (rx >> 32)
+                p.blen += pl if pl > ql else ql
+                p.mlen += span if (pl > span and ql > span) else (pl if pl < ql else ql)
+                last_x, last_y = rx, ry
+            if q.cnt == 0:
+                rest_pl += vlen
+            else:
+                rest_pl = vlen - _i32(int(gcs.ax[q.off + q.cnt - 1])) - 1
+        p.pe = p.plen - p.pe
+        assert p.pe >= p.ps
+        if n_mini >= p.n_anchor:
+            p.div = float(F32(math.log(n_mini / p.n_anchor) / q_span))
+        else:
+            p.div = float(F32(math.log(p.n_anchor / n_mini) / q_span))
+
+
+def gchain_restore_order(gcs: GChains) -> None:
+    """Reorder lc[]/a[] to match gc[] order (gcmisc.c:8-35)."""
+    new_lc: List[LLChain] = []
+    ax_parts, ay_parts = [], []
+    for gc in gcs.gc:
+        assert gc.cnt > 0
+        first = gcs.lc[gc.off]
+        new_lc.extend(gcs.lc[gc.off: gc.off + gc.cnt])
+        ax_parts.append(gcs.ax[first.off: first.off + gc.n_anchor])
+        ay_parts.append(gcs.ay[first.off: first.off + gc.n_anchor])
+    gcs.lc = new_lc
+    if ax_parts:
+        gcs.ax = np.concatenate(ax_parts)
+        gcs.ay = np.concatenate(ay_parts)
+    n_lc = 0
+    for gc in gcs.gc:
+        gc.off = n_lc
+        n_lc += gc.cnt
+    n_a = 0
+    for lc in gcs.lc:
+        lc.off = n_a
+        n_a += lc.cnt
+
+
+def gchain_sort_by_score(gcs: GChains) -> None:
+    """Sort gchains by (score, hash) descending (gcmisc.c:56-71)."""
+    n = gcs.n_gc
+    if n == 0:
+        return
+    keys = np.asarray([(gc.score << 32) | gc.hash for gc in gcs.gc],
+                      dtype=np.uint64)
+    perm = radix_argsort(keys)
+    gcs.gc = [gcs.gc[perm[n - 1 - i]] for i in range(n)]
+    gchain_restore_order(gcs)

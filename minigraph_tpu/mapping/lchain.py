@@ -1,0 +1,328 @@
+"""Linear (colinear) anchor chaining.
+
+Host-exact implementation of the two chaining DP engines
+(lchain.c:149-219 banded DP, lchain.c:252-372 RMQ long-range), the shared
+peak backtrack (lchain.c:27-77), anchor compaction (lchain.c:79-112) and
+chain materialization (lchain.c:374-441).  Scores use float32 penalties
+with the fast log2 approximation, truncated to int exactly like the C.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..utils.hashes import mg_log2
+from ..utils.ksort import radix_argsort
+
+INT32_MIN = -0x80000000
+U64 = np.uint64
+F32 = np.float32
+
+
+def _i32(v: int) -> int:
+    v &= 0xFFFFFFFF
+    return v - 0x100000000 if v >= 0x80000000 else v
+
+
+def comput_sc(ax_i, ay_i, ax_j, ay_j, max_dist_x, max_dist_y, bw,
+              chn_pen_gap, chn_pen_skip, is_cdna, n_seg) -> int:
+    """Transition score between anchors j -> i (lchain.c:114-139)."""
+    dq = _i32(ay_i) - _i32(ay_j)
+    sidi = (ay_i >> 48) & 0xFF
+    sidj = (ay_j >> 48) & 0xFF
+    if dq <= 0 or dq > max_dist_x:
+        return INT32_MIN
+    dr = _i32((ax_i - ax_j) & 0xFFFFFFFFFFFFFFFF)
+    if sidi == sidj and (dr == 0 or dq > max_dist_y):
+        return INT32_MIN
+    dd = dr - dq if dr > dq else dq - dr
+    if sidi == sidj and dd > bw:
+        return INT32_MIN
+    if n_seg > 1 and not is_cdna and sidi == sidj and dr > max_dist_y:
+        return INT32_MIN
+    dg = dr if dr < dq else dq
+    q_span = (ay_j >> 32) & 0xFF
+    sc = q_span if q_span < dg else dg
+    if dd or dg > q_span:
+        lin_pen = F32(F32(chn_pen_gap) * F32(dd) + F32(chn_pen_skip) * F32(dg))
+        log_pen = F32(mg_log2(dd + 1)) if dd >= 1 else F32(0.0)
+        if is_cdna or sidi != sidj:
+            if sidi != sidj and dr == 0:
+                sc += 1
+            elif dr > dq or sidi != sidj:
+                sc -= int(min(lin_pen, log_pen))
+            else:
+                sc -= int(F32(lin_pen + F32(0.5) * log_pen))
+        else:
+            sc -= int(F32(lin_pen + F32(0.5) * log_pen))
+    return sc
+
+
+def chain_backtrack(n: int, f: np.ndarray, p: np.ndarray, min_cnt: int,
+                    min_sc: int, max_drop: int, extra_u: int):
+    """Peak-sorted greedy backtrack (mg_chain_backtrack, lchain.c:27-77).
+
+    Returns (u, v, n_u, n_v): u = score<<32|cnt per chain (+extra_u slack),
+    v = anchor indices in backwards order per chain.
+    """
+    sel = np.nonzero(f >= min_sc)[0]
+    if len(sel) == 0:
+        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64), 0, 0
+    keys = f[sel].astype(np.int64).astype(np.uint64)
+    perm = radix_argsort(keys)
+    zx = keys[perm]
+    zy = sel[perm]
+    n_z = len(zx)
+
+    t = np.zeros(n, dtype=np.int64)
+
+    def bk_end(k: int) -> int:
+        i = int(zy[k])
+        if i < 0 or t[i] != 0:
+            return i
+        end_i = -1
+        max_i = i
+        max_s = 0
+        while True:
+            t[i] = 2
+            i = int(p[i])
+            end_i = i
+            s = int(zx[k]) if i < 0 else int(np.int32(np.uint32(zx[k] & U64(0xFFFFFFFF)))) - int(f[i])
+            if s > max_s:
+                max_s, max_i = s, i
+            elif max_s - s > max_drop:
+                break
+            if not (i >= 0 and t[i] == 0):
+                break
+        i = int(zy[k])
+        while i >= 0 and i != end_i:
+            t[i] = 0
+            i = int(p[i])
+        return max_i
+
+    u_list: List[int] = []
+    v = np.empty(n, dtype=np.int64)
+    n_v = 0
+    for k in range(n_z - 1, -1, -1):
+        if t[int(zy[k])] == 0:
+            n_v0 = n_v
+            end_i = bk_end(k)
+            i = int(zy[k])
+            while i != end_i:
+                v[n_v] = i
+                n_v += 1
+                t[i] = 1
+                i = int(p[i])
+            sc = int(zx[k]) if i < 0 else int(np.int32(np.uint32(zx[k] & U64(0xFFFFFFFF)))) - int(f[i])
+            if sc >= min_sc and n_v > n_v0 and n_v - n_v0 >= min_cnt:
+                u_list.append((sc << 32) | (n_v - n_v0))
+            else:
+                n_v = n_v0
+    u = np.asarray(u_list + [0] * extra_u, dtype=np.uint64)
+    return u, v[:n_v], len(u_list), n_v
+
+
+def compact_a(n_u: int, u: np.ndarray, n_v: int, v: np.ndarray,
+              ax: np.ndarray, ay: np.ndarray):
+    """Reorder anchors chain-by-chain and sort chains by first-anchor
+    target position (compact_a, lchain.c:79-112).  Mutates u in place."""
+    bx = np.empty(n_v, dtype=np.uint64)
+    by = np.empty(n_v, dtype=np.uint64)
+    k = 0
+    for i in range(n_u):
+        ni = int(u[i]) & 0xFFFFFFFF
+        k0 = k
+        for j in range(ni):
+            src = v[k0 + (ni - j - 1)]
+            bx[k] = ax[src]
+            by[k] = ay[src]
+            k += 1
+    # sort chains by first-anchor x
+    wx = np.empty(n_u, dtype=np.uint64)
+    wy = np.empty(n_u, dtype=np.uint64)
+    k = 0
+    for i in range(n_u):
+        wx[i] = bx[k]
+        wy[i] = U64(k << 32 | i)
+        k += int(u[i]) & 0xFFFFFFFF
+    perm = radix_argsort(wx)
+    wy = wy[perm]
+    u2 = np.empty(n_u, dtype=np.uint64)
+    ox = np.empty(n_v, dtype=np.uint64)
+    oy = np.empty(n_v, dtype=np.uint64)
+    k = 0
+    for i in range(n_u):
+        j = int(wy[i]) & 0xFFFFFFFF
+        nj = int(u[j]) & 0xFFFFFFFF
+        src = int(wy[i]) >> 32
+        u2[i] = u[j]
+        ox[k: k + nj] = bx[src: src + nj]
+        oy[k: k + nj] = by[src: src + nj]
+        k += nj
+    u[:n_u] = u2
+    return ox, oy
+
+
+def lchain_dp(max_dist_x: int, max_dist_y: int, bw: int, max_skip: int,
+              max_iter: int, min_cnt: int, min_sc: int, chn_pen_gap: float,
+              chn_pen_skip: float, is_cdna: bool, n_seg: int,
+              ax: np.ndarray, ay: np.ndarray):
+    """Banded chaining DP (mg_lchain_dp, lchain.c:149-219).
+
+    Returns (ax, ay, n_u, u) with anchors compacted per chain.
+    """
+    n = len(ax)
+    if n == 0:
+        return ax, ay, 0, np.empty(0, dtype=np.uint64)
+    if max_dist_x < bw:
+        max_dist_x = bw
+    if max_dist_y < bw and not is_cdna:
+        max_dist_y = bw
+    max_drop = 0x7FFFFFFF if is_cdna else bw
+
+    f = np.zeros(n, dtype=np.int64)
+    p = np.full(n, -1, dtype=np.int64)
+    v = np.zeros(n, dtype=np.int64)
+    t = np.full(n, -1, dtype=np.int64)  # any value != i works as "unset"
+
+    axl = ax  # local aliases (python ints via item())
+    st = 0
+    max_ii = -1
+    for i in range(n):
+        xi = int(axl[i])
+        yi = int(ay[i])
+        max_f = (yi >> 32) & 0xFF
+        max_j = -1
+        n_skip = 0
+        while st < i and ((xi >> 32) != (int(axl[st]) >> 32)
+                          or xi > int(axl[st]) + max_dist_x):
+            st += 1
+        if i - st > max_iter:
+            st = i - max_iter
+        j = i - 1
+        while j >= st:
+            sc = comput_sc(xi, yi, int(axl[j]), int(ay[j]), max_dist_x,
+                           max_dist_y, bw, chn_pen_gap, chn_pen_skip,
+                           is_cdna, n_seg)
+            if sc != INT32_MIN:
+                sc += int(f[j])
+                if sc > max_f:
+                    max_f, max_j = sc, j
+                    if n_skip > 0:
+                        n_skip -= 1
+                elif t[j] == i:
+                    n_skip += 1
+                    if n_skip > max_skip:
+                        break
+                if p[j] >= 0:
+                    t[p[j]] = i
+            j -= 1
+        end_j = j
+        if max_ii < 0 or xi - int(axl[max_ii]) > max_dist_x:
+            mx = INT32_MIN
+            max_ii = -1
+            for j in range(i - 1, st - 1, -1):
+                if mx < f[j]:
+                    mx, max_ii = int(f[j]), j
+        if max_ii >= 0 and max_ii < end_j:
+            tmp = comput_sc(xi, yi, int(axl[max_ii]), int(ay[max_ii]),
+                            max_dist_x, max_dist_y, bw, chn_pen_gap,
+                            chn_pen_skip, is_cdna, n_seg)
+            if tmp != INT32_MIN and max_f < tmp + int(f[max_ii]):
+                max_f = tmp + int(f[max_ii])
+                max_j = max_ii
+        f[i] = max_f
+        p[i] = max_j
+        v[i] = v[max_j] if (max_j >= 0 and v[max_j] > max_f) else max_f
+        if max_ii < 0 or (xi - int(axl[max_ii]) <= max_dist_x and f[max_ii] < f[i]):
+            max_ii = i
+    u, vv, n_u, n_v = chain_backtrack(n, f, p, min_cnt, min_sc, max_drop, 0)
+    if n_u == 0:
+        return (np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.uint64),
+                0, np.empty(0, dtype=np.uint64))
+    ox, oy = compact_a(n_u, u, n_v, vv, ax, ay)
+    return ox, oy, n_u, u
+
+
+def lchain_rmq(max_dist, max_dist_inner, bw, max_chn_skip, cap_rmq_size,
+               min_cnt, min_sc, chn_pen_gap, chn_pen_skip, ax, ay):
+    """RMQ-based long-range chaining (mg_lchain_rmq, lchain.c:252-372)."""
+    from .lchain_rmq import lchain_rmq_impl
+    return lchain_rmq_impl(max_dist, max_dist_inner, bw, max_chn_skip,
+                           cap_rmq_size, min_cnt, min_sc, chn_pen_gap,
+                           chn_pen_skip, ax, ay)
+
+
+@dataclass
+class LChain:
+    """mg_lchain_t (minigraph.h:100-106)."""
+    off: int = 0
+    cnt: int = 0
+    v: int = 0
+    rs: int = 0
+    re: int = 0
+    qs: int = 0
+    qe: int = 0
+    score: int = 0
+    dist_pre: int = -1
+    hash_pre: int = 0
+    inner_pre: int = 0
+
+
+def lchain_gen(qlen: int, n_u: int, u: np.ndarray,
+               ax: np.ndarray, ay: np.ndarray) -> List[LChain]:
+    """Materialize chains sorted by query start (mg_lchain_gen,
+    lchain.c:374-408)."""
+    if n_u == 0:
+        return []
+    zx = np.empty(n_u, dtype=np.uint64)
+    zy = np.empty(n_u, dtype=np.uint64)
+    k = 0
+    for i in range(n_u):
+        span = (int(ay[k]) >> 32) & 0xFF
+        qs = _i32(int(ay[k])) + 1 - span
+        zx[i] = U64((qs << 32) | (int(u[i]) >> 32))
+        zy[i] = U64((k << 32) | (int(u[i]) & 0xFFFFFFFF))
+        k += int(u[i]) & 0xFFFFFFFF
+    perm = radix_argsort(zx)
+    zx, zy = zx[perm], zy[perm]
+    out = []
+    for i in range(n_u):
+        k = int(zy[i]) >> 32
+        q_span = (int(ay[k]) >> 32) & 0xFF
+        cnt = int(zy[i]) & 0xFFFFFFFF
+        r = LChain(
+            off=k,
+            cnt=cnt,
+            score=int(zx[i]) & 0xFFFFFFFF,
+            v=int(ax[k]) >> 32,
+            rs=max(_i32(int(ax[k])) + 1 - q_span, 0),
+            qs=int(zx[i]) >> 32,
+            re=_i32(int(ax[k + cnt - 1])) + 1,
+            qe=_i32(int(ay[k + cnt - 1])) + 1,
+        )
+        out.append(r)
+    return out
+
+
+def update_anchors(lc: LChain, ax: np.ndarray, ay: np.ndarray,
+                   mini_pos: np.ndarray) -> None:
+    """Rewrite anchor x to minimizer_index<<32 | tpos (mg_update_anchors,
+    lchain.c:424-441)."""
+    n_a = lc.cnt
+    if n_a <= 0:
+        return
+    off = lc.off
+    st = int(np.searchsorted(mini_pos, _i32(int(ay[off]))))
+    assert st < len(mini_pos) and mini_pos[st] == _i32(int(ay[off]))
+    k = 0
+    j = st
+    n = len(mini_pos)
+    while j < n and k < n_a:
+        if _i32(int(ay[off + k])) == mini_pos[j]:
+            ax[off + k] = U64((j << 32) | (int(ax[off + k]) & 0xFFFFFFFF))
+            k += 1
+        j += 1
+    assert k == n_a

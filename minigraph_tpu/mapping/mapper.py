@@ -1,0 +1,212 @@
+"""Per-read mapping pipeline (mg_map_frag, map-algo.c:340-502) and the
+file-level mapping driver (mg_map_files, gmap.c:163-211)."""
+from __future__ import annotations
+
+import sys
+from typing import List, Optional
+
+import numpy as np
+
+from ..graph.gfa import Graph
+from ..index.midx import MinimizerIndex, build_index
+from ..options import (MG_M_CAL_COV, MG_M_CIGAR, MG_M_FRAG_MODE, MG_M_RMQ,
+                       MG_M_SPLICE, MG_M_SR, MG_MAX_SEG, GGOptions,
+                       IndexOptions, MapOptions)
+from ..utils.hashes import expf, kh_hash_str, kh_hash_uint32
+from ..utils.ksort import radix_argsort
+from ..seqio.bseq import BSeqFile, qname_same, toupper
+from ..seqio.gaf import write_gaf
+from .filters import (filter_bad_seeds, filter_bad_seeds_alt, fix_bad_ends,
+                      fix_bad_ends_alt)
+from .gchain import GChains, gchain_gen, gchain1_dp
+from .lchain import lchain_dp, lchain_gen, lchain_rmq, update_anchors
+from .seeds import collect_minimizers, collect_seed_hits
+from .select import (gchain_drop_flt, gchain_flt_sub, gchain_set_mapq,
+                     gchain_set_parent)
+
+U32 = 0xFFFFFFFF
+
+
+def _i32(v: int) -> int:
+    v &= 0xFFFFFFFF
+    return v - 0x100000000 if v >= 0x80000000 else v
+
+
+def map_frag(gi: MinimizerIndex, qlens: List[int], seqs: List[str],
+             opt: MapOptions, qname: Optional[str]) -> Optional[GChains]:
+    """Map one fragment (n_segs query segments) to the graph."""
+    n_segs = len(qlens)
+    qlen_sum = sum(qlens)
+    if qlen_sum == 0 or n_segs <= 0 or n_segs > MG_MAX_SEG:
+        return None
+    if opt.max_qlen > 0 and qlen_sum > opt.max_qlen:
+        return None
+
+    hash_ = kh_hash_str(qname) if qname else 0
+    hash_ ^= (kh_hash_uint32(qlen_sum & U32) + kh_hash_uint32(opt.seed)) & U32
+    hash_ &= U32
+    hash_ = kh_hash_uint32(hash_)
+
+    mv_x, mv_y = collect_minimizers(gi, qlens, seqs)
+    n_mv = len(mv_x)
+    ax, ay, rep_len, mini_pos = collect_seed_hits(gi, opt, opt.occ_max1,
+                                                  mv_x, mv_y)
+
+    is_sr = bool(opt.flag & MG_M_SR)
+    is_splice = bool(opt.flag & MG_M_SPLICE)
+    if is_sr:
+        max_chain_gap_qry = max(qlen_sum, opt.max_gap)
+    else:
+        max_chain_gap_qry = opt.max_gap
+    if opt.max_gap_ref > 0:
+        max_chain_gap_ref = opt.max_gap_ref
+    elif opt.max_frag_len > 0:
+        max_chain_gap_ref = max(opt.max_frag_len - qlen_sum, opt.max_gap)
+    else:
+        max_chain_gap_ref = opt.max_gap
+
+    tmp = expf(-np.float32(opt.div) * np.float32(gi.k))
+    chn_pen_gap = float(np.float32(np.float32(opt.chn_pen_gap) * np.float32(tmp)))
+    chn_pen_skip = float(np.float32(np.float32(opt.chn_pen_skip) * np.float32(tmp)))
+
+    if len(ax) == 0:
+        n_lc, u = 0, np.empty(0, dtype=np.uint64)
+    elif opt.flag & MG_M_RMQ:
+        ax, ay, n_lc, u = lchain_rmq(opt.max_gap, opt.max_gap_pre, opt.bw,
+                                     opt.max_lc_skip, opt.rmq_size_cap,
+                                     opt.min_lc_cnt, opt.min_lc_score,
+                                     chn_pen_gap, chn_pen_skip, ax, ay)
+    else:
+        ax, ay, n_lc, u = lchain_dp(max_chain_gap_ref, max_chain_gap_qry,
+                                    opt.bw, opt.max_lc_skip, opt.max_lc_iter,
+                                    opt.min_lc_cnt, opt.min_lc_score,
+                                    chn_pen_gap, chn_pen_skip, is_splice,
+                                    n_segs, ax, ay)
+
+    # long-join rescue re-chain (map-algo.c:407-417)
+    if opt.bw_long > opt.bw and not (opt.flag & (MG_M_SPLICE | MG_M_SR)) \
+            and n_segs == 1 and n_lc > 1:
+        st = _i32(int(ay[0]))
+        en = _i32(int(ay[(int(u[0]) & U32) - 1]))
+        if qlen_sum - (en - st) > opt.rmq_rescue_size \
+                or qlen_sum - (en - st) > qlen_sum * opt.rmq_rescue_ratio:
+            n_a = sum(int(u[i]) & U32 for i in range(n_lc))
+            ax, ay = ax[:n_a], ay[:n_a]
+            perm = radix_argsort(ax)
+            ax, ay = ax[perm], ay[perm]
+            ax, ay, n_lc, u = lchain_rmq(opt.max_gap, opt.max_gap_pre,
+                                         opt.bw_long, opt.max_lc_skip,
+                                         opt.rmq_size_cap, opt.min_lc_cnt,
+                                         opt.min_lc_score, chn_pen_gap,
+                                         chn_pen_skip, ax, ay)
+
+    if n_lc:
+        lc = lchain_gen(qlen_sum, n_lc, u, ax, ay)
+        if n_lc > 1:
+            kept = []
+            for p in lc:
+                off, cnt = p.off, p.cnt
+                off, cnt = fix_bad_ends(ax, ay, opt.lc_max_occ,
+                                        opt.lc_max_trim, off, cnt)
+                off, cnt = fix_bad_ends_alt(ax, ay, p.score, opt.bw, 100,
+                                            off, cnt)
+                filter_bad_seeds(off, cnt, ax, ay, 10, 40, opt.max_gap >> 1, 10)
+                filter_bad_seeds_alt(off, cnt, ax, ay, 30, opt.max_gap >> 1)
+                p.off, p.cnt = off, cnt
+                if cnt >= opt.min_lc_cnt:
+                    q_span = (int(ay[p.off]) >> 32) & 0xFF
+                    p.rs = _i32(int(ax[p.off])) + 1 - q_span
+                    p.qs = _i32(int(ay[p.off])) + 1 - q_span
+                    p.re = _i32(int(ax[p.off + p.cnt - 1])) + 1
+                    p.qe = _i32(int(ay[p.off + p.cnt - 1])) + 1
+                    kept.append(p)
+            lc = kept
+        for p in lc:
+            update_anchors(p, ax, ay, mini_pos)
+    else:
+        lc = []
+
+    seq_cat = "".join(seqs)
+    n_gc, u, lc = gchain1_dp(gi.g, lc, qlen_sum, opt.bw_long, opt.bw_long,
+                             opt.bw_long, opt.max_gc_skip, opt.ref_bonus,
+                             chn_pen_gap, chn_pen_skip, opt.mask_level, ay)
+    gcs = gchain_gen(gi.g, gi.es, n_gc, u, lc, ax, ay, hash_,
+                     opt.min_gc_cnt, opt.min_gc_score, opt.gdp_max_ed,
+                     n_segs, seq_cat)
+    gcs.rep_len = rep_len
+
+    gchain_set_parent(opt.mask_level, gcs.gc, opt.sub_diff, 0)
+    gchain_flt_sub(opt.pri_ratio, gi.k * 2, opt.best_n, gcs.gc)
+    gchain_drop_flt(gcs)
+    gchain_set_mapq(gcs, qlen_sum, n_mv, opt.min_gc_score)
+    if (opt.flag & MG_M_CIGAR) and n_segs == 1:
+        from ..align.cigar import gchain_cigar, gchain_gen_ds
+        gchain_cigar(gi.g, gi.es, seq_cat, gcs, qname)
+        gchain_gen_ds(gi.g, gi.es, seq_cat, gcs)
+    return gcs
+
+
+def map_one(gi: MinimizerIndex, seq: str, opt: MapOptions,
+            qname: Optional[str] = None) -> Optional[GChains]:
+    return map_frag(gi, [len(seq)], [seq], opt, qname)
+
+
+def map_files(g: Graph, fns: List[str], ipt: IndexOptions, opt0: MapOptions,
+              out=sys.stdout, cov: Optional[tuple] = None) -> int:
+    """Index once, then map each query file (mg_map_files, gmap.c:186-211)."""
+    import copy
+    opt = copy.copy(opt0)
+    gi = build_index(g, ipt.k, ipt.w, opt)
+    if gi is None:
+        return -1
+    c_seg = c_link = None
+    if opt.flag & MG_M_CAL_COV:
+        c_seg = np.zeros(g.n_seg, dtype=np.float64)
+        c_link = np.zeros(g.n_arc, dtype=np.float64)
+    frag_mode = bool(opt.flag & MG_M_FRAG_MODE)
+    file_groups = [fns] if frag_mode and len(fns) > 1 else [[fn] for fn in fns]
+    for group in file_groups:
+        _map_file_frag(gi, group, opt, out, c_seg, c_link)
+    if opt.flag & MG_M_CAL_COV:
+        from ..ggen.cov import aux_update_cv
+        aux_update_cv(g, "dc", c_seg, c_link)
+    return 0
+
+
+def _map_file_frag(gi: MinimizerIndex, fns: List[str], opt: MapOptions,
+                   out, c_seg, c_link) -> None:
+    frag_mode = len(fns) > 1 or bool(opt.flag & MG_M_FRAG_MODE)
+    fps = [BSeqFile(fn) for fn in fns]
+    try:
+        while True:
+            if len(fps) > 1:
+                raise NotImplementedError("multi-file interleaved frag mode")
+            batch = fps[0].read_batch(opt.mini_batch_size, frag_mode)
+            if not batch:
+                break
+            for s in batch:
+                s.seq = toupper(s.seq)
+            # group into fragments by query name
+            frags = []
+            j = 0
+            for i in range(1, len(batch) + 1):
+                if i == len(batch) or not frag_mode \
+                        or not qname_same(batch[i - 1].name, batch[i].name):
+                    frags.append((j, i - j))
+                    j = i
+            for off, n_seg in frags:
+                seqs = [batch[off + k].seq for k in range(n_seg)]
+                qlens = [len(s) for s in seqs]
+                gcs = map_frag(gi, qlens, seqs, opt, batch[off].name)
+                if opt.flag & MG_M_CAL_COV:
+                    from ..ggen.cov import cov_map
+                    cov_map(gi.g, gcs, opt.min_cov_mapq, opt.min_cov_blen,
+                            c_seg, c_link, batch[off].name)
+                else:
+                    txt = write_gaf(gi.g, gcs, n_seg, qlens,
+                                    batch[off].name, opt.flag)
+                    if txt:
+                        out.write(txt)
+    finally:
+        for fp in fps:
+            fp.close()
