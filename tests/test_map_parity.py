@@ -67,3 +67,23 @@ def test_vertex_coordinates(ref_test_dir, run_oracle):
     mine = _map(ref_test_dir / "MT.gfa", [ref_test_dir / "MT-orangA.fa"],
                 flag=MG_M_VERTEX_COOR)
     assert mine == ref
+
+
+def test_config3_cigar_gaf(ref_test_dir, run_oracle):
+    """-c base-level alignment → CIGAR+ds GAF (config 3)."""
+    from minigraph_tpu.options import MG_M_CIGAR
+    ref = run_oracle("-c", str(ref_test_dir / "MT.gfa"),
+                     str(ref_test_dir / "MT-orangA.fa"))
+    mine = _map(ref_test_dir / "MT.gfa", [ref_test_dir / "MT-orangA.fa"],
+                flag=MG_M_CIGAR)
+    assert mine == ref
+
+
+def test_cigar_asm_preset(ref_test_dir, run_oracle):
+    from minigraph_tpu.options import MG_M_CIGAR
+    ref = run_oracle("-cx", "asm", str(ref_test_dir / "MT.gfa"),
+                     str(ref_test_dir / "MT-chimp.fa"))
+    io_kw = {}
+    mine = _map(ref_test_dir / "MT.gfa", [ref_test_dir / "MT-chimp.fa"],
+                preset="asm", flag=__import__("minigraph_tpu.options", fromlist=["x"]).MG_M_RMQ | MG_M_CIGAR)
+    assert mine == ref
