@@ -25,14 +25,17 @@ class BSeq:
         return len(self.seq)
 
 
+def _qname_len(s: str) -> int:
+    l = len(s)
+    if l >= 3 and s[-1].isdigit() and s[-2] == "/":
+        return l - 2
+    return l
+
+
 def qname_same(a: str, b: str) -> bool:
-    """Names identical except for a trailing /[0-9] (bseq.h:28-35)."""
-    la, lb = len(a), len(b)
-    if la != lb or la < 3:
-        return False
-    if a[-2] == "/" and a[-1].isdigit() and b[-2] == "/" and b[-1].isdigit():
-        return a[:-2] == b[:-2]
-    return a == b
+    """Names identical after stripping a trailing /[0-9] (bseq.h:35-41)."""
+    la, lb = _qname_len(a), _qname_len(b)
+    return la == lb and a[:la] == b[:la]
 
 
 def _open_text(fn: str) -> IO[str]:
