@@ -9,9 +9,10 @@ import numpy as np
 
 from ..graph.gfa import Graph
 from ..index.midx import MinimizerIndex, build_index
-from ..options import (MG_M_CAL_COV, MG_M_CIGAR, MG_M_FRAG_MODE, MG_M_RMQ,
-                       MG_M_SPLICE, MG_M_SR, MG_MAX_SEG, GGOptions,
-                       IndexOptions, MapOptions)
+from ..options import (MG_M_CAL_COV, MG_M_CIGAR, MG_M_FRAG_MERGE,
+                       MG_M_FRAG_MODE, MG_M_HEAP_SORT, MG_M_INDEPEND_SEG,
+                       MG_M_RMQ, MG_M_SPLICE, MG_M_SR, MG_MAX_SEG,
+                       GGOptions, IndexOptions, MapOptions)
 from ..utils.hashes import expf, kh_hash_str, kh_hash_uint32
 from ..utils.ksort import radix_argsort
 from ..seqio.bseq import BSeqFile, qname_same, toupper
@@ -49,8 +50,13 @@ def map_frag(gi: MinimizerIndex, qlens: List[int], seqs: List[str],
 
     mv_x, mv_y = collect_minimizers(gi, qlens, seqs)
     n_mv = len(mv_x)
-    ax, ay, rep_len, mini_pos = collect_seed_hits(gi, opt, opt.occ_max1,
-                                                  mv_x, mv_y)
+    if opt.flag & MG_M_HEAP_SORT:
+        from .seeds import collect_seed_hits_heap
+        ax, ay, rep_len, mini_pos = collect_seed_hits_heap(
+            gi, opt, opt.occ_max1, mv_x, mv_y)
+    else:
+        ax, ay, rep_len, mini_pos = collect_seed_hits(
+            gi, opt, opt.occ_max1, mv_x, mv_y, qname)
 
     is_sr = bool(opt.flag & MG_M_SR)
     is_splice = bool(opt.flag & MG_M_SPLICE)
@@ -173,15 +179,45 @@ def map_files(g: Graph, fns: List[str], ipt: IndexOptions, opt0: MapOptions,
     return 0
 
 
+def _read_batch_frag(fps, chunk_size: int):
+    """Interleaved multi-file reading (mg_bseq_read_frag, bseq.c:100-128)."""
+    out = []
+    size = 0
+    while True:
+        recs = []
+        for fp in fps:
+            r = fp._next()
+            if r is not None:
+                recs.append(r)
+        if len(recs) < len(fps):
+            if recs:
+                sys.stderr.write("[W] query files have different number of "
+                                 "records; extra records skipped.\n")
+            break
+        out.extend(recs)
+        size += sum(r.l_seq for r in recs)
+        if size >= chunk_size:
+            break
+    return out
+
+
+def _revcomp_str(s: str) -> str:
+    from ..graph.gfa import revcomp
+    return revcomp(s)
+
+
 def _map_file_frag(gi: MinimizerIndex, fns: List[str], opt: MapOptions,
                    out, c_seg, c_link) -> None:
+    """3-step read→map→write pipeline semantics (gmap.c:66-177)."""
     frag_mode = len(fns) > 1 or bool(opt.flag & MG_M_FRAG_MODE)
     fps = [BSeqFile(fn) for fn in fns]
+    pe_ori = opt.pe_ori
     try:
         while True:
             if len(fps) > 1:
-                raise NotImplementedError("multi-file interleaved frag mode")
-            batch = fps[0].read_batch(opt.mini_batch_size, frag_mode)
+                batch = _read_batch_frag(fps, opt.mini_batch_size)
+            else:
+                batch = fps[0].read_batch(opt.mini_batch_size, frag_mode)
             if not batch:
                 break
             for s in batch:
@@ -195,18 +231,46 @@ def _map_file_frag(gi: MinimizerIndex, fns: List[str], opt: MapOptions,
                     frags.append((j, i - j))
                     j = i
             for off, n_seg in frags:
+                # paired-end orientation flip (gmap.c:38-43)
+                if n_seg == 2:
+                    if pe_ori >> 1 & 1:
+                        batch[off].seq = _revcomp_str(batch[off].seq)
+                    if pe_ori & 1:
+                        batch[off + 1].seq = _revcomp_str(batch[off + 1].seq)
                 seqs = [batch[off + k].seq for k in range(n_seg)]
                 qlens = [len(s) for s in seqs]
-                gcs = map_frag(gi, qlens, seqs, opt, batch[off].name)
-                if opt.flag & MG_M_CAL_COV:
-                    from ..ggen.cov import cov_map
-                    cov_map(gi.g, gcs, opt.min_cov_mapq, opt.min_cov_blen,
-                            c_seg, c_link, batch[off].name)
+                if opt.flag & MG_M_INDEPEND_SEG:
+                    gcs_list = [map_frag(gi, [qlens[k]], [seqs[k]], opt,
+                                         batch[off + k].name)
+                                for k in range(n_seg)]
                 else:
-                    txt = write_gaf(gi.g, gcs, n_seg, qlens,
-                                    batch[off].name, opt.flag)
-                    if txt:
-                        out.write(txt)
+                    gcs_list = [map_frag(gi, qlens, seqs, opt,
+                                         batch[off].name)]
+                gcs = gcs_list[0]
+                if (opt.flag & MG_M_FRAG_MODE) and (opt.flag & MG_M_FRAG_MERGE):
+                    if opt.flag & MG_M_CAL_COV:
+                        from ..ggen.cov import cov_map
+                        cov_map(gi.g, gcs, opt.min_cov_mapq, opt.min_cov_blen,
+                                c_seg, c_link, batch[off].name)
+                    else:
+                        txt = write_gaf(gi.g, gcs, n_seg, qlens,
+                                        batch[off].name, opt.flag)
+                        if txt:
+                            out.write(txt)
+                else:
+                    for k in range(n_seg):
+                        t = batch[off + k]
+                        gck = gcs_list[k] if len(gcs_list) > 1 else \
+                            (gcs if k == 0 else None)
+                        if opt.flag & MG_M_CAL_COV:
+                            from ..ggen.cov import cov_map
+                            cov_map(gi.g, gck, opt.min_cov_mapq,
+                                    opt.min_cov_blen, c_seg, c_link, t.name)
+                        else:
+                            txt = write_gaf(gi.g, gck, 1, [t.l_seq],
+                                            t.name, opt.flag)
+                            if txt:
+                                out.write(txt)
     finally:
         for fp in fps:
             fp.close()

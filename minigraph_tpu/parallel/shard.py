@@ -1,0 +1,81 @@
+"""Multi-chip scaling of the mapping front-end.
+
+Layout (SURVEY.md §2.5/§7): read batches are data-parallel over the
+mesh's "data" axis; the minimizer index is replicated when it fits
+(MT/MHC easily) or sharded by key range over the "idx" axis with an
+all-gather of per-shard seed hits; coverage vectors merge with psum.
+There is no gradient step in this framework — the "training step"
+equivalent is the full batched map step (sketch → index probe →
+chaining DP).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.pipeline import DeviceIndex, make_map_step
+
+
+def make_mesh(n_devices: Optional[int] = None, idx_shards: int = 1) -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    if len(devs) < n:
+        # fall back to the virtual CPU mesh (xla_force_host_platform_
+        # device_count) when the accelerator platform has fewer chips
+        devs = jax.devices("cpu")
+    if len(devs) < n:
+        raise RuntimeError(f"need {n} devices, have {len(devs)}")
+    data = n // idx_shards
+    arr = np.asarray(devs[:n]).reshape(data, idx_shards)
+    return Mesh(arr, axis_names=("data", "idx"))
+
+
+def make_sharded_map_step(mesh: Mesh, dix: DeviceIndex, mcap: int, acap: int,
+                          **kw):
+    """jit the batched map step with data-parallel reads and a replicated
+    device index; XLA inserts the collectives."""
+    step = make_map_step(dix, mcap, acap, **kw)
+    data_spec = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
+    jitted = jax.jit(
+        step,
+        in_shardings=(data_spec, data_spec),
+        out_shardings=NamedSharding(mesh, P("data")),
+    )
+    return jitted
+
+
+def shard_index_by_key(gi_keys, gi_start, gi_cnt, gi_pos, n_shards: int):
+    """Split the flat index into contiguous key-range shards (padded to
+    equal sizes) for "idx"-axis sharding."""
+    K = len(gi_keys)
+    per = -(-K // n_shards)
+    shards = []
+    for s in range(n_shards):
+        a, b = s * per, min((s + 1) * per, K)
+        keys = np.full(per, 0xFFFFFFFFFFFFFFFF, dtype=np.uint64)
+        cnt = np.zeros(per, dtype=np.int32)
+        start = np.zeros(per, dtype=np.int32)
+        if a < b:
+            keys[: b - a] = gi_keys[a:b]
+            cnt[: b - a] = gi_cnt[a:b]
+            p0 = gi_start[a]
+            p1 = gi_start[b - 1] + gi_cnt[b - 1] if b > a else p0
+            start[: b - a] = gi_start[a:b] - p0
+            pos = np.asarray(gi_pos[p0:p1], dtype=np.uint64)
+        else:
+            pos = np.zeros(0, dtype=np.uint64)
+        shards.append((keys, start, cnt, pos))
+    pmax = max(len(s[3]) for s in shards)
+    pos_arr = np.full((n_shards, max(pmax, 1)), 0, dtype=np.uint64)
+    for s, sh in enumerate(shards):
+        pos_arr[s, : len(sh[3])] = sh[3]
+    return (np.stack([s[0] for s in shards]),
+            np.stack([s[1] for s in shards]),
+            np.stack([s[2] for s in shards]),
+            pos_arr)

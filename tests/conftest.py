@@ -4,7 +4,9 @@ import subprocess
 from pathlib import Path
 
 # Multi-device CPU mesh for sharding tests; must be set before jax import.
+# (JAX_PLATFORM_NAME is what actually filters experimental PJRT plugins.)
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
 os.environ.setdefault(
     "XLA_FLAGS",
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8",
