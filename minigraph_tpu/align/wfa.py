@@ -278,8 +278,58 @@ def _traceback(opt: WfOpt, tb: list, t_end: int, pts: bytes, q_end: int,
     return cigar
 
 
+_native_cfg = False
+
+
+def _wfa_exact_native(opt: WfOpt, ts: bytes, qs: bytes) -> Optional[WfRst]:
+    """Native C wavefront engine (native/mgt_wfa.c); ~100x the numpy path."""
+    global _native_cfg
+    import ctypes
+
+    from ..utils.native import get_lib
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "mgt_wfa_exact"):
+        return None
+    if not _native_cfg:
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+        lib.mgt_wfa_exact.restype = ctypes.c_int32
+        lib.mgt_wfa_exact.argtypes = [
+            ctypes.c_char_p, ctypes.c_int32, ctypes.c_char_p, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int64,
+            ctypes.POINTER(u32p), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.mgt_wfa_free.restype = None
+        lib.mgt_wfa_free.argtypes = [u32p]
+        _native_cfg = True
+    cig = ctypes.POINTER(ctypes.c_uint32)()
+    n_cig = ctypes.c_int32(0)
+    n_iter = ctypes.c_int64(0)
+    s = lib.mgt_wfa_exact(ts, len(ts), qs, len(qs), opt.x, opt.o1, opt.e1,
+                          opt.o2, opt.e2, 1 if opt.cigar else 0,
+                          opt.max_s, opt.max_iter,
+                          ctypes.byref(cig), ctypes.byref(n_cig),
+                          ctypes.byref(n_iter))
+    r = WfRst(s=s, n_iter=n_iter.value)
+    if opt.cigar and s >= 0:
+        r.n_cigar = n_cig.value
+        r.cigar = [int(cig[i]) for i in range(n_cig.value)]
+        if n_cig.value:
+            lib.mgt_wfa_free(cig)
+    return r
+
+
 def wfa_exact(opt: WfOpt, ts: bytes, qs: bytes) -> WfRst:
     """mwf_wfa_exact / mwf_wfa_core (miniwfa.c:380-435, 603-615)."""
+    r = _wfa_exact_native(opt, ts, qs)
+    if r is not None:
+        return r
+    return _wfa_exact_py(opt, ts, qs)
+
+
+def _wfa_exact_py(opt: WfOpt, ts: bytes, qs: bytes) -> WfRst:
+    """numpy-vectorized reference implementation (validation oracle)."""
     tl, ql = len(ts), len(qs)
     r = WfRst()
     pts, pqs = _pad_str(ts, qs)
