@@ -165,6 +165,49 @@ def compact_a(n_u: int, u: np.ndarray, n_v: int, v: np.ndarray,
     return ox, oy
 
 
+_native_cfg = False
+
+
+def _native_chain(fn_name: str, args_pre, ax: np.ndarray, ay: np.ndarray):
+    """Route a chaining DP through the native library; returns
+    (ax, ay, n_u, u) or None if unavailable."""
+    global _native_cfg
+    import ctypes
+
+    from ..utils.native import get_lib
+    lib = get_lib()
+    if lib is None or not hasattr(lib, fn_name):
+        return None
+    if not _native_cfg:
+        u64p = ctypes.POINTER(ctypes.c_uint64)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        lib.mgt_lchain_dp.restype = ctypes.c_int64
+        lib.mgt_lchain_dp.argtypes = [
+            ctypes.c_int32] * 7 + [ctypes.c_float, ctypes.c_float,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int64,
+            u64p, u64p, u64p, i32p]
+        lib.mgt_lchain_rmq.restype = ctypes.c_int64
+        lib.mgt_lchain_rmq.argtypes = [
+            ctypes.c_int32] * 7 + [ctypes.c_float, ctypes.c_float,
+            ctypes.c_int64, u64p, u64p, u64p, i32p]
+        _native_cfg = True
+    import ctypes as ct
+    n = len(ax)
+    ax = np.ascontiguousarray(ax, dtype=np.uint64)
+    ay = np.ascontiguousarray(ay, dtype=np.uint64)
+    u = np.zeros(max(n, 1), dtype=np.uint64)
+    n_u = ct.c_int32(0)
+    fn = getattr(lib, fn_name)
+    n_v = fn(*args_pre, n,
+             ax.ctypes.data_as(ct.POINTER(ct.c_uint64)),
+             ay.ctypes.data_as(ct.POINTER(ct.c_uint64)),
+             u.ctypes.data_as(ct.POINTER(ct.c_uint64)), ct.byref(n_u))
+    if n_u.value == 0:
+        return (np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.uint64),
+                0, np.empty(0, dtype=np.uint64))
+    return ax[:n_v], ay[:n_v], n_u.value, u[: n_u.value]
+
+
 def lchain_dp(max_dist_x: int, max_dist_y: int, bw: int, max_skip: int,
               max_iter: int, min_cnt: int, min_sc: int, chn_pen_gap: float,
               chn_pen_skip: float, is_cdna: bool, n_seg: int,
@@ -174,6 +217,15 @@ def lchain_dp(max_dist_x: int, max_dist_y: int, bw: int, max_skip: int,
     Returns (ax, ay, n_u, u) with anchors compacted per chain.
     """
     n = len(ax)
+    if n > 0:
+        res = _native_chain(
+            "mgt_lchain_dp",
+            (max_dist_x, max_dist_y, bw, max_skip, max_iter, min_cnt,
+             min_sc, float(np.float32(chn_pen_gap)),
+             float(np.float32(chn_pen_skip)), int(is_cdna), n_seg),
+            ax, ay)
+        if res is not None:
+            return res
     if n == 0:
         return ax, ay, 0, np.empty(0, dtype=np.uint64)
     if max_dist_x < bw:

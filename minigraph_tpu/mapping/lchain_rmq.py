@@ -40,6 +40,15 @@ def lchain_rmq_impl(max_dist, max_dist_inner, bw, max_chn_skip, cap_rmq_size,
     n = len(ax)
     if n == 0:
         return ax, ay, 0, np.empty(0, dtype=np.uint64)
+    from .lchain import _native_chain
+    res = _native_chain(
+        "mgt_lchain_rmq",
+        (max_dist, max_dist_inner, bw, max_chn_skip, cap_rmq_size,
+         min_cnt, min_sc, float(np.float32(chn_pen_gap)),
+         float(np.float32(chn_pen_skip))),
+        ax, ay)
+    if res is not None:
+        return res
     if max_dist < bw:
         max_dist = bw
     if max_dist_inner <= 0 or max_dist_inner >= max_dist:

@@ -39,7 +39,7 @@ def build() -> bool:
     srcs = sorted(str(p) for p in _NATIVE_DIR.glob("*.c"))
     if not srcs:
         return False
-    cmd = ["gcc", "-O3", "-march=native", "-funroll-loops", "-shared", "-fPIC", "-o", str(_SO_PATH), *srcs, "-lm"]
+    cmd = ["gcc", "-O3", "-march=native", "-funroll-loops", "-ffp-contract=off", "-shared", "-fPIC", "-o", str(_SO_PATH), *srcs, "-lm"]
     try:
         subprocess.run(cmd, check=True, capture_output=True)
         return True
