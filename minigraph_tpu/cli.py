@@ -212,6 +212,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         return 1
 
     g = read_gfa(args[0])
+    from .utils.syslog import mlog
+    mlog("main", f'loaded the graph from "{args[0]}"')
     ret = 0
     if go.algo == 0 and not (go.flag & MG_G_CALL):
         ret = map_files(g, args[1:], io_, mo, out=out)
@@ -224,6 +226,9 @@ def main(argv: Optional[List[str]] = None) -> int:
         write_gfa(g, out)
     if out is not sys.stdout:
         out.close()
+    from .utils.syslog import final_log
+    from . import MG_VERSION_COMPAT as _v
+    final_log(_v, ["minigraph-tpu"] + argv)
     return 1 if ret else 0
 
 

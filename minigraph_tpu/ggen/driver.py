@@ -19,11 +19,14 @@ from .ggsimple import ggsimple
 
 def _ggen_map(gi, opt: MapOptions, fn: str):
     """Map every sequence of one file (ggen_map, ggen.c:39-71)."""
+    from ..utils.syslog import mlog
     seqs = read_all(fn)
+    mlog("ggen_map", f'loaded file "{fn}"')
     for i, s in enumerate(seqs):
         s.rid = i
         s.seq = toupper(s.seq)
     gcs = [map_one(gi, s.seq, opt, s.name) for s in seqs]
+    mlog("ggen_map", f"mapped {len(seqs)} sequence(s) to the graph")
     return seqs, gcs
 
 

@@ -206,8 +206,8 @@ def _finish(g: Graph, opt: GGOptions, n_seq, seqs, ins: List[InsEvent],
         sqs = [s.seq for s in seqs]
         ins = ins_filter(g, ins)
         augment(g, ins, names, sqs)
-    sys.stderr.write(f"[M::ggs] inserted {len(ins)} events, "
-                     f"including {n_inv} inversions\n")
+    from ..utils.syslog import mlog
+    mlog("ggs", f"inserted {len(ins)} events, including {n_inv} inversions")
 
 
 def _ggsimple_nocigar(g: Graph, opt: GGOptions, n_seq, seqs, gcs) -> None:

@@ -118,6 +118,8 @@ def build_index(g: Graph, k: int, w: int, mo=None) -> Optional[MinimizerIndex]:
         fwd = (s.seq or "").encode("latin-1")
         gi.es.append(EdSeq(fwd=fwd, rc=revcomp(s.seq or "").encode("latin-1"),
                            len=s.len))
+    from ..utils.syslog import mlog
+    mlog("mg_index", "indexed the graph")
     if mo is not None:
         from ..options import opt_update
         opt_update(gi, mo)

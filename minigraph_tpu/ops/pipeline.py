@@ -19,7 +19,8 @@ import numpy as np
 
 from ..index.midx import MinimizerIndex
 from .chain_jax import lchain_dp_device
-from .sketch_jax import encode_batch, sketch_device
+from .sketch_jax import encode_batch
+from .sketch_jax2 import sketch_device_v2 as sketch_device
 
 U64 = jnp.uint64
 
@@ -63,7 +64,7 @@ def collect_anchors_device(idx_keys, idx_start, idx_cnt, idx_pos, seg_len,
 
     def one(mx, my, nm):
         minier = mx >> U64(8)
-        k_idx = jnp.searchsorted(idx_keys, minier)
+        k_idx = jnp.searchsorted(idx_keys, minier, method="sort")
         k_idx_c = jnp.minimum(k_idx, len(idx_keys) - 1)
         found = (idx_keys[k_idx_c] == minier) \
             & (jnp.arange(M) < nm)
@@ -104,14 +105,14 @@ def collect_anchors_device(idx_keys, idx_start, idx_cnt, idx_pos, seg_len,
             | (q_span.astype(jnp.uint64)[:, None] << U64(32)) \
             | (q_pos[:, None] >> 1).astype(jnp.uint64)
         ayv = jnp.broadcast_to(ayv, (M, occ_cap))
-        dst = jnp.where(hit_ok, offs[:, None] + hit_slot[None, :], acap)
-        ax = jnp.full(acap, 0xFFFFFFFFFFFFFFFF, dtype=jnp.uint64)
-        ay = jnp.full(acap, 0xFFFFFFFFFFFFFFFF, dtype=jnp.uint64)
-        ax = ax.at[dst.reshape(-1)].set(axv.reshape(-1), mode="drop")
-        ay = ay.at[dst.reshape(-1)].set(ayv.reshape(-1), mode="drop")
+        # pack + sort in one argsort: invalid hits get the max key
+        axf = jnp.where(hit_ok, axv, jnp.uint64(0xFFFFFFFFFFFFFFFF)) \
+            .reshape(-1)
+        ayf = jnp.where(hit_ok, ayv, jnp.uint64(0xFFFFFFFFFFFFFFFF)) \
+            .reshape(-1)
         n_a = jnp.minimum(jnp.sum(occ), acap).astype(jnp.int32)
-        order = jnp.argsort(ax, stable=True)
-        return ax[order], ay[order], n_a
+        order = jnp.argsort(axf, stable=True)[:acap]
+        return axf[order], ayf[order], n_a
 
     return jax.vmap(one)(mv_x, mv_y, n_mv)
 

@@ -33,13 +33,20 @@ from .sketch_jax import NT4_NP, encode_batch  # noqa: F401 (re-export)
 U64MAX = jnp.uint64(0xFFFFFFFFFFFFFFFF)
 
 
+def _compact_order(mask):
+    """Permutation that stably moves masked elements to the front.
+
+    argsort is ~20x cheaper than scatter on TPU, so compactions are
+    expressed as sorts.
+    """
+    return jnp.argsort(jnp.logical_not(mask), stable=True)
+
+
 def _compact(values, mask, fill):
     """Stable compaction of masked elements to the front (per row)."""
-    idx = jnp.cumsum(mask.astype(jnp.int32), axis=-1) - 1
-    L = values.shape[-1]
-    dst = jnp.where(mask, idx, L)
-    out = jnp.full(values.shape, fill, dtype=values.dtype)
-    return out.at[dst].set(values, mode="drop")
+    order = _compact_order(mask)
+    v = values[order]
+    return jnp.where(mask[order], v, fill)
 
 
 @partial(jax.jit, static_argnames=("w", "k", "cap"))
@@ -150,21 +157,19 @@ def sketch_device_v2(codes, lens, w: int, k: int, cap: int, rid=None):
         em_m = em_m.reshape(-1)
         em_x = em_x.reshape(-1)
         em_y = em_y.reshape(-1)
-        dst = jnp.cumsum(em_m.astype(jnp.int32)) - 1
-        dst = jnp.where(em_m, dst, cap)
-        outx = jnp.full(cap, U64MAX, dtype=jnp.uint64)
-        outy = jnp.full(cap, U64MAX, dtype=jnp.uint64)
-        outx = outx.at[dst].set(em_x, mode="drop")
-        outy = outy.at[dst].set(em_y, mode="drop")
-        cur = jnp.sum(em_m.astype(jnp.int32))
-
-        # ---- final emission: state after the last event ----
+        # final emission: state after the last event, appended at the end
         lastv = jnp.where(n_ev > 0, mval[jnp.maximum(n_ev - 1, 0)], U64MAX)
         lasty = jnp.where(n_ev > 0, m_y[jnp.maximum(n_ev - 1, 0)], U64MAX)
         fin = lastv != U64MAX
-        outx = outx.at[jnp.where(fin, cur, cap)].set(lastv, mode="drop")
-        outy = outy.at[jnp.where(fin, cur, cap)].set(lasty, mode="drop")
-        cur = (cur + fin.astype(jnp.int32)).astype(jnp.int32)
-        return outx, outy, cur
+        em_m = jnp.concatenate([em_m, fin[None]])
+        em_x = jnp.concatenate([em_x, lastv[None]])
+        em_y = jnp.concatenate([em_y, lasty[None]])
+        # compact via argsort and truncate to cap
+        order = _compact_order(em_m)[:cap]
+        keep = em_m[order]
+        outx = jnp.where(keep, em_x[order], U64MAX)
+        outy = jnp.where(keep, em_y[order], U64MAX)
+        cur = jnp.sum(em_m.astype(jnp.int32)).astype(jnp.int32)
+        return outx, outy, jnp.minimum(cur, cap)
 
     return jax.vmap(one)(codes, lens, rid)
