@@ -216,12 +216,12 @@ def main(argv: Optional[List[str]] = None) -> int:
     mlog("main", f'loaded the graph from "{args[0]}"')
     ret = 0
     if go.algo == 0 and not (go.flag & MG_G_CALL):
-        ret = map_files(g, args[1:], io_, mo, out=out)
+        ret = map_files(g, args[1:], io_, mo, out=out, n_threads=n_threads)
     else:
         from .ggen.driver import ggen
         if go.flag & MG_G_CALL:
             sort_ref_arc(g)
-        ret = ggen(g, args[1:], io_, mo, go, out=out)
+        ret = ggen(g, args[1:], io_, mo, go, out=out, n_threads=n_threads)
     if (go.algo != 0 or (mo.flag & MG_M_CAL_COV)) and not (go.flag & MG_G_CALL):
         write_gfa(g, out)
     if out is not sys.stdout:

@@ -158,7 +158,8 @@ def map_one(gi: MinimizerIndex, seq: str, opt: MapOptions,
 
 
 def map_files(g: Graph, fns: List[str], ipt: IndexOptions, opt0: MapOptions,
-              out=sys.stdout, cov: Optional[tuple] = None) -> int:
+              out=sys.stdout, cov: Optional[tuple] = None,
+              n_threads: int = 1) -> int:
     """Index once, then map each query file (mg_map_files, gmap.c:186-211)."""
     import copy
     opt = copy.copy(opt0)
@@ -172,11 +173,43 @@ def map_files(g: Graph, fns: List[str], ipt: IndexOptions, opt0: MapOptions,
     frag_mode = bool(opt.flag & MG_M_FRAG_MODE)
     file_groups = [fns] if frag_mode and len(fns) > 1 else [[fn] for fn in fns]
     for group in file_groups:
-        _map_file_frag(gi, group, opt, out, c_seg, c_link)
+        _map_file_frag(gi, group, opt, out, c_seg, c_link, n_threads)
     if opt.flag & MG_M_CAL_COV:
         from ..ggen.cov import aux_update_cv
         aux_update_cv(g, "dc", c_seg, c_link)
     return 0
+
+
+# --- fork-based worker pool (kt_for analog; index shared copy-on-write) ---
+_POOL_CTX = {}
+
+
+def _pool_worker_map(item):
+    off, qname, seqs = item
+    gi, opt = _POOL_CTX["gi"], _POOL_CTX["opt"]
+    qlens = [len(s) for s in seqs]
+    gcs = map_frag(gi, qlens, seqs, opt, qname)
+    return off, gcs
+
+
+def _map_fragments_parallel(gi, opt, items, n_threads):
+    """Map fragments across a fork pool; results in input order.
+
+    items: list of (off, qname, [seqs]).  Per-read work is independent
+    and output order is restored, so results equal the sequential path
+    (kt_for semantics, kthread.c:30-52).
+    """
+    import multiprocessing as mp
+    _POOL_CTX["gi"] = gi
+    _POOL_CTX["opt"] = opt
+    try:
+        ctx = mp.get_context("fork")
+        with ctx.Pool(n_threads) as pool:
+            results = pool.map(_pool_worker_map, items,
+                               chunksize=max(1, len(items) // (n_threads * 4)))
+    finally:
+        _POOL_CTX.clear()
+    return [gcs for _, gcs in sorted(results, key=lambda x: x[0])]
 
 
 def _read_batch_frag(fps, chunk_size: int):
@@ -207,7 +240,7 @@ def _revcomp_str(s: str) -> str:
 
 
 def _map_file_frag(gi: MinimizerIndex, fns: List[str], opt: MapOptions,
-                   out, c_seg, c_link) -> None:
+                   out, c_seg, c_link, n_threads: int = 1) -> None:
     """3-step read→map→write pipeline semantics (gmap.c:66-177)."""
     frag_mode = len(fns) > 1 or bool(opt.flag & MG_M_FRAG_MODE)
     fps = [BSeqFile(fn) for fn in fns]
@@ -230,16 +263,32 @@ def _map_file_frag(gi: MinimizerIndex, fns: List[str], opt: MapOptions,
                         or not qname_same(batch[i - 1].name, batch[i].name):
                     frags.append((j, i - j))
                     j = i
-            for off, n_seg in frags:
+            pre = None
+            if n_threads > 1 and not (opt.flag & MG_M_INDEPEND_SEG):
+                items = []
+                for off, n_seg in frags:
+                    if n_seg == 2:
+                        if pe_ori >> 1 & 1:
+                            batch[off].seq = _revcomp_str(batch[off].seq)
+                        if pe_ori & 1:
+                            batch[off + 1].seq = \
+                                _revcomp_str(batch[off + 1].seq)
+                    items.append((off,
+                                  batch[off].name,
+                                  [batch[off + k].seq for k in range(n_seg)]))
+                pre = _map_fragments_parallel(gi, opt, items, n_threads)
+            for fi, (off, n_seg) in enumerate(frags):
                 # paired-end orientation flip (gmap.c:38-43)
-                if n_seg == 2:
+                if pre is None and n_seg == 2:
                     if pe_ori >> 1 & 1:
                         batch[off].seq = _revcomp_str(batch[off].seq)
                     if pe_ori & 1:
                         batch[off + 1].seq = _revcomp_str(batch[off + 1].seq)
                 seqs = [batch[off + k].seq for k in range(n_seg)]
                 qlens = [len(s) for s in seqs]
-                if opt.flag & MG_M_INDEPEND_SEG:
+                if pre is not None:
+                    gcs_list = [pre[fi]]
+                elif opt.flag & MG_M_INDEPEND_SEG:
                     gcs_list = [map_frag(gi, [qlens[k]], [seqs[k]], opt,
                                          batch[off + k].name)
                                 for k in range(n_seg)]
