@@ -292,11 +292,12 @@ def _wfa_exact_native(opt: WfOpt, ts: bytes, qs: bytes) -> Optional[WfRst]:
         return None
     if not _native_cfg:
         u32p = ctypes.POINTER(ctypes.c_uint32)
-        lib.mgt_wfa_exact.restype = ctypes.c_int32
-        lib.mgt_wfa_exact.argtypes = [
+        lib.mgt_wfa_exact2.restype = ctypes.c_int32
+        lib.mgt_wfa_exact2.argtypes = [
             ctypes.c_char_p, ctypes.c_int32, ctypes.c_char_p, ctypes.c_int32,
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int64,
+            ctypes.c_int32,
             ctypes.POINTER(u32p), ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int64),
         ]
@@ -306,11 +307,11 @@ def _wfa_exact_native(opt: WfOpt, ts: bytes, qs: bytes) -> Optional[WfRst]:
     cig = ctypes.POINTER(ctypes.c_uint32)()
     n_cig = ctypes.c_int32(0)
     n_iter = ctypes.c_int64(0)
-    s = lib.mgt_wfa_exact(ts, len(ts), qs, len(qs), opt.x, opt.o1, opt.e1,
-                          opt.o2, opt.e2, 1 if opt.cigar else 0,
-                          opt.max_s, opt.max_iter,
-                          ctypes.byref(cig), ctypes.byref(n_cig),
-                          ctypes.byref(n_iter))
+    s = lib.mgt_wfa_exact2(ts, len(ts), qs, len(qs), opt.x, opt.o1, opt.e1,
+                           opt.o2, opt.e2, 1 if opt.cigar else 0,
+                           opt.max_s, opt.max_iter, opt.step,
+                           ctypes.byref(cig), ctypes.byref(n_cig),
+                           ctypes.byref(n_iter))
     r = WfRst(s=s, n_iter=n_iter.value)
     if opt.cigar and s >= 0:
         r.n_cigar = n_cig.value

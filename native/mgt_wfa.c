@@ -283,20 +283,215 @@ static uint32_t *wf_traceback(const wf_pen_t *pen, wf_tb_t *tb, int32_t t_end,
     return cigar.a;
 }
 
+/* ----------------------------------------------------------------- */
+/* low-memory checkpoint mode (miniwfa.c:440-601 semantics)           */
+/* ----------------------------------------------------------------- */
+
+typedef struct { int32_t s, d; } wf_chkpt_t;
+
+typedef struct {
+    int32_t n, n_intv, max_s;
+    int32_t *x;
+    uint64_t *intv;
+} wf_ss_t;
+
+typedef struct { int32_t n, m; wf_ss_t *a; } wf_sss_t;
+
+static void wf_snapshot1(wf_stripe_t *sf, wf_ss_t *ss)
+{
+    int32_t j, k, t;
+    ss->n = 0, ss->max_s = sf->s;
+    for (j = 0; j < sf->n; ++j)
+        ss->n += 5 * (sf->a[j].hi - sf->a[j].lo + 1);
+    ss->x = (int32_t *)malloc(4 * (size_t)ss->n);
+    ss->n_intv = sf->n;
+    ss->intv = (uint64_t *)malloc(8 * sf->n);
+    for (j = 0, t = 0; j < sf->n; ++j) {
+        wf_slice_t *p = &sf->a[(sf->top + 1 + j) % sf->n];
+        ss->intv[j] = (uint64_t)(uint32_t)p->lo << 32
+            | (uint32_t)((p->hi - p->lo + 1) * 5);
+        for (k = p->lo; k <= p->hi; ++k) {
+            ss->x[t] = p->H[k],  p->H[k] = t++;
+            ss->x[t] = p->E1[k], p->E1[k] = t++;
+            ss->x[t] = p->F1[k], p->F1[k] = t++;
+            ss->x[t] = p->E2[k], p->E2[k] = t++;
+            ss->x[t] = p->F2[k], p->F2[k] = t++;
+        }
+    }
+}
+
+static void wf_snapshot(wf_sss_t *sss, wf_stripe_t *sf)
+{
+    if (sss->n == sss->m) {
+        sss->m += (sss->m >> 1) + 8;
+        sss->a = (wf_ss_t *)realloc(sss->a, sizeof(wf_ss_t) * sss->m);
+    }
+    wf_snapshot1(sf, &sss->a[sss->n++]);
+}
+
+static void wf_next_seg(const wf_pen_t *pen, uint8_t *xbuf, wf_stripe_t *wf,
+                        wf_stripe_t *sf, int32_t lo, int32_t hi)
+{
+    int32_t d, *H, *E1, *E2, *F1, *F2;
+    const int32_t *pHx, *pHo1, *pHo2, *pE1, *pE2, *pF1, *pF2;
+    const wf_slice_t *fx, *fo1, *fo2, *fe1, *fe2;
+    wf_slice_t *ft;
+    uint8_t *ax = xbuf - lo;
+
+    /* score stripe with traceback bits into xbuf */
+    stripe_add(wf, lo, hi);
+    ft = &wf->a[wf->top];
+    fx = stripe_get(wf, pen->x);
+    fo1 = stripe_get(wf, pen->o1 + pen->e1);
+    fo2 = stripe_get(wf, pen->o2 + pen->e2);
+    fe1 = stripe_get(wf, pen->e1);
+    fe2 = stripe_get(wf, pen->e2);
+    pHx = fx->H, pHo1 = fo1->H, pHo2 = fo2->H;
+    pE1 = fe1->E1, pE2 = fe2->E2, pF1 = fe1->F1, pF2 = fe2->F2;
+    H = ft->H, E1 = ft->E1, E2 = ft->E2, F1 = ft->F1, F2 = ft->F2;
+    for (d = lo; d <= hi; ++d) {
+        int32_t h, f, e;
+        uint8_t x = 0, ze, zf, z;
+        x |= pHo1[d - 1] >= pE1[d - 1] ? 0 : 0x08;
+        E1[d] = WF_MAX(pHo1[d - 1], pE1[d - 1]);
+        x |= pHo2[d - 1] >= pE2[d - 1] ? 0 : 0x20;
+        E2[d] = WF_MAX(pHo2[d - 1], pE2[d - 1]);
+        ze = E1[d] >= E2[d] ? 1 : 3;
+        e = WF_MAX(E1[d], E2[d]);
+        x |= pHo1[d + 1] >= pF1[d + 1] ? 0 : 0x10;
+        F1[d] = WF_MAX(pHo1[d + 1], pF1[d + 1]) + 1;
+        x |= pHo2[d + 1] >= pF2[d + 1] ? 0 : 0x40;
+        F2[d] = WF_MAX(pHo2[d + 1], pF2[d + 1]) + 1;
+        zf = F1[d] >= F2[d] ? 2 : 4;
+        f = WF_MAX(F1[d], F2[d]);
+        z = e >= f ? ze : zf;
+        h = WF_MAX(e, f);
+        z = pHx[d] + 1 >= h ? 0 : z;
+        H[d] = WF_MAX(pHx[d] + 1, h);
+        ax[d] = x | z;
+    }
+    /* shadow stripe: propagate snapshot pointers per the chosen ops */
+    stripe_add(sf, lo, hi);
+    ft = &sf->a[sf->top];
+    fx = stripe_get(sf, pen->x);
+    fo1 = stripe_get(sf, pen->o1 + pen->e1);
+    fo2 = stripe_get(sf, pen->o2 + pen->e2);
+    fe1 = stripe_get(sf, pen->e1);
+    fe2 = stripe_get(sf, pen->e2);
+    pHx = fx->H, pHo1 = fo1->H, pHo2 = fo2->H;
+    pE1 = fe1->E1, pE2 = fe2->E2, pF1 = fe1->F1, pF2 = fe2->F2;
+    H = ft->H, E1 = ft->E1, E2 = ft->E2, F1 = ft->F1, F2 = ft->F2;
+    for (d = lo; d <= hi; ++d) {
+        uint8_t x = ax[d];
+        int32_t a, b, e1, f1, e2, f2, h;
+        a = pHo1[d - 1], b = pE1[d - 1];
+        e1 = E1[d] = (x & 0x08) == 0 ? a : b;
+        a = pHo1[d + 1], b = pF1[d + 1];
+        f1 = F1[d] = (x & 0x10) == 0 ? a : b;
+        a = pHo2[d - 1], b = pE2[d - 1];
+        e2 = E2[d] = (x & 0x20) == 0 ? a : b;
+        a = pHo2[d + 1], b = pF2[d + 1];
+        f2 = F2[d] = (x & 0x40) == 0 ? a : b;
+        x &= 7;
+        h = pHx[d];
+        h = x == 1 ? e1 : h;
+        h = x == 2 ? f1 : h;
+        h = x == 3 ? e2 : h;
+        h = x == 4 ? f2 : h;
+        H[d] = h;
+    }
+    if (H[lo] >= -1 || E1[lo] >= -1 || F1[lo] >= -1 || E2[lo] >= -1 || F2[lo] >= -1) wf->lo = lo;
+    if (H[hi] >= -1 || E1[hi] >= -1 || F1[hi] >= -1 || E2[hi] >= -1 || F2[hi] >= -1) wf->hi = hi;
+}
+
+static wf_chkpt_t *wf_traceback_seg(wf_sss_t *sss, int32_t last,
+                                    int32_t *n_seg)
+{
+    int32_t j;
+    wf_chkpt_t *seg;
+    *n_seg = sss->n;
+    seg = (wf_chkpt_t *)malloc(sizeof(wf_chkpt_t) * (sss->n ? sss->n : 1));
+    for (j = sss->n - 1; j >= 0; --j) {
+        int32_t k, m;
+        wf_ss_t *p = &sss->a[j];
+        for (k = 0, m = 0; k < p->n_intv; ++k) {
+            if (last >= m && last < m + (int32_t)(uint32_t)p->intv[k])
+                break;
+            m += (int32_t)(uint32_t)p->intv[k];
+        }
+        seg[j].s = p->max_s - (p->n_intv - k - 1);
+        seg[j].d = (int32_t)(p->intv[k] >> 32) + (last - m) / 5;
+        last = p->x[last];
+    }
+    return seg;
+}
+
+static wf_chkpt_t *wfa_seg_pass(const wf_pen_t *pen, int32_t max_pen,
+                                int32_t tl, const char *pts, int32_t ql,
+                                const char *pqs, int32_t step,
+                                int32_t *n_seg_)
+{
+    int32_t last = -1, n_seg, j;
+    wf_stripe_t *wf, *sf;
+    wf_sss_t sss = {0, 0, 0};
+    uint8_t *xbuf;
+    wf_chkpt_t *seg;
+
+    xbuf = (uint8_t *)calloc(tl + ql + 1, 1);
+    wf = stripe_init(max_pen);
+    sf = stripe_init(max_pen);
+    while (1) {
+        wf_slice_t *p = &wf->a[wf->top];
+        int32_t d, lo, hi, *H = p->H;
+        for (d = p->lo; d <= p->hi; ++d) {
+            int32_t k;
+            if (H[d] < -1 || d + H[d] < -1 || H[d] >= tl || d + H[d] >= ql) continue;
+            k = extend1(pts, pqs, H[d], d);
+            if (k == tl - 1 && d + k == ql - 1) {
+                last = sf->a[sf->top].H[d];
+                break;
+            }
+            H[d] = k;
+        }
+        if (d <= p->hi) break;
+        lo = wf->lo > -tl ? wf->lo - 1 : -tl;
+        hi = wf->hi < ql ? wf->hi + 1 : ql;
+        if ((wf->s + 1) % step == 0)
+            wf_snapshot(&sss, sf);
+        wf_next_seg(pen, xbuf, wf, sf, lo, hi);
+        if ((wf->s & 0xff) == 0) stripe_shrink(wf, tl, ql);
+    }
+    seg = wf_traceback_seg(&sss, last, &n_seg);
+    for (j = 0; j < sss.n; ++j) {
+        free(sss.a[j].x);
+        free(sss.a[j].intv);
+    }
+    free(sss.a);
+    stripe_destroy(wf);
+    stripe_destroy(sf);
+    free(xbuf);
+    *n_seg_ = n_seg;
+    return seg;
+}
+
 /* Returns score >= 0, or -1 if stopped (budget exceeded).
  * When is_tb != 0, *cigar_out receives a malloc'd array the caller
- * frees with mgt_wfa_free(); *n_cigar_out its length. */
-int32_t mgt_wfa_exact(const char *ts0, int32_t tl, const char *qs0, int32_t ql,
-                      int32_t px, int32_t po1, int32_t pe1, int32_t po2,
-                      int32_t pe2, int32_t is_tb, int32_t max_s,
-                      int64_t max_iter, uint32_t **cigar_out,
-                      int32_t *n_cigar_out, int64_t *n_iter_out)
+ * frees with mgt_wfa_free(); *n_cigar_out its length.  step > 0
+ * enables the reference's low-memory checkpoint mode. */
+int32_t mgt_wfa_exact2(const char *ts0, int32_t tl, const char *qs0,
+                       int32_t ql, int32_t px, int32_t po1, int32_t pe1,
+                       int32_t po2, int32_t pe2, int32_t is_tb,
+                       int32_t max_s, int64_t max_iter, int32_t step,
+                       uint32_t **cigar_out, int32_t *n_cigar_out,
+                       int64_t *n_iter_out)
 {
     wf_pen_t pen = {px, po1, pe1, po2, pe2};
-    int32_t max_pen, last_state = 0, stopped = 0, score, i;
+    int32_t max_pen, last_state = 0, stopped = 0, score, i, sid = 0;
+    int32_t n_seg = 0;
     int64_t n_iter = 0;
     wf_stripe_t *wf;
     wf_tb_t tb = {0, 0, 0};
+    wf_chkpt_t *seg = 0;
     char *pts, *pqs;
     uint8_t used[256];
     int c1 = -1, c2 = -1;
@@ -320,6 +515,8 @@ int32_t mgt_wfa_exact(const char *ts0, int32_t tl, const char *qs0, int32_t ql,
     max_pen = px;
     max_pen = WF_MAX(max_pen, po1 + pe1);
     max_pen = WF_MAX(max_pen, po2 + pe2);
+    if (step > 0)
+        seg = wfa_seg_pass(&pen, max_pen, tl, pts, ql, pqs, step, &n_seg);
     wf = stripe_init(max_pen);
 
     while (1) {
@@ -337,6 +534,8 @@ int32_t mgt_wfa_exact(const char *ts0, int32_t tl, const char *qs0, int32_t ql,
             H[d] = k;
         }
         if (d <= p->hi) break;
+        if (is_tb && seg && sid < n_seg && seg[sid].s == wf->s)
+            wf->lo = wf->hi = seg[sid++].d;
         lo = wf->lo > -tl ? wf->lo - 1 : -tl;
         hi = wf->hi < ql ? wf->hi + 1 : ql;
         next_basic(&pen, wf, is_tb ? &tb : 0, lo, hi);
@@ -347,6 +546,7 @@ int32_t mgt_wfa_exact(const char *ts0, int32_t tl, const char *qs0, int32_t ql,
             break;
         }
     }
+    free(seg);
     score = stopped ? -1 : wf->s;
     if (is_tb && !stopped && cigar_out)
         *cigar_out = wf_traceback(&pen, &tb, tl - 1, pts, ql - 1, pqs,
@@ -362,4 +562,16 @@ int32_t mgt_wfa_exact(const char *ts0, int32_t tl, const char *qs0, int32_t ql,
 void mgt_wfa_free(uint32_t *p)
 {
     free(p);
+}
+
+/* legacy entry point (no checkpoint mode) */
+int32_t mgt_wfa_exact(const char *ts0, int32_t tl, const char *qs0,
+                      int32_t ql, int32_t px, int32_t po1, int32_t pe1,
+                      int32_t po2, int32_t pe2, int32_t is_tb,
+                      int32_t max_s, int64_t max_iter, uint32_t **cigar_out,
+                      int32_t *n_cigar_out, int64_t *n_iter_out)
+{
+    return mgt_wfa_exact2(ts0, tl, qs0, ql, px, po1, pe1, po2, pe2, is_tb,
+                          max_s, max_iter, 0, cigar_out, n_cigar_out,
+                          n_iter_out);
 }

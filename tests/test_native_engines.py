@@ -1,0 +1,163 @@
+"""Native C engines vs python oracles (WFA, GWFA, chaining) and the
+reference miniwfa oracle for checkpoint mode."""
+import subprocess
+
+import numpy as np
+import pytest
+
+from tests.conftest import REF_DIR, REPO
+
+
+def _rand_pair(rng, n1, n2, div=8):
+    base = rng.choice(list("ACGT"), size=max(n1, n2))
+    s1 = "".join(base[:n1])
+    s2 = list(base[:n2])
+    for p in rng.integers(0, max(n2, 1), size=max(1, n2 // div)):
+        s2[p] = "ACGT"[int(rng.integers(0, 4))]
+    return s1.encode(), "".join(s2).encode()
+
+
+def test_native_wfa_matches_python():
+    from minigraph_tpu.align.wfa import WfOpt, _wfa_exact_native, _wfa_exact_py
+    rng = np.random.default_rng(0)
+    for trial in range(8):
+        s1, s2 = _rand_pair(rng, int(rng.integers(1, 250)),
+                            int(rng.integers(1, 250)))
+        for cig in (True, False):
+            for max_s in (0, 50):
+                opt = WfOpt(cigar=cig, max_s=max_s)
+                a = _wfa_exact_py(opt, s1, s2)
+                b = _wfa_exact_native(opt, s1, s2)
+                assert b is not None, "native lib unavailable"
+                assert a.s == b.s
+                if cig and a.s >= 0:
+                    assert a.cigar == b.cigar
+
+
+WFA_ORACLE_SRC = """
+#include <stdio.h>
+#include <stdlib.h>
+#include <string.h>
+#include "{ref}/miniwfa.h"
+int main(int argc, char **argv) {{
+    int step = atoi(argv[1]);
+    char *t = malloc(1<<22), *q = malloc(1<<22);
+    if (scanf("%s %s", t, q) != 2) return 1;
+    mwf_opt_t opt; mwf_rst_t r;
+    mwf_opt_init(&opt);
+    opt.flag |= MWF_F_CIGAR;
+    opt.step = step;
+    mwf_wfa_exact(0, &opt, strlen(t), t, strlen(q), q, &r);
+    printf("%d %d\\n", r.s, r.n_cigar);
+    for (int i = 0; i < r.n_cigar; ++i) printf("%u\\n", r.cigar[i]);
+    return 0;
+}}
+"""
+
+
+@pytest.fixture(scope="module")
+def wfa_oracle():
+    exe = REPO / ".golden" / "wfa_oracle"
+    if not exe.exists():
+        if not (REF_DIR / "miniwfa.c").exists():
+            pytest.skip("reference miniwfa not available")
+        src = exe.with_suffix(".c")
+        src.write_text(WFA_ORACLE_SRC.format(ref=REF_DIR))
+        subprocess.run(
+            ["gcc", "-O2", "-o", str(exe), str(src),
+             str(REF_DIR / "miniwfa.c"), str(REF_DIR / "kalloc.c"),
+             str(REF_DIR / "misc.c"), str(REF_DIR / "sketch.c"),
+             str(REF_DIR / "gfa-base.c")], check=True, capture_output=True)
+    return exe
+
+
+def test_wfa_step_mode_matches_reference(wfa_oracle):
+    from minigraph_tpu.align.wfa import WfOpt, _wfa_exact_native
+    rng = np.random.default_rng(31)
+    for trial in range(5):
+        s1, s2 = _rand_pair(rng, int(rng.integers(80, 900)),
+                            int(rng.integers(80, 900)))
+        for step in (0, 64):
+            r = subprocess.run([str(wfa_oracle), str(step)],
+                               input=f"{s1.decode()}\n{s2.decode()}\n",
+                               capture_output=True, text=True)
+            toks = r.stdout.split()
+            ref_s, ref_n = int(toks[0]), int(toks[1])
+            ref_cig = [int(x) for x in toks[2: 2 + ref_n]]
+            mine = _wfa_exact_native(WfOpt(cigar=True, step=step), s1, s2)
+            assert mine.s == ref_s
+            assert mine.cigar == ref_cig
+
+
+def test_native_gwfa_matches_python(ref_test_dir):
+    from minigraph_tpu.align import gwfa as G
+    from minigraph_tpu.align.gwfa_exact import gwfa_ed as py_gwfa
+    from minigraph_tpu.graph.gfa_io import read_gfa
+    from minigraph_tpu.index.midx import build_index
+
+    g = read_gfa(str(ref_test_dir / "MT.gfa"))
+    gi = build_index(g, 17, 11)
+    rng = np.random.default_rng(2)
+    for trial in range(40):
+        ai = int(rng.integers(0, g.n_arc))
+        a = g.arc[ai]
+        v0, v1 = a.v_lv >> 32, a.w
+        l0 = g.seg[v0 >> 1].len
+        end0 = int(rng.integers(max(l0 - 150, 0), l0))
+        end1 = int(rng.integers(0, min(150, g.seg[v1 >> 1].len)))
+        s0 = gi.es[v0 >> 1].fwd if (v0 & 1) == 0 else gi.es[v0 >> 1].rc
+        s1 = gi.es[v1 >> 1].fwd if (v1 & 1) == 0 else gi.es[v1 >> 1].rc
+        q = bytearray(s0[end0:] + s1[: end1 + 1])
+        for p in rng.integers(0, max(len(q), 1), size=max(1, len(q) // 12)):
+            q[p] = ord("ACGT"[int(rng.integers(0, 4))])
+        q = bytes(q)
+        if not q:
+            continue
+        sp, wp = py_gwfa(g, gi.es, q, v0, end0, v1, end1, 10000)
+        res = G._native_gwfa(g, gi.es, q, v0, end0, v1, end1, 10000)
+        assert res is not None, "native lib unavailable"
+        sn, wn = res
+        assert sp == sn and wp == wn
+
+
+def test_native_chaining_matches_python():
+    import minigraph_tpu.mapping.lchain as L
+    import minigraph_tpu.mapping.lchain_rmq as LR
+    import minigraph_tpu.utils.native as nat
+
+    rng = np.random.default_rng(9)
+    for trial in range(4):
+        n = int(rng.integers(10, 800))
+        tpos = np.sort(rng.integers(0, 50000, size=n))
+        qpos = (tpos + rng.integers(-200, 200, size=n)).clip(0)
+        seg = rng.integers(0, 3, size=n)
+        rev = rng.integers(0, 2, size=n)
+        ax = (seg.astype(np.uint64) << np.uint64(33)) \
+            | (rev.astype(np.uint64) << np.uint64(32)) \
+            | tpos.astype(np.uint64)
+        ay = (rng.integers(1, 5, size=n).astype(np.uint64) << np.uint64(56)) \
+            | (np.uint64(17) << np.uint64(32)) | qpos.astype(np.uint64)
+        perm = np.argsort(ax, kind="stable")
+        ax, ay = ax[perm], ay[perm]
+        args_dp = (5000, 5000, 500, 25, 5000, 5, 40, 0.1827412, 0.0091371,
+                   False, 1)
+        rn = L._native_chain("mgt_lchain_dp",
+                             args_dp[:9] + (0, 1), ax.copy(), ay.copy())
+        assert rn is not None, "native lib unavailable"
+        rrn = L._native_chain("mgt_lchain_rmq",
+                              (10000, 1000, 1000, 50, 100000, 5, 40,
+                               0.1827412, 0.0091371), ax.copy(), ay.copy())
+        lib = nat._lib
+        nat._lib, nat._tried = None, True
+        try:
+            rp = L.lchain_dp(*args_dp, ax.copy(), ay.copy())
+            rrp = LR.lchain_rmq_impl(10000, 1000, 1000, 50, 100000, 5, 40,
+                                     0.1827412, 0.0091371, ax.copy(),
+                                     ay.copy())
+        finally:
+            nat._lib = lib
+        for a, b in ((rn, rp), (rrn, rrp)):
+            assert a[2] == b[2]
+            assert np.array_equal(a[0], b[0])
+            assert np.array_equal(a[1], b[1])
+            assert np.array_equal(a[3], b[3])
