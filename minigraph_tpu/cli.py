@@ -29,7 +29,8 @@ _LONG = [
     "no-comp-path", "gg-match-pen=", "frag", "cov", "min-cov-blen=",
     "min-cov-mapq=", "gap-pen=", "ref-bonus=", "max-gap-pre=", "max-lc-skip=",
     "max-gc-skip=", "max-lc-iter=", "max-rmq-size=", "inv=", "write-mz",
-    "call", "cap-calloc=", "gdp-max-ed=",
+    "call", "cap-calloc=", "gdp-max-ed=", "dbg-seed",
+    "dbg-lchain",
 ]
 
 
@@ -203,6 +204,12 @@ def main(argv: Optional[List[str]] = None) -> int:
             mo.cap_kalloc = _parse_num(v)
         elif k == "--gdp-max-ed":
             mo.gdp_max_ed = _parse_num(v)
+        elif k == "--dbg-seed":
+            from .options import DBG, MG_DBG_SEED
+            DBG["flag"] |= MG_DBG_SEED
+        elif k == "--dbg-lchain":
+            from .options import DBG, MG_DBG_LCHAIN
+            DBG["flag"] |= MG_DBG_LCHAIN
 
     if opt_check(io_, mo, go) < 0:
         return 1

@@ -58,6 +58,10 @@ def map_frag(gi: MinimizerIndex, qlens: List[int], seqs: List[str],
         ax, ay, rep_len, mini_pos = collect_seed_hits(
             gi, opt, opt.occ_max1, mv_x, mv_y, qname)
 
+    from ..options import DBG, MG_DBG_SEED, MG_DBG_LCHAIN
+    if DBG["flag"] & MG_DBG_SEED:
+        _dump_seeds(gi, ax, ay, rep_len)
+
     is_sr = bool(opt.flag & MG_M_SR)
     is_splice = bool(opt.flag & MG_M_SPLICE)
     if is_sr:
@@ -131,6 +135,8 @@ def map_frag(gi: MinimizerIndex, qlens: List[int], seqs: List[str],
             update_anchors(p, ax, ay, mini_pos)
     else:
         lc = []
+    if DBG["flag"] & MG_DBG_LCHAIN:
+        _dump_lchain(gi, lc, ax, ay, qname)
 
     seq_cat = "".join(seqs)
     n_gc, u, lc = gchain1_dp(gi.g, lc, qlen_sum, opt.bw_long, opt.bw_long,
@@ -150,6 +156,44 @@ def map_frag(gi: MinimizerIndex, qlens: List[int], seqs: List[str],
         gchain_cigar(gi.g, gi.es, seq_cat, gcs, qname)
         gchain_gen_ds(gi.g, gi.es, seq_cat, gcs)
     return gcs
+
+
+def _dump_seeds(gi, ax, ay, rep_len):
+    """--dbg-seed TSV (map-algo.c:370-375 format)."""
+    out = [f"RS\t{rep_len}"]
+    for i in range(len(ax)):
+        x, y = int(ax[i]), int(ay[i])
+        gap = 0 if i == 0 else (_i32(y) - _i32(int(ay[i - 1]))) \
+            - (_i32(x) - _i32(int(ax[i - 1])))
+        out.append(f"SD\t{gi.g.seg[x >> 33].name}\t{_i32(x)}\t"
+                   f"{'+-'[(x >> 32) & 1]}\t{_i32(y)}\t{(y >> 32) & 0xFF}"
+                   f"\t{gap}")
+    sys.stderr.write("\n".join(out) + "\n")
+
+
+def _dump_lchain(gi, lc, ax, ay, qname):
+    """--dbg-lchain TSV (mg_print_lchain, format.c:90-119)."""
+    out = []
+    for p in lc:
+        span = (int(ay[p.off]) >> 32) & 0xFF
+        mlen = blen = span
+        for j in range(1, p.cnt):
+            ql_ = _i32(int(ay[p.off + j])) - _i32(int(ay[p.off + j - 1]))
+            pl = _i32(int(ax[p.off + j])) - _i32(int(ax[p.off + j - 1]))
+            blen += max(pl, ql_)
+            mlen += span if (pl > span and ql_ > span) else min(pl, ql_)
+        seg = gi.g.seg[p.v >> 1]
+        row = [f"LC\t{qname}\t{p.qs}\t{p.qe}\t{'+-'[p.v & 1]}\t{seg.name}"
+               f"\t{seg.len}\t{p.rs}\t{p.re}\t{p.score}\t{mlen}\t{blen}"
+               f"\t{p.cnt}\t"]
+        row.append("".join(f"{_i32(int(ay[p.off + j]))}," for j in range(p.cnt)))
+        row.append("\t")
+        row.append("".join(f"{_i32(int(ax[p.off + j]))}," for j in range(p.cnt)))
+        row.append("\t")
+        row.append("".join(f"{int(ay[p.off + j]) >> 56}," for j in range(p.cnt)))
+        out.append("".join(row))
+    if out:
+        sys.stdout.write("\n".join(out) + "\n")
 
 
 def map_one(gi: MinimizerIndex, seq: str, opt: MapOptions,

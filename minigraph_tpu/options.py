@@ -176,3 +176,9 @@ def opt_update(gi, mo: MapOptions, go: GGOptions | None = None) -> None:
         mo.occ_max1 = mo.occ_max1_cap
     if mo.bw_long < mo.bw:
         mo.bw_long = mo.bw
+
+
+# debug flags (mgpriv.h:7-16); set via CLI --dbg-* or MGT_DBG env
+MG_DBG_SEED = 0x4
+MG_DBG_LCHAIN = 0x8
+DBG = {"flag": 0}
