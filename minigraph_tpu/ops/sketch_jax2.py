@@ -65,36 +65,50 @@ def sketch_device_v2(codes, lens, w: int, k: int, cap: int, rid=None):
         # ---- registers over the *valid* subsequence (C registers skip
         # ambiguous bases but persist across them) ----
         vidx = jnp.cumsum(valid.astype(jnp.int32)) - 1  # compact index
-        cc = _compact(code_row.astype(jnp.uint64), valid, jnp.uint64(0))
-        cvalid = _compact(valid, valid, False)
+        vorder = _compact_order(valid)
+        cvalid = valid[vorder]
+        cc = jnp.where(cvalid, code_row[vorder].astype(jnp.uint64),
+                       jnp.uint64(0))
         kf = jnp.zeros(L, dtype=jnp.uint64)
         kr = jnp.zeros(L, dtype=jnp.uint64)
-        j = jnp.arange(L, dtype=jnp.int32)
+        zpad = jnp.zeros(L, dtype=jnp.uint64)
         for d in range(k):
-            src = jnp.where(j - d >= 0, j - d, 0)
-            cd = cc[src]
-            ok = (j - d >= 0)
-            kf = kf | jnp.where(ok, cd << jnp.uint64(2 * d), jnp.uint64(0))
-            kr = kr | jnp.where(
-                ok, (jnp.uint64(3) ^ cd) << jnp.uint64(2 * (k - 1 - d)),
-                jnp.uint64(0))
+            # static shift (cheaper than a gather)
+            cd = cc if d == 0 else jnp.concatenate([zpad[:d], cc[: L - d]])
+            kf = kf | (cd << jnp.uint64(2 * d))
+            kr = kr | ((jnp.uint64(3) ^ cd) << jnp.uint64(2 * (k - 1 - d)))
+            if d:  # clear the pad contribution of kr's xor on zero pad
+                kr = kr ^ jnp.concatenate(
+                    [jnp.full(d, jnp.uint64(3) << jnp.uint64(2 * (k - 1 - d))),
+                     zpad[: L - d]])
         kf = kf & mask2k
         sym_c = cvalid & (kf == kr)
         zc = (kf >= kr)
         canon_c = jnp.where(zc, kr, kf)
-        # map back to original positions
-        sym = valid & sym_c[jnp.maximum(vidx, 0)]
-        z = zc[jnp.maximum(vidx, 0)]
-        canon = canon_c[jnp.maximum(vidx, 0)]
+        # map back to original positions with ONE packed gather
+        packed_c = canon_c | jnp.where(sym_c, jnp.uint64(1) << jnp.uint64(63),
+                                       jnp.uint64(0)) \
+            | jnp.where(zc, jnp.uint64(1) << jnp.uint64(62), jnp.uint64(0))
+        packed = packed_c[jnp.maximum(vidx, 0)]
+        sym = valid & ((packed >> jnp.uint64(63)) != 0)
+        z = (packed >> jnp.uint64(62)) & jnp.uint64(1) != 0
+        canon = packed & jnp.uint64((1 << 62) - 1)
 
         # ---- event stream: all in-range positions except symmetric ----
         is_event = in_range & ~sym
-        eidx = jnp.cumsum(is_event.astype(jnp.int32)) - 1
         n_ev = jnp.sum(is_event.astype(jnp.int32))
-        amb = _compact(~valid & in_range, is_event, False)
-        e_pos = _compact(pos, is_event, jnp.int32(0))
-        e_z = _compact(z, is_event, False)
-        e_canon = _compact(canon, is_event, jnp.uint64(0))
+        eorder = _compact_order(is_event)
+        emask = is_event[eorder]
+        # one packed gather: amb<<63 | z<<62 | pos (canon gathered with it)
+        pk = pos.astype(jnp.uint64) \
+            | jnp.where(~valid & in_range, jnp.uint64(1) << jnp.uint64(63),
+                        jnp.uint64(0)) \
+            | jnp.where(z, jnp.uint64(1) << jnp.uint64(62), jnp.uint64(0))
+        pk_e = jnp.where(emask, pk[eorder], jnp.uint64(0))
+        e_canon = jnp.where(emask, canon[eorder], jnp.uint64(0))
+        amb = (pk_e >> jnp.uint64(63)) != 0
+        e_z = (pk_e >> jnp.uint64(62)) & jnp.uint64(1) != 0
+        e_pos = (pk_e & jnp.uint64(0xFFFFFFFF)).astype(jnp.int32)
         t = jnp.arange(L, dtype=jnp.int32)
         in_ev = t < n_ev
 
@@ -118,10 +132,9 @@ def sketch_device_v2(codes, lens, w: int, k: int, cap: int, rid=None):
         # ---- windowed views (padded with w virtual U64MAX events) ----
         px = jnp.concatenate([jnp.full(w, U64MAX, dtype=jnp.uint64), ex])
         py = jnp.concatenate([jnp.full(w, U64MAX, dtype=jnp.uint64), ey])
-        # win[t, j] = event t-w+1+j  (j = 0 oldest .. w-1 newest = t)
-        gidx = t[:, None] + jnp.arange(1, w + 1, dtype=jnp.int32)[None, :]
-        wx = px[gidx]
-        wy = py[gidx]
+        # win[t, j] = event t-w+1+j via static slices (no gather)
+        wx = jnp.stack([px[j + 1: j + 1 + L] for j in range(w)], axis=1)
+        wy = jnp.stack([py[j + 1: j + 1 + L] for j in range(w)], axis=1)
         # newest-argmin of W[t]
         mval = jnp.min(wx, axis=1)
         last_j = (w - 1) - jnp.argmax((wx[:, ::-1] == mval[:, None]),
@@ -146,29 +159,36 @@ def sketch_device_v2(codes, lens, w: int, k: int, cap: int, rid=None):
         fw_ties = fw[:, None] & (wx[:, :-1] == pmv[:, None]) \
             & (wy[:, :-1] != pmy[:, None])
 
-        # ---- flatten emissions: per t: [fw ties (w-1), A/B old (1),
-        #      B ties (w)] ----
-        em_x = jnp.concatenate(
-            [wx[:, :-1], pmv[:, None], wx], axis=1)
-        em_y = jnp.concatenate(
-            [wy[:, :-1], pmy[:, None], wy], axis=1)
+        # ---- flatten emission masks: per t: [fw ties (w-1), A/B old (1),
+        #      B ties (w)]; values are gathered lazily for survivors ----
+        S = 2 * w  # slots per event
         em_m = jnp.concatenate(
-            [fw_ties, (emitA | emitB)[:, None], b_ties], axis=1)
-        em_m = em_m.reshape(-1)
-        em_x = em_x.reshape(-1)
-        em_y = em_y.reshape(-1)
+            [fw_ties, (emitA | emitB)[:, None], b_ties], axis=1).reshape(-1)
         # final emission: state after the last event, appended at the end
         lastv = jnp.where(n_ev > 0, mval[jnp.maximum(n_ev - 1, 0)], U64MAX)
         lasty = jnp.where(n_ev > 0, m_y[jnp.maximum(n_ev - 1, 0)], U64MAX)
         fin = lastv != U64MAX
         em_m = jnp.concatenate([em_m, fin[None]])
-        em_x = jnp.concatenate([em_x, lastv[None]])
-        em_y = jnp.concatenate([em_y, lasty[None]])
-        # compact via argsort and truncate to cap
+        # compact via argsort, truncate to cap, then decode (t, slot)
         order = _compact_order(em_m)[:cap]
         keep = em_m[order]
-        outx = jnp.where(keep, em_x[order], U64MAX)
-        outy = jnp.where(keep, em_y[order], U64MAX)
+        o_t = (order // S).astype(jnp.int32)
+        o_slot = (order % S).astype(jnp.int32)
+        is_fin = order == L * S          # the appended final-emission slot
+        is_old = o_slot == (w - 1)       # the A/B old-min slot
+        # window position u for tie slots: fw ties use j = slot,
+        # B ties use j = slot - w; both index W[t] = events t-w+1+j
+        j_win = jnp.where(o_slot < w - 1, o_slot, o_slot - w)
+        u = o_t + 1 + j_win              # + (w padding offset) below
+        vx = px[jnp.clip(u, 0, L + w - 1)]
+        vy = py[jnp.clip(u, 0, L + w - 1)]
+        o_t_c = jnp.clip(o_t, 0, L - 1)
+        vx = jnp.where(is_old, pmv[o_t_c], vx)
+        vy = jnp.where(is_old, pmy[o_t_c], vy)
+        vx = jnp.where(is_fin, lastv, vx)
+        vy = jnp.where(is_fin, lasty, vy)
+        outx = jnp.where(keep, vx, U64MAX)
+        outy = jnp.where(keep, vy, U64MAX)
         cur = jnp.sum(em_m.astype(jnp.int32)).astype(jnp.int32)
         return outx, outy, jnp.minimum(cur, cap)
 
