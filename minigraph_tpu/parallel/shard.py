@@ -50,6 +50,70 @@ def make_sharded_map_step(mesh: Mesh, dix: DeviceIndex, mcap: int, acap: int,
     return jitted
 
 
+def make_index_sharded_map_step(mesh: Mesh, dix: DeviceIndex, mcap: int,
+                                acap: int, occ_cap: int = 16,
+                                window: int = 32, max_occ: int = 50):
+    """Map step with the minimizer index sharded by key range over the
+    "idx" mesh axis: each device probes its local shard, per-shard seed
+    hits are all-gathered along "idx" and merged by sorting, and the
+    chaining DP runs on the merged anchors.  Reads stay data-parallel
+    over the "data" axis.  (SURVEY.md §2.5: allgather of per-shard
+    seed hits.)"""
+    import jax.numpy as jnp
+    from jax.experimental.shard_map import shard_map
+
+    from ..ops.chain_jax import lchain_dp_device
+    from ..ops.pipeline import collect_anchors_device
+    from ..ops.sketch_jax2 import sketch_device_v2
+
+    n_idx = mesh.shape["idx"]
+    keys_sh, start_sh, cnt_sh, pos_sh = shard_index_by_key(
+        np.asarray(dix.keys), np.asarray(dix.key_start),
+        np.asarray(dix.key_cnt), np.asarray(dix.pos), n_idx)
+    keys_sh = jnp.asarray(keys_sh)
+    start_sh = jnp.asarray(start_sh.astype(np.int32))
+    cnt_sh = jnp.asarray(cnt_sh.astype(np.int32))
+    pos_sh = jnp.asarray(pos_sh)
+    seg_len = dix.seg_len
+    acap_shard = max(acap // n_idx, 256)
+
+    def local_step(codes, lens, keys, start, cnt, pos):
+        # shard_map passes blocks with the leading shard axis kept
+        keys, start, cnt, pos = keys[0], start[0], cnt[0], pos[0]
+        mx, my, n_mv = sketch_device_v2(codes, lens, dix.w, dix.k, cap=mcap)
+        ax, ay, n_a = collect_anchors_device(
+            keys, start, cnt, pos, seg_len, mx, my, n_mv,
+            max_occ, occ_cap, acap_shard)
+        # merge per-shard hits across the idx axis
+        ax_all = jax.lax.all_gather(ax, "idx", axis=0)   # (I, b, acap_shard)
+        ay_all = jax.lax.all_gather(ay, "idx", axis=0)
+        n_all = jax.lax.psum(n_a, "idx")
+        b = ax.shape[0]
+        ax_m = jnp.moveaxis(ax_all, 0, 1).reshape(b, -1)
+        ay_m = jnp.moveaxis(ay_all, 0, 1).reshape(b, -1)
+        order = jnp.argsort(ax_m, axis=1, stable=True)[:, :acap]
+        ax_m = jnp.take_along_axis(ax_m, order, axis=1)
+        ay_m = jnp.take_along_axis(ay_m, order, axis=1)
+        f, p = lchain_dp_device(ax_m, ay_m, jnp.minimum(n_all, acap),
+                                jnp.int32(5000), jnp.int32(5000),
+                                jnp.int32(500), jnp.float32(0.1827),
+                                jnp.float32(0.00913), window=window)
+        best = jnp.max(f, axis=1)
+        return best, jnp.minimum(n_all, acap)
+
+    fn = shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P("data"), P("data"), P("idx"), P("idx"), P("idx"),
+                  P("idx")),
+        out_specs=(P("data"), P("data")),
+        check_rep=False)
+
+    def step(codes, lens):
+        return fn(codes, lens, keys_sh, start_sh, cnt_sh, pos_sh)
+
+    return jax.jit(step)
+
+
 def shard_index_by_key(gi_keys, gi_start, gi_cnt, gi_pos, n_shards: int):
     """Split the flat index into contiguous key-range shards (padded to
     equal sizes) for "idx"-axis sharding."""
