@@ -157,7 +157,9 @@ def wfa_device(ts, tl, qs, ql, pens, d_cap: int, s_cap: int,
             zf = jnp.where(nF1 >= nF2, 2, 4).astype(jnp.uint8)
             z = jnp.where(e >= f, ze, zf)
             z = jnp.where(pHx + 1 >= h, 0, z).astype(jnp.uint8)
-            tb = jax.lax.dynamic_update_slice(tb, (x | z)[None], (s, 0, 0))
+            zero = jnp.zeros((), dtype=s.dtype)
+            tb = jax.lax.dynamic_update_slice(tb, (x | z)[None],
+                                              (s, zero, zero))
 
         keep = done[:, None]
         H = H.at[nxt].set(jnp.where(keep, H[nxt], nH))
