@@ -77,28 +77,32 @@ def simulate_reads(g, n, read_len, seed=11):
 
 def bench_device(gi, reads):
     import jax
-    from minigraph_tpu.ops.pipeline import DeviceIndex, make_map_step
+    from minigraph_tpu.ops.anchors_jax import JoinIndex
+    from minigraph_tpu.ops.pipeline import make_map_step_v2
     from minigraph_tpu.ops.sketch_jax import encode_batch
 
-    dix = DeviceIndex.from_host(gi)
-    fn = jax.jit(make_map_step(dix, mcap=READ_LEN // 2, acap=READ_LEN,
-                               window=32))
+    ji = JoinIndex.from_host(gi, occ_cap=16)
+    fn = jax.jit(make_map_step_v2(ji, w=gi.w, k=gi.k, acap=READ_LEN,
+                                  window=32))
     batches = []
     for i in range(0, len(reads), BATCH):
         chunk = reads[i: i + BATCH]
         while len(chunk) < BATCH:
             chunk = chunk + chunk[: BATCH - len(chunk)]
         batches.append(encode_batch(chunk, pad_to=READ_LEN))
-    # warmup/compile
+    import numpy as np
+
+    # warmup/compile; a host fetch is the only reliable sync on this
+    # backend (block_until_ready returns before execution completes)
     out = fn(*batches[0])
-    jax.block_until_ready(out)
+    np.asarray(out["best"])
     t0 = time.perf_counter()
     n_done = 0
     for _ in range(N_ITER):
         for codes, lens in batches:
             out = fn(codes, lens)
             n_done += codes.shape[0]
-    jax.block_until_ready(out)
+    np.asarray(out["best"])
     dt = time.perf_counter() - t0
     return n_done / dt, out
 

@@ -117,6 +117,38 @@ def collect_anchors_device(idx_keys, idx_start, idx_cnt, idx_pos, seg_len,
     return jax.vmap(one)(mv_x, mv_y, n_mv)
 
 
+def make_map_step_v2(ji, w: int, k: int, acap: int = 2048,
+                     occ_cap: int = 16, qcap: int = 512,
+                     window: int = 64, max_occ: int = 50,
+                     max_dist_x: int = 5000, max_dist_y: int = 5000,
+                     bw: int = 500, chn_pen_gap: float = 0.1827,
+                     chn_pen_skip: float = 0.00913):
+    """Jittable batched map step on the join pipeline: position-aligned
+    sketch planes (sketch_jax4) -> MXU equality-join anchors
+    (anchors_jax) -> banded chaining DP.  ~10x the throughput of
+    make_map_step; reads flagged overflow need the exact fallback."""
+    from .anchors_jax import collect_anchors_join
+    from .sketch_jax4 import sketch_planes
+
+    def map_step(codes, lens):
+        sp = sketch_planes(codes, lens, w, k)
+        ax, ay, n_a, q_ovf = collect_anchors_join(
+            ji.keymat, ji.keyext, sp.hh, sp.hl, sp.meta,
+            sp.t_hh, sp.t_hl, sp.t_meta, jnp.int32(max_occ),
+            occ_cap=occ_cap, qcap=qcap, acap=acap)
+        f, p = lchain_dp_device(ax, ay, n_a,
+                                jnp.int32(max_dist_x), jnp.int32(max_dist_y),
+                                jnp.int32(bw), jnp.float32(chn_pen_gap),
+                                jnp.float32(chn_pen_skip), window=window)
+        best = jnp.max(f, axis=1)
+        best_i = jnp.argmax(f, axis=1).astype(jnp.int32)
+        return {"f": f, "p": p, "best": best, "best_anchor": best_i,
+                "n_anchors": n_a,
+                "overflow": sp.overflow | q_ovf}
+
+    return map_step
+
+
 def make_map_step(dix: DeviceIndex, mcap: int, acap: int, occ_cap: int = 16,
                   window: int = 64, max_occ: int = 50, max_dist_x: int = 5000,
                   max_dist_y: int = 5000, bw: int = 500,

@@ -1,0 +1,139 @@
+"""Tests for the position-aligned sketch + MXU-join anchor pipeline.
+
+Exactness contract: for reads without tie/qcap overflow the join
+pipeline must produce the SAME minimizer set as sketch_jax2/3 (which
+are oracle-exact vs sketch.c) and the SAME anchor set as
+collect_anchors_device (modulo the tandem bit, whose adjacency
+definition is position-order rather than compaction-order).
+"""
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+from functools import partial  # noqa: E402
+
+from minigraph_tpu.ops.sketch_jax import encode_batch  # noqa: E402
+from minigraph_tpu.ops.sketch_jax3 import sketch_device_v3  # noqa: E402
+from minigraph_tpu.ops.sketch_jax4 import (  # noqa: E402
+    META_Q_BITS, sketch_planes)
+
+W, K = 11, 17
+
+
+def _random_reads(n, lmax, seed=5, with_n=True):
+    rng = np.random.default_rng(seed)
+    reads = []
+    p = [.24, .24, .24, .24, .04] if with_n else None
+    alpha = list("ACGTN") if with_n else list("ACGT")
+    for _ in range(n):
+        ln = int(rng.integers(200, lmax + 1))
+        reads.append("".join(rng.choice(alpha, ln, p=p)))
+    return reads
+
+
+def _plane_set(sp, i):
+    hh, hl, meta, thh, thl, tmeta = (np.asarray(sp.hh), np.asarray(sp.hl),
+                                     np.asarray(sp.meta), np.asarray(sp.t_hh),
+                                     np.asarray(sp.t_hl), np.asarray(sp.t_meta))
+    s = set()
+    for HH, HL, MM in ((hh, hl, meta), (thh, thl, tmeta)):
+        sel = MM[i] != 0xFFFFFFFF
+        for h_, l_, m_ in zip(HH[i][sel].tolist(), HL[i][sel].tolist(),
+                              MM[i][sel].tolist()):
+            m_ &= 0x7FFFFFFF  # strip tandem flag
+            span = m_ >> (META_Q_BITS + 1)
+            qpos = (m_ >> 1) & ((1 << META_Q_BITS) - 1)
+            z = m_ & 1
+            s.add(((((h_ << 32) | l_) << 8) | span, (qpos << 1) | z))
+    return s
+
+
+def test_sketch_planes_match_v3():
+    reads = _random_reads(32, 1024)
+    reads[0] = "ACGT" * 128  # tandem: must flag overflow, not mis-emit
+    codes, lens = encode_batch(reads, pad_to=1024)
+    mx, my, n3 = map(np.asarray, jax.jit(
+        partial(sketch_device_v3, w=W, k=K, cap=512))(codes, lens))
+    sp = jax.jit(partial(sketch_planes, w=W, k=K))(codes, lens)
+    ovf = np.asarray(sp.overflow)
+    n4 = np.asarray(sp.n)
+    checked = 0
+    for i in range(len(reads)):
+        if ovf[i]:
+            continue
+        s3 = set(zip(mx[i, :n3[i]].tolist(), my[i, :n3[i]].tolist()))
+        assert _plane_set(sp, i) == s3, f"read {i}"
+        assert n4[i] == n3[i]
+        checked += 1
+    assert checked >= len(reads) - 4
+
+
+def test_join_anchors_match_reference_path():
+    from minigraph_tpu.graph.gfa_io import read_gfa
+    from minigraph_tpu.index.midx import build_index
+    from minigraph_tpu.ops.anchors_jax import JoinIndex, collect_anchors_join
+    from minigraph_tpu.ops.pipeline import (DeviceIndex,
+                                            collect_anchors_device)
+
+    g = read_gfa("/root/reference/test/MT.gfa")
+    gi = build_index(g, K, W)
+    dix = DeviceIndex.from_host(gi)
+    ji = JoinIndex.from_host(gi, occ_cap=16)
+    rng = np.random.default_rng(3)
+    ref = "".join((s.seq or "") for s in g.seg if s.rank == 0)
+    B, L = 16, 2048
+    reads = []
+    for _ in range(B):
+        st = int(rng.integers(0, len(ref) - L))
+        s = list(ref[st: st + L])
+        for p in rng.integers(0, len(s), len(s) // 20):
+            s[p] = "ACGT"[int(rng.integers(0, 4))]
+        reads.append("".join(s))
+    codes, lens = encode_batch(reads, pad_to=L)
+
+    mx, my, nmv = jax.jit(partial(sketch_device_v3, w=W, k=K, cap=1024))(
+        codes, lens)
+    axo, ayo, nao = jax.jit(partial(
+        collect_anchors_device, occ_cap=16, acap=2048))(
+        dix.keys, dix.key_start, dix.key_cnt, dix.pos, dix.seg_len,
+        mx, my, nmv, 50)
+    sp = jax.jit(partial(sketch_planes, w=W, k=K))(codes, lens)
+    axn, ayn, nan_, qov = jax.jit(partial(collect_anchors_join, occ_cap=16))(
+        ji.keymat, ji.keyext, sp.hh, sp.hl, sp.meta,
+        sp.t_hh, sp.t_hl, sp.t_meta, jnp.int32(50))
+    axo, ayo, nao = map(np.asarray, (axo, ayo, nao))
+    axn, ayn, nan_ = map(np.asarray, (axn, ayn, nan_))
+    ovf = np.asarray(sp.overflow) | np.asarray(qov)
+    tmask = ~(np.uint64(1) << np.uint64(42))
+    for i in range(B):
+        if ovf[i]:
+            continue
+        so = set(zip(axo[i, :nao[i]].tolist(),
+                     (ayo[i, :nao[i]] & tmask).tolist()))
+        sn = set(zip(axn[i, :nan_[i]].tolist(),
+                     (ayn[i, :nan_[i]] & tmask).tolist()))
+        assert so == sn and nao[i] == nan_[i], f"read {i}"
+        # anchors must be sorted by x for the chaining DP
+        assert (np.diff(axn[i, :nan_[i]].astype(np.uint64)) >= 0).all()
+
+
+def test_map_step_v2_runs():
+    from minigraph_tpu.graph.gfa_io import read_gfa
+    from minigraph_tpu.index.midx import build_index
+    from minigraph_tpu.ops.anchors_jax import JoinIndex
+    from minigraph_tpu.ops.pipeline import make_map_step_v2
+
+    g = read_gfa("/root/reference/test/MT.gfa")
+    gi = build_index(g, K, W)
+    ji = JoinIndex.from_host(gi, occ_cap=16)
+    rng = np.random.default_rng(0)
+    ref = "".join((s.seq or "") for s in g.seg if s.rank == 0)
+    reads = [ref[100:1600], ref[5000:6800]]
+    codes, lens = encode_batch(reads, pad_to=2048)
+    fn = jax.jit(make_map_step_v2(ji, w=W, k=K, window=32))
+    out = fn(codes, lens)
+    best = np.asarray(out["best"])
+    # perfect substrings of the reference must chain to a high score
+    assert (best > 500).all()
+    assert not np.asarray(out["overflow"]).any()
