@@ -63,6 +63,64 @@ def _comput_sc_vec(xi, yi, xj, yj, max_dist_x, max_dist_y, bw,
     return jnp.where(bad, NEG_BIG, sc)
 
 
+@partial(jax.jit, static_argnames=("window", "tile"))
+def lchain_dp_tiled(ax, ay, n_a, max_dist_x, max_dist_y, bw,
+                    chn_pen_gap, chn_pen_skip, window: int = 64,
+                    tile: int = 16):
+    """lchain_dp_device with `tile` anchors per scan step.
+
+    The per-step work of the straight scan is tiny (B x W scores), so
+    the A-step lax.scan is loop-overhead-bound (~13 us/step on v5e).
+    Processing `tile` anchors per step with an unrolled inner loop cuts
+    the step count by `tile`x at identical results.
+    """
+    B, A = ax.shape
+    W, T = window, tile
+    assert A % T == 0
+
+    def one(axr, ayr, n):
+        padx = jnp.concatenate([jnp.full(W, 0xFFFFFFFFFFFFFFFF,
+                                         dtype=jnp.uint64), axr])
+        pady = jnp.concatenate([jnp.full(W, 0xFFFFFFFFFFFFFFFF,
+                                         dtype=jnp.uint64), ayr])
+
+        def step(hist, t0):
+            # hist: (W,) scores of anchors t0-W..t0-1
+            # tile slices: values for anchors t0-W .. t0+T-1
+            tx = jax.lax.dynamic_slice(padx, (t0,), (W + T,))
+            ty = jax.lax.dynamic_slice(pady, (t0,), (W + T,))
+            buf = jnp.concatenate([hist, jnp.full(T, NEG_BIG, jnp.int32)])
+            fs, ps = [], []
+            for j in range(T):
+                i = t0 + j
+                xi, yi = tx[W + j], ty[W + j]
+                sc = _comput_sc_vec(xi, yi, tx[j: W + j], ty[j: W + j],
+                                    max_dist_x, max_dist_y, bw,
+                                    chn_pen_gap, chn_pen_skip)
+                j_off = jnp.arange(W, dtype=jnp.int32)
+                valid_j = (i - W + j_off) >= 0
+                tot = jnp.where(valid_j, sc + jax.lax.dynamic_slice(
+                    buf, (j,), (W,)), NEG_BIG)
+                span = ((yi >> jnp.uint64(32)) & jnp.uint64(0xFF)) \
+                    .astype(jnp.int32)
+                best = jnp.max(tot)
+                bj = jnp.argmax(tot).astype(jnp.int32)
+                use = (best > span) & (i < n)
+                f_i = jnp.where(i < n, jnp.where(use, best, span), NEG_BIG)
+                p_i = jnp.where(use, i - W + bj, jnp.int32(-1))
+                buf = jax.lax.dynamic_update_index_in_dim(buf, f_i, W + j, 0)
+                fs.append(f_i)
+                ps.append(p_i)
+            return buf[T:], (jnp.stack(fs), jnp.stack(ps))
+
+        init = jnp.full(W, NEG_BIG, dtype=jnp.int32)
+        _, (f, p) = jax.lax.scan(
+            step, init, jnp.arange(0, A, T, dtype=jnp.int32))
+        return f.reshape(A), p.reshape(A)
+
+    return jax.vmap(one)(ax, ay, n_a)
+
+
 @partial(jax.jit, static_argnames=("window",))
 def lchain_dp_device(ax, ay, n_a, max_dist_x, max_dist_y, bw,
                      chn_pen_gap, chn_pen_skip, window: int = 64):

@@ -122,12 +122,13 @@ def make_map_step_v2(ji, w: int, k: int, acap: int = 2048,
                      window: int = 64, max_occ: int = 50,
                      max_dist_x: int = 5000, max_dist_y: int = 5000,
                      bw: int = 500, chn_pen_gap: float = 0.1827,
-                     chn_pen_skip: float = 0.00913):
+                     chn_pen_skip: float = 0.00913, b_chunk: int = 32):
     """Jittable batched map step on the join pipeline: position-aligned
     sketch planes (sketch_jax4) -> MXU equality-join anchors
     (anchors_jax) -> banded chaining DP.  ~10x the throughput of
     make_map_step; reads flagged overflow need the exact fallback."""
     from .anchors_jax import collect_anchors_join
+    from .chain_jax import lchain_dp_tiled
     from .sketch_jax4 import sketch_planes
 
     def map_step(codes, lens):
@@ -135,11 +136,12 @@ def make_map_step_v2(ji, w: int, k: int, acap: int = 2048,
         ax, ay, n_a, q_ovf = collect_anchors_join(
             ji.keymat, ji.keyext, sp.hh, sp.hl, sp.meta,
             sp.t_hh, sp.t_hl, sp.t_meta, jnp.int32(max_occ),
-            occ_cap=occ_cap, qcap=qcap, acap=acap)
-        f, p = lchain_dp_device(ax, ay, n_a,
-                                jnp.int32(max_dist_x), jnp.int32(max_dist_y),
-                                jnp.int32(bw), jnp.float32(chn_pen_gap),
-                                jnp.float32(chn_pen_skip), window=window)
+            occ_cap=occ_cap, qcap=qcap, acap=acap, b_chunk=b_chunk)
+        f, p = lchain_dp_tiled(ax, ay, n_a,
+                               jnp.int32(max_dist_x), jnp.int32(max_dist_y),
+                               jnp.int32(bw), jnp.float32(chn_pen_gap),
+                               jnp.float32(chn_pen_skip), window=window,
+                               tile=8)
         best = jnp.max(f, axis=1)
         best_i = jnp.argmax(f, axis=1).astype(jnp.int32)
         return {"f": f, "p": p, "best": best, "best_anchor": best_i,

@@ -50,6 +50,85 @@ def make_sharded_map_step(mesh: Mesh, dix: DeviceIndex, mcap: int, acap: int,
     return jitted
 
 
+def make_sharded_map_step_v2(mesh: Mesh, ji, w: int, k: int, acap: int = 1024,
+                             **kw):
+    """Data-parallel reads over the "data" axis on the join pipeline
+    (make_map_step_v2); join tables replicate (they are tiny: K x 52
+    f32).  XLA inserts the collectives."""
+    from ..ops.pipeline import make_map_step_v2
+    step = make_map_step_v2(ji, w=w, k=k, acap=acap, **kw)
+    data_spec = NamedSharding(mesh, P("data"))
+    return jax.jit(step, in_shardings=(data_spec, data_spec),
+                   out_shardings=NamedSharding(mesh, P("data")))
+
+
+def make_index_sharded_map_step_v2(mesh: Mesh, ji, w: int, k: int,
+                                   acap: int = 1024, occ_cap: int = 16,
+                                   qcap: int = 256, window: int = 16,
+                                   max_occ: int = 50):
+    """Join pipeline with the KEY TABLE sharded by column range over the
+    "idx" mesh axis: each device equality-joins against its key slice
+    (a minimizer matches in exactly one shard), per-shard anchors are
+    all-gathered and merge-sorted, then chained.  Reads stay
+    data-parallel over "data"."""
+    from jax.experimental.shard_map import shard_map
+
+    from ..ops.anchors_jax import collect_anchors_join
+    from ..ops.chain_jax import lchain_dp_tiled
+    from ..ops.sketch_jax4 import sketch_planes
+
+    n_idx = mesh.shape["idx"]
+    K = ji.keymat.shape[1]
+    per = -(-K // n_idx)
+    # pad so every shard has `per` columns; padded keys can't match
+    # (their constant row is 1, never zero)
+    km = np.asarray(ji.keymat)
+    ke = np.asarray(ji.keyext)
+    km_p = np.zeros((9, per * n_idx), np.float32)
+    km_p[8] = 1.0
+    km_p[:, :K] = km
+    ke_p = np.zeros((per * n_idx, ke.shape[1]), np.float32)
+    ke_p[:K] = ke
+    km_sh = jnp.asarray(km_p.reshape(9, n_idx, per).transpose(1, 0, 2))
+    ke_sh = jnp.asarray(ke_p.reshape(n_idx, per, ke.shape[1]))
+    acap_shard = max(acap // n_idx, 256)
+
+    def local_step(codes, lens, keymat, keyext):
+        keymat, keyext = keymat[0], keyext[0]
+        sp = sketch_planes(codes, lens, w, k)
+        ax, ay, n_a, q_ovf = collect_anchors_join(
+            keymat, keyext, sp.hh, sp.hl, sp.meta,
+            sp.t_hh, sp.t_hl, sp.t_meta, jnp.int32(max_occ),
+            occ_cap=occ_cap, qcap=qcap, acap=acap_shard,
+            b_chunk=min(32, codes.shape[0]))
+        ax_all = jax.lax.all_gather(ax, "idx", axis=0)
+        ay_all = jax.lax.all_gather(ay, "idx", axis=0)
+        n_all = jax.lax.psum(n_a, "idx")
+        b = ax.shape[0]
+        ax_m = jnp.moveaxis(ax_all, 0, 1).reshape(b, -1)
+        ay_m = jnp.moveaxis(ay_all, 0, 1).reshape(b, -1)
+        ax_m, ay_m = jax.lax.sort((ax_m, ay_m), dimension=1, num_keys=1,
+                                  is_stable=True)
+        ax_m, ay_m = ax_m[:, :acap], ay_m[:, :acap]
+        f, p = lchain_dp_tiled(ax_m, ay_m, jnp.minimum(n_all, acap),
+                               jnp.int32(5000), jnp.int32(5000),
+                               jnp.int32(500), jnp.float32(0.1827),
+                               jnp.float32(0.00913), window=window, tile=8)
+        best = jnp.max(f, axis=1)
+        return best, jnp.minimum(n_all, acap)
+
+    fn = shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P("data"), P("data"), P("idx"), P("idx")),
+        out_specs=(P("data"), P("data")),
+        check_rep=False)
+
+    def step(codes, lens):
+        return fn(codes, lens, km_sh, ke_sh)
+
+    return jax.jit(step)
+
+
 def make_index_sharded_map_step(mesh: Mesh, dix: DeviceIndex, mcap: int,
                                 acap: int, occ_cap: int = 16,
                                 window: int = 32, max_occ: int = 50):
