@@ -78,12 +78,11 @@ def simulate_reads(g, n, read_len, seed=11):
 def bench_device(gi, reads):
     import jax
     from minigraph_tpu.ops.anchors_jax import JoinIndex
-    from minigraph_tpu.ops.pipeline import make_map_step_v2
+    from minigraph_tpu.ops.pipeline import make_map_pipeline_v2
     from minigraph_tpu.ops.sketch_jax import encode_batch
 
     ji = JoinIndex.from_host(gi, occ_cap=16)
-    fn = jax.jit(make_map_step_v2(ji, w=gi.w, k=gi.k, acap=READ_LEN,
-                                  window=32))
+    fn = make_map_pipeline_v2(ji, w=gi.w, k=gi.k, acap=READ_LEN, window=32)
     batches = []
     for i in range(0, len(reads), BATCH):
         chunk = reads[i: i + BATCH]

@@ -125,10 +125,12 @@ def _tandem_flags(hh, hl, emitted):
     return emitted & (eq_prev | eq_next)
 
 
-@partial(jax.jit, static_argnames=("occ_cap", "qcap", "acap", "b_chunk"))
+@partial(jax.jit, static_argnames=("occ_cap", "qcap", "acap", "b_chunk",
+                                   "return_planes"))
 def collect_anchors_join(keymat, keyext, hh, hl, meta, t_hh, t_hl, t_meta,
                          max_occ, occ_cap: int, qcap: int = 512,
-                         acap: int = 2048, b_chunk: int = 32):
+                         acap: int = 2048, b_chunk: int = 32,
+                         return_planes: bool = False):
     """Anchor collection from sketch planes via MXU joins.
 
     Returns (ax, ay, n_a, q_overflow): (B, acap) uint64 anchors sorted
@@ -274,4 +276,6 @@ def collect_anchors_join(keymat, keyext, hh, hl, meta, t_hh, t_hl, t_meta,
 
     axh, axl, ayh, ayl = jax.lax.sort(
         (axh, axl, ayh, ayl), dimension=1, num_keys=2, is_stable=True)
+    if return_planes:
+        return axh, axl, ayh, ayl, n_a, q_overflow
     return (u32.to_u64(axh, axl), u32.to_u64(ayh, ayl), n_a, q_overflow)

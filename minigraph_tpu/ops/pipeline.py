@@ -151,6 +151,43 @@ def make_map_step_v2(ji, w: int, k: int, acap: int = 2048,
     return map_step
 
 
+def make_map_pipeline_v2(ji, w: int, k: int, acap: int = 2048,
+                         occ_cap: int = 16, qcap: int = 512,
+                         window: int = 32, max_occ: int = 50,
+                         b_chunk: int = 32, pallas_interpret: bool = False,
+                         **chain_kw):
+    """Two-dispatch production pipeline: jitted front (sketch planes +
+    join anchors, x64) feeding the Pallas chaining kernel (x64-free
+    dispatch; see chain_pallas.lchain_dp_pallas_planes).  Returns a
+    plain Python function — do NOT wrap in jax.jit."""
+    from .anchors_jax import collect_anchors_join
+    from .chain_pallas import lchain_dp_pallas_planes
+    from .sketch_jax4 import sketch_planes
+
+    @jax.jit
+    def front(codes, lens):
+        sp = sketch_planes(codes, lens, w, k)
+        axh, axl, ayh, ayl, n_a, q_ovf = collect_anchors_join(
+            ji.keymat, ji.keyext, sp.hh, sp.hl, sp.meta,
+            sp.t_hh, sp.t_hl, sp.t_meta, jnp.int32(max_occ),
+            occ_cap=occ_cap, qcap=qcap, acap=acap, b_chunk=b_chunk,
+            return_planes=True)
+        return axh, axl, ayh, ayl, n_a, sp.overflow | q_ovf
+
+    def run(codes, lens):
+        axh, axl, ayh, ayl, n_a, ovf = front(codes, lens)
+        f, p = lchain_dp_pallas_planes(axh, axl, ayh, ayl, n_a,
+                                       window=window,
+                                       interpret=pallas_interpret,
+                                       **chain_kw)
+        best = jnp.max(f, axis=1)
+        best_i = jnp.argmax(f, axis=1).astype(jnp.int32)
+        return {"f": f, "p": p, "best": best, "best_anchor": best_i,
+                "n_anchors": n_a, "overflow": ovf}
+
+    return run
+
+
 def make_map_step(dix: DeviceIndex, mcap: int, acap: int, occ_cap: int = 16,
                   window: int = 64, max_occ: int = 50, max_dist_x: int = 5000,
                   max_dist_y: int = 5000, bw: int = 500,

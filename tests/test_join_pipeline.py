@@ -137,3 +137,29 @@ def test_map_step_v2_runs():
     # perfect substrings of the reference must chain to a high score
     assert (best > 500).all()
     assert not np.asarray(out["overflow"]).any()
+
+
+def test_pallas_chain_matches_xla():
+    """Interpret-mode Pallas chaining equals the XLA scan kernel."""
+    from minigraph_tpu.ops.chain_jax import lchain_dp_tiled
+    from minigraph_tpu.ops.chain_pallas import lchain_dp_pallas
+
+    rng = np.random.default_rng(7)
+    B, A = 8, 256
+    # synthetic sorted anchors on one (rid, rev) key
+    tpos = np.sort(rng.integers(0, 50_000, (B, A)), axis=1).astype(np.uint64)
+    ax = (np.uint64(3) << np.uint64(33)) | tpos
+    qpos = (tpos + rng.integers(-300, 300, (B, A))).clip(0) \
+        .astype(np.uint64)
+    span = np.uint64(17)
+    ay = (span << np.uint64(32)) | qpos
+    na = np.full(B, A, dtype=np.int32)
+    args = (jnp.asarray(ax), jnp.asarray(ay), jnp.asarray(na),
+            jnp.int32(5000), jnp.int32(5000), jnp.int32(500),
+            jnp.float32(0.1827), jnp.float32(0.00913))
+    f0, p0 = jax.jit(partial(lchain_dp_tiled, window=16, tile=8))(*args)
+    f1, p1 = lchain_dp_pallas(jnp.asarray(ax), jnp.asarray(ay),
+                              jnp.asarray(na), window=16, tile=64,
+                              interpret=True)
+    assert (np.asarray(f0) == np.asarray(f1)).all()
+    assert (np.asarray(p0) == np.asarray(p1)).all()
