@@ -156,26 +156,63 @@ def make_map_pipeline_v2(ji, w: int, k: int, acap: int = 2048,
                          window: int = 32, max_occ: int = 50,
                          b_chunk: int = 32, pallas_interpret: bool = False,
                          **chain_kw):
-    """Two-dispatch production pipeline: jitted front (sketch planes +
-    join anchors, x64) feeding the Pallas chaining kernel (x64-free
-    dispatch; see chain_pallas.lchain_dp_pallas_planes).  Returns a
-    plain Python function — do NOT wrap in jax.jit."""
+    """Production pipeline as chained dispatches: jitted front (sketch
+    planes + join anchors, x64), Pallas probe for bucketed indexes,
+    Pallas chaining kernel (x64-free dispatches; see chain_pallas).
+    Accepts a JoinIndex (flat join, small graphs) or BucketedJoinIndex
+    (pangenome scale).  Returns a plain Python function — do NOT wrap
+    in jax.jit."""
+    from .anchors_bucketed import (BucketedJoinIndex, finish_anchors,
+                                   spread_queries)
     from .anchors_jax import collect_anchors_join
     from .chain_pallas import lchain_dp_pallas_planes
+    from .probe_pallas import probe_bucketed_pallas
     from .sketch_jax4 import sketch_planes
 
-    @jax.jit
-    def front(codes, lens):
-        sp = sketch_planes(codes, lens, w, k)
-        axh, axl, ayh, ayl, n_a, q_ovf = collect_anchors_join(
-            ji.keymat, ji.keyext, sp.hh, sp.hl, sp.meta,
-            sp.t_hh, sp.t_hl, sp.t_meta, jnp.int32(max_occ),
-            occ_cap=occ_cap, qcap=qcap, acap=acap, b_chunk=b_chunk,
-            return_planes=True)
-        return axh, axl, ayh, ayl, n_a, sp.overflow | q_ovf
+    bucketed = isinstance(ji, BucketedJoinIndex)
+
+    if bucketed:
+        nb = ji.keymat.shape[0]
+
+        @jax.jit
+        def front(codes, lens):
+            sp = sketch_planes(codes, lens, w, k)
+            sf, n_q, q_ovf = spread_queries(
+                sp.hh, sp.hl, sp.meta, sp.t_hh, sp.t_hl, sp.t_meta, nb,
+                qcap=qcap, b_chunk=b_chunk)
+            return sf, sp.overflow | q_ovf
+
+        @partial(jax.jit, static_argnames=())
+        def tail(ext, sf):
+            return finish_anchors(ext, sf, jnp.int32(max_occ), occ_cap,
+                                  acap=acap, b_chunk=b_chunk,
+                                  return_planes=True)
+
+        def anchors(codes, lens):
+            sf, ovf = front(codes, lens)
+            B = sf.shape[1]
+            bb = 128
+            while B % bb:
+                bb //= 2
+            ext = probe_bucketed_pallas(
+                sf[:9], ji.keymat, ji.keyext, nb, bb=bb,
+                kc=min(512, ji.keymat.shape[2]),
+                interpret=pallas_interpret)
+            axh, axl, ayh, ayl, n_a = tail(ext, sf)
+            return axh, axl, ayh, ayl, n_a, ovf
+    else:
+        @jax.jit
+        def anchors(codes, lens):
+            sp = sketch_planes(codes, lens, w, k)
+            axh, axl, ayh, ayl, n_a, q_ovf = collect_anchors_join(
+                ji.keymat, ji.keyext, sp.hh, sp.hl, sp.meta,
+                sp.t_hh, sp.t_hl, sp.t_meta, jnp.int32(max_occ),
+                occ_cap=occ_cap, qcap=qcap, acap=acap, b_chunk=b_chunk,
+                return_planes=True)
+            return axh, axl, ayh, ayl, n_a, sp.overflow | q_ovf
 
     def run(codes, lens):
-        axh, axl, ayh, ayl, n_a, ovf = front(codes, lens)
+        axh, axl, ayh, ayl, n_a, ovf = anchors(codes, lens)
         f, p = lchain_dp_pallas_planes(axh, axl, ayh, ayl, n_a,
                                        window=window,
                                        interpret=pallas_interpret,

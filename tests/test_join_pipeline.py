@@ -163,3 +163,45 @@ def test_pallas_chain_matches_xla():
                               interpret=True)
     assert (np.asarray(f0) == np.asarray(f1)).all()
     assert (np.asarray(p0) == np.asarray(p1)).all()
+
+
+def test_bucketed_join_matches_flat():
+    """Bucketed probe (XLA path) produces the same anchors as the flat
+    equality join."""
+    from minigraph_tpu.graph.gfa_io import read_gfa
+    from minigraph_tpu.index.midx import build_index
+    from minigraph_tpu.ops.anchors_bucketed import (BucketedJoinIndex,
+                                                    collect_anchors_bucketed)
+    from minigraph_tpu.ops.anchors_jax import JoinIndex, collect_anchors_join
+
+    g = read_gfa("/root/reference/test/MT.gfa")
+    gi = build_index(g, K, W)
+    ji = JoinIndex.from_host(gi, occ_cap=16)
+    bi = BucketedJoinIndex.from_host(gi, occ_cap=16)
+    rng = np.random.default_rng(9)
+    ref = "".join((s.seq or "") for s in g.seg if s.rank == 0)
+    B, L = 4, 1024
+    reads = []
+    for _ in range(B):
+        st = int(rng.integers(0, len(ref) - L))
+        s = list(ref[st: st + L])
+        for p in rng.integers(0, len(s), len(s) // 20):
+            s[p] = "ACGT"[int(rng.integers(0, 4))]
+        reads.append("".join(s))
+    codes, lens = encode_batch(reads, pad_to=L)
+    sp = jax.jit(partial(sketch_planes, w=W, k=K))(codes, lens)
+    args = (sp.hh, sp.hl, sp.meta, sp.t_hh, sp.t_hl, sp.t_meta,
+            jnp.int32(50))
+    ax1, ay1, n1, o1 = jax.jit(partial(collect_anchors_join, occ_cap=16))(
+        ji.keymat, ji.keyext, *args)
+    ax2, ay2, n2, o2 = collect_anchors_bucketed(
+        bi.keymat, bi.keyext, *args, occ_cap=16)
+    assert (np.asarray(n1) == np.asarray(n2)).all()
+    assert (np.asarray(ax1) == np.asarray(ax2)).all()
+    assert (np.asarray(ay1) == np.asarray(ay2)).all()
+    # pallas probe in interpreter mode agrees too
+    ax3, ay3, n3, o3 = collect_anchors_bucketed(
+        bi.keymat, bi.keyext, *args, occ_cap=16, pallas=True,
+        pallas_interpret=True)
+    assert (np.asarray(ax1) == np.asarray(ax3)).all()
+    assert (np.asarray(ay1) == np.asarray(ay3)).all()
