@@ -30,7 +30,7 @@ _LONG = [
     "min-cov-mapq=", "gap-pen=", "ref-bonus=", "max-gap-pre=", "max-lc-skip=",
     "max-gc-skip=", "max-lc-iter=", "max-rmq-size=", "inv=", "write-mz",
     "call", "cap-calloc=", "gdp-max-ed=", "dbg-seed",
-    "dbg-lchain",
+    "dbg-lchain", "dbg-gc1", "dbg-shortk",
 ]
 
 
@@ -207,6 +207,12 @@ def main(argv: Optional[List[str]] = None) -> int:
         elif k == "--dbg-seed":
             from .options import DBG, MG_DBG_SEED
             DBG["flag"] |= MG_DBG_SEED
+        elif k == "--dbg-gc1":
+            from .options import DBG, MG_DBG_GC1
+            DBG["flag"] |= MG_DBG_GC1
+        elif k == "--dbg-shortk":
+            from .options import DBG, MG_DBG_SHORTK
+            DBG["flag"] |= MG_DBG_SHORTK
         elif k == "--dbg-lchain":
             from .options import DBG, MG_DBG_LCHAIN
             DBG["flag"] |= MG_DBG_LCHAIN

@@ -263,12 +263,23 @@ def gchain1_dp(g, lc: List[LChain], qlen: int, max_dist_g: int,
                 continue
             kept.append(dj)
         # DP
+        from ..options import DBG, MG_DBG_GC1
+        dbg_gc1 = bool(DBG["flag"] & MG_DBG_GC1)
         max_f, max_j, max_d, max_inner = li.score, -1, -1, 0
         max_hash = 0
         for dj in kept:
             sc = _cal_sc(dj, li, lc, ay, a_i, f, bw, ref_bonus, chn_pen_gap)
             if sc == INT32_MIN:
                 continue
+            if dbg_gc1:  # gchain1.c:195-198 stage dump
+                lj = lc[a_i[dj.meta]]
+                seg_len = g.seg[li.v >> 1].len
+                sys.stderr.write(
+                    "  [dst:%d] dst=%c%s[%d], n_path=%d, target=%d, "
+                    "opt_dist=%d, score=%d, q_intv=[%d,%d), g_intv=[%d,%d)\n"
+                    % (dj.meta, "><"[dj.v & 1], g.seg[dj.v >> 1].name,
+                       dj.v, dj.n_path, dj.target_dist - seg_len,
+                       dj.dist - seg_len, sc, lj.qs, lj.qe, lj.rs, lj.re))
             if sc > max_f:
                 max_f, max_j = sc, dj.meta
                 max_d, max_hash, max_inner = dj.dist, dj.hash, dj.inner
@@ -278,6 +289,23 @@ def gchain1_dp(g, lc: List[LChain], qlen: int, max_dist_g: int,
         li.hash_pre = max_hash
         li.inner_pre = max_inner
         v[i] = v[max_j] if (max_j >= 0 and v[max_j] > max_f) else max_f
+        if dbg_gc1:  # gchain1.c:206
+            sys.stderr.write(" [opt:%d] opt=%d, max_f=%d\n"
+                             % (a_i[i], max_j, max_f))
+
+    from ..options import DBG, MG_DBG_GC1
+    if DBG["flag"] & MG_DBG_GC1:  # gchain1.c:211-214
+        mmax_f, mmax_i = 0, -1
+        for i in range(n_ext):
+            if f[i] > mmax_f:
+                mmax_f, mmax_i = f[i], i
+        i = mmax_i
+        while i >= 0:
+            sys.stderr.write(
+                "[best] i=%d, seg=%s, max_f=%d, chn_pen_gap=%f\n"
+                % (a_i[i], g.seg[lc[a_i[i]].v >> 1].name, f[i],
+                   chn_pen_gap))
+            i = p[i]
 
     u, vv, n_u, n_v = chain_backtrack(n_ext, f, p, 0, 0, 0x7FFFFFFF,
                                       n_lc - n_ext)

@@ -181,4 +181,6 @@ def opt_update(gi, mo: MapOptions, go: GGOptions | None = None) -> None:
 # debug flags (mgpriv.h:7-16); set via CLI --dbg-* or MGT_DBG env
 MG_DBG_SEED = 0x4
 MG_DBG_LCHAIN = 0x8
+MG_DBG_SHORTK = 0x20   # allocator-mode switch in the reference; no output
+MG_DBG_GC1 = 0x40
 DBG = {"flag": 0}

@@ -241,19 +241,21 @@ def cmd_merge2vcf(argv: List[str], out=sys.stdout) -> int:
 
 
 def main(argv: Optional[List[str]] = None) -> int:
+    from .mgutils2 import COMMANDS
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv:
+        names = "  ".join(sorted(["merge", "merge2vcf", *COMMANDS]))
         sys.stderr.write(
             "Usage: mgutils <command> [args]\n"
-            "Commands:\n"
-            "  merge       merge per-sample --call BEDs (paste input)\n"
-            "  merge2vcf   convert merge BED output to VCF\n")
+            f"Commands:\n  {names}\n")
         return 1
     cmd, rest = argv[0], argv[1:]
     if cmd == "merge":
         return cmd_merge(rest)
     if cmd == "merge2vcf":
         return cmd_merge2vcf(rest)
+    if cmd in COMMANDS:
+        return COMMANDS[cmd](rest)
     sys.stderr.write(f"ERROR: unknown command '{cmd}'\n")
     return 1
 

@@ -26,3 +26,23 @@ def _run_cli(*args):
 def test_cli_config_parity(ref_test_dir, run_oracle, args):
     args = [a.format(t=str(ref_test_dir)) for a in args]
     assert _run_cli(*args) == run_oracle(*args)
+
+
+def test_dbg_gc1_dump_parity(run_oracle, ref_test_dir, tmp_path):
+    """--dbg-gc1 stage dumps are byte-identical to the reference
+    (gchain1.c:195-214 stderr trace)."""
+    import re
+    import subprocess
+    import sys
+    gfa = str(ref_test_dir / "MT.gfa")
+    fa = str(ref_test_dir / "MT-orangA.fa")
+    import tests.conftest as C
+    ref = subprocess.run([str(C.ORACLE), "--dbg-gc1", "-t", "1", gfa, fa],
+                         capture_output=True, text=True)
+    ours = subprocess.run(
+        [sys.executable, "-m", "minigraph_tpu", "--dbg-gc1", gfa, fa],
+        capture_output=True, text=True, cwd=str(C.REPO))
+    pat = re.compile(r"^(  \[dst| \[opt|\[best)")
+    flt = lambda s: [ln for ln in s.splitlines() if pat.match(ln)]
+    assert flt(ours.stderr) == flt(ref.stderr)
+    assert flt(ref.stderr), "oracle produced no GC1 dump lines"
