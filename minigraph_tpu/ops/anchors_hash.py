@@ -1,0 +1,246 @@
+"""Hash-table anchor collection: K-independent seed lookup via gathers.
+
+Third probe backend, complementing the matmul joins (anchors_jax,
+anchors_bucketed).  The equality-join scans O(K/2^b) keys per query on
+the MXU, which tops out around MHC-scale indexes; this backend instead
+uses a host-built two-choice cuckoo hash table and pays a FIXED number
+of device gathers per batch — on this backend a (512, 512) gather
+costs ~5 ms regardless of table size, so the hash probe wins once
+K exceeds ~1e6 and is the only viable route to human-scale graphs
+(K~5e7; combine with "idx"-axis mesh sharding).
+
+Layout: every gather plane is uint32.
+  tag[slot]  = low 32 bits of the minimizer hash
+  pay[slot]  = start<<8 | cnt_capped<<2 | hash_hi2   (exact key check:
+               tag + the 2 high hash bits; minimizers are < 2^34)
+  pos planes = (rid<<1|strand, rpos, base=seg_len-rpos-2) per hit
+
+Expansion reuses the band-matmul trick; only the probe and the
+per-anchor position fetch are gathers (6 total per batch).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..index.midx import MinimizerIndex
+from . import u32
+from .anchors_jax import PREC, _tandem_flags
+from .sketch_jax4 import META_Q_BITS
+
+U32 = jnp.uint32
+U32MAX = jnp.uint32(0xFFFFFFFF)
+F32 = jnp.float32
+
+# multiply-shift constants for the two table choices (odd, arbitrary)
+MUL1A, MUL1B = 0x9E3779B1, 0x85EBCA77
+MUL2A, MUL2B = 0xC2B2AE3D, 0x27D4EB2F
+
+
+def _slot_hashes(hh, hl, hbits):
+    """Two independent table slots from the (hi, lo) minimizer hash."""
+    a1 = hl * np.uint32(MUL1A) + hh * np.uint32(MUL1B)
+    a2 = hl * np.uint32(MUL2A) + hh * np.uint32(MUL2B)
+    return (a1 >> np.uint32(32 - hbits)), (a2 >> np.uint32(32 - hbits))
+
+
+@dataclass
+class HashJoinIndex:
+    """Cuckoo hash table + position planes on device."""
+    tag: jnp.ndarray    # (H,) u32
+    pay: jnp.ndarray    # (H,) u32
+    p_rid: jnp.ndarray  # (P,) u32 rid<<1|strand
+    p_pos: jnp.ndarray  # (P,) u32 rpos
+    p_base: jnp.ndarray  # (P,) u32 seg_len - rpos - 2
+    hbits: int
+    occ_cap: int
+    k: int
+    w: int
+    n_key: int
+
+    @classmethod
+    def from_host(cls, gi: MinimizerIndex, occ_cap: int = 16,
+                  max_occ: int = 50) -> "HashJoinIndex":
+        keys = np.asarray(gi.keys, dtype=np.uint64)
+        start = np.asarray(gi.key_start, dtype=np.int64)
+        cnt = np.asarray(gi.key_cnt, dtype=np.int64)
+        pos = np.asarray(gi.pos, dtype=np.uint64)
+        seg_len = np.asarray([s.len for s in gi.g.seg], dtype=np.int64)
+        K = len(keys)
+        assert keys.max(initial=0) < 1 << 34
+        assert start.max(initial=0) < 1 << 24, \
+            "position array too large for 24-bit start; shard the index"
+
+        hh = (keys >> np.uint64(32)).astype(np.uint32)
+        hl = keys.astype(np.uint32)
+        cnt_c = np.minimum(cnt, 63)
+        pay = (start.astype(np.uint32) << np.uint32(8)) \
+            | (cnt_c.astype(np.uint32) << np.uint32(2)) \
+            | hh
+        hbits = max(4, int(np.ceil(np.log2(max(K, 1) * 2))))
+        for _ in range(6):
+            H = 1 << hbits
+            s1, s2 = _slot_hashes(hh, hl, hbits)
+            table = np.full(H, -1, dtype=np.int64)  # key index per slot
+            ok = True
+            rng = np.random.default_rng(0)
+            for j in range(K):
+                cur, slot = j, int(s1[j])
+                for _ in range(200):  # cuckoo random walk
+                    if table[slot] < 0:
+                        table[slot] = cur
+                        cur = -1
+                        break
+                    cur, table[slot] = table[slot], cur
+                    a, b = int(s1[cur]), int(s2[cur])
+                    slot = b if slot == a else a
+                if cur >= 0:
+                    ok = False
+                    break
+            if ok:
+                break
+            hbits += 1
+        else:
+            raise RuntimeError("cuckoo build failed")
+        tag = np.zeros(H, dtype=np.uint32)
+        payt = np.full(H, 0xFFFFFFFF, dtype=np.uint32)
+        filled = table >= 0
+        tag[filled] = hl[table[filled]]
+        payt[filled] = pay[table[filled]]
+
+        p_rid = ((pos >> np.uint64(32)).astype(np.uint32) << np.uint32(1)) \
+            | (pos & np.uint64(1)).astype(np.uint32)
+        p_pos = ((pos & np.uint64(0xFFFFFFFF)) >> np.uint64(1)) \
+            .astype(np.uint32)
+        rid = (pos >> np.uint64(32)).astype(np.int64)
+        p_base = (seg_len[rid] - p_pos.astype(np.int64) - 2) \
+            .astype(np.uint32)
+        return cls(tag=jnp.asarray(tag), pay=jnp.asarray(payt),
+                   p_rid=jnp.asarray(p_rid), p_pos=jnp.asarray(p_pos),
+                   p_base=jnp.asarray(p_base), hbits=hbits,
+                   occ_cap=occ_cap, k=gi.k, w=gi.w, n_key=K)
+
+
+@partial(jax.jit, static_argnames=("hbits", "occ_cap", "qcap", "acap",
+                                   "b_chunk", "return_planes"))
+def collect_anchors_hash(tag, pay, p_rid, p_pos, p_base, hh, hl, meta,
+                         t_hh, t_hl, t_meta, max_occ, hbits: int,
+                         occ_cap: int, qcap: int = 512, acap: int = 2048,
+                         b_chunk: int = 32, return_planes: bool = False):
+    """Anchor collection via cuckoo-hash gathers; contract of
+    collect_anchors_join."""
+    B, S_in = hh.shape
+    b_chunk = min(b_chunk, B)
+    pad_b = (-B) % b_chunk
+
+    emitted = meta != U32MAX
+    t_emitted = t_meta != U32MAX
+    tand = _tandem_flags(hh, hl, emitted)
+    meta_t = jnp.where(tand, meta | U32(1 << 31), meta)
+    t_meta_t = jnp.where(t_emitted, t_meta | U32(1 << 31), t_meta)
+
+    chh = jnp.concatenate([hh, t_hh], 1)
+    chl = jnp.concatenate([hl, t_hl], 1)
+    cmeta = jnp.concatenate([meta_t, t_meta_t], 1)
+    cemit = jnp.concatenate([emitted, t_emitted], 1)
+
+    n_q = jnp.sum(cemit, axis=1).astype(jnp.int32)
+    q_overflow = n_q > qcap
+    _, qhh, qhl, qmeta = jax.lax.sort(
+        (jnp.logical_not(cemit), chh, chl, cmeta), dimension=1,
+        num_keys=1, is_stable=True)
+    qhh, qhl, qmeta = qhh[:, :qcap], qhl[:, :qcap], qmeta[:, :qcap]
+    qvalid = jnp.arange(qcap)[None, :] < jnp.minimum(n_q, qcap)[:, None]
+
+    # ---- probe: two cuckoo choices, 4 gathers ----
+    s1, s2 = _slot_hashes(qhh, qhl, hbits)
+    t1 = jnp.take(tag, s1.astype(jnp.int32))
+    y1 = jnp.take(pay, s1.astype(jnp.int32))
+    t2 = jnp.take(tag, s2.astype(jnp.int32))
+    y2 = jnp.take(pay, s2.astype(jnp.int32))
+    hit1 = (t1 == qhl) & ((y1 & U32(3)) == qhh) & (y1 != U32MAX)
+    hit2 = (t2 == qhl) & ((y2 & U32(3)) == qhh) & (y2 != U32MAX)
+    payv = jnp.where(hit1, y1, y2)
+    found = (hit1 | hit2) & qvalid
+    cnt = jnp.where(found, (payv >> U32(2)) & U32(0x3F), 0) \
+        .astype(jnp.int32)
+    start = jnp.where(found, payv >> U32(8), 0).astype(jnp.int32)
+
+    # cnt in the table caps at 63; max_occ above that can't be checked
+    keep = found & (cnt < jnp.minimum(max_occ, 63))
+    occ = jnp.where(keep, jnp.minimum(cnt, occ_cap), 0)
+    occ_byte = jnp.where(keep, cnt, 0)  # capped at 63 by the table
+
+    offs = jnp.cumsum(occ, axis=1) - occ
+    n_a = jnp.minimum(jnp.sum(occ, axis=1), acap).astype(jnp.int32)
+
+    # ---- band expansion extracting [offs, occ_byte, m_lo, m_hi, start]
+    qext = jnp.stack([offs.astype(F32), occ_byte.astype(F32),
+                      (qmeta & U32(0xFFF)).astype(F32),
+                      (qmeta >> U32(12)).astype(F32),
+                      start.astype(F32)], -1)
+    offs_f = offs.astype(F32)
+    ends_f = (offs + occ).astype(F32)
+    a_iota = jnp.arange(acap, dtype=F32)
+
+    def band_chunk(_, args):
+        of, en, qe = args
+        oh = ((a_iota[None, :, None] >= of[:, None, :])
+              & (a_iota[None, :, None] < en[:, None, :])).astype(F32)
+        return _, jax.lax.dot_general(
+            oh, qe, (((2,), (1,)), ((0,), (0,))), precision=PREC)
+
+    def padb(a):
+        if not pad_b:
+            return a
+        return jnp.pad(a, ((0, pad_b),) + ((0, 0),) * (a.ndim - 1))
+
+    nbc = (B + pad_b) // b_chunk
+    _, aext = jax.lax.scan(
+        band_chunk, 0,
+        (padb(offs_f).reshape(nbc, b_chunk, qcap),
+         padb(ends_f).reshape(nbc, b_chunk, qcap),
+         padb(qext).reshape(nbc, b_chunk, qcap, 5)))
+    aext = aext.reshape(B + pad_b, acap, 5)[:B]
+
+    a_valid = jnp.arange(acap)[None, :] < n_a[:, None]
+    rank = (jnp.arange(acap, dtype=F32)[None, :] - aext[..., 0]) \
+        .astype(jnp.int32)
+    occ_b = aext[..., 1].astype(U32)
+    qmeta_a = (aext[..., 3].astype(U32) << U32(12)) \
+        | aext[..., 2].astype(U32)
+    idx = jnp.where(a_valid, aext[..., 4].astype(jnp.int32) + rank, 0)
+
+    # ---- per-anchor position fetch: 3 gathers ----
+    rid_strand = jnp.take(p_rid, idx)
+    rpos = jnp.take(p_pos, idx).astype(jnp.int32)
+    base = jnp.take(p_base, idx).astype(jnp.int32)
+
+    z = qmeta_a & U32(1)
+    qpos = (qmeta_a >> U32(1)) & U32((1 << META_Q_BITS) - 1)
+    span = (qmeta_a >> U32(META_Q_BITS + 1)) & U32(0x1F)
+    tandem = qmeta_a >> U32(31)
+
+    strand = rid_strand & U32(1)
+    rid = rid_strand >> U32(1)
+    rev = strand ^ z
+    tpos = jnp.where(rev == 0, rpos, base + span.astype(jnp.int32))
+
+    axh = (rid << U32(1)) | rev
+    axl = tpos.astype(U32)
+    ayh = (occ_b << U32(24)) | (tandem << U32(10)) | span
+    ayl = qpos
+    axh = jnp.where(a_valid, axh, U32MAX)
+    axl = jnp.where(a_valid, axl, U32MAX)
+    ayh = jnp.where(a_valid, ayh, U32MAX)
+    ayl = jnp.where(a_valid, ayl, U32MAX)
+
+    axh, axl, ayh, ayl = jax.lax.sort(
+        (axh, axl, ayh, ayl), dimension=1, num_keys=2, is_stable=True)
+    if return_planes:
+        return axh, axl, ayh, ayl, n_a, q_overflow
+    return (u32.to_u64(axh, axl), u32.to_u64(ayh, ayl), n_a, q_overflow)

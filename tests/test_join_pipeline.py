@@ -205,3 +205,38 @@ def test_bucketed_join_matches_flat():
         pallas_interpret=True)
     assert (np.asarray(ax1) == np.asarray(ax3)).all()
     assert (np.asarray(ay1) == np.asarray(ay3)).all()
+
+
+def test_hash_anchors_match_flat():
+    """Cuckoo-hash probe produces the same anchors as the flat join."""
+    from minigraph_tpu.graph.gfa_io import read_gfa
+    from minigraph_tpu.index.midx import build_index
+    from minigraph_tpu.ops.anchors_hash import (HashJoinIndex,
+                                                collect_anchors_hash)
+    from minigraph_tpu.ops.anchors_jax import JoinIndex, collect_anchors_join
+
+    g = read_gfa("/root/reference/test/MT.gfa")
+    gi = build_index(g, K, W)
+    ji = JoinIndex.from_host(gi, occ_cap=16)
+    hi = HashJoinIndex.from_host(gi, occ_cap=16)
+    rng = np.random.default_rng(13)
+    ref = "".join((s.seq or "") for s in g.seg if s.rank == 0)
+    B, L = 8, 1024
+    reads = []
+    for _ in range(B):
+        st = int(rng.integers(0, len(ref) - L))
+        s = list(ref[st: st + L])
+        for p in rng.integers(0, len(s), len(s) // 20):
+            s[p] = "ACGT"[int(rng.integers(0, 4))]
+        reads.append("".join(s))
+    codes, lens = encode_batch(reads, pad_to=L)
+    sp = jax.jit(partial(sketch_planes, w=W, k=K))(codes, lens)
+    args = (sp.hh, sp.hl, sp.meta, sp.t_hh, sp.t_hl, sp.t_meta,
+            jnp.int32(50))
+    a1 = jax.jit(partial(collect_anchors_join, occ_cap=16))(
+        ji.keymat, ji.keyext, *args)
+    a2 = jax.jit(partial(collect_anchors_hash, hbits=hi.hbits,
+                         occ_cap=16))(
+        hi.tag, hi.pay, hi.p_rid, hi.p_pos, hi.p_base, *args)
+    for x, y in zip(a1[:3], a2[:3]):
+        assert (np.asarray(x) == np.asarray(y)).all()
