@@ -37,47 +37,75 @@ def fix_bad_ends(ax, ay, lc_max_occ: int, lc_max_trim: int,
     return as_ + k, cnt - k
 
 
+def _i32v(a):
+    return (((a & np.uint64(0xFFFFFFFF)).astype(np.int64)
+             ^ 0x80000000) - 0x80000000)
+
+
 def fix_bad_ends_alt(ax, ay, score: int, bw: int, min_match: int,
                      as_: int, cnt: int) -> Tuple[int, int]:
-    """Score-based end shrink (map-algo.c:207-238)."""
+    """Score-based end shrink (map-algo.c:207-238), vectorized: the
+    running l/m sums don't depend on the trim decision, so they are
+    prefix sums; the early break is the first index satisfying the
+    stop test and the trim point is the last flagged index before it.
+    """
     as0, cnt0 = as_, cnt
     if cnt0 < 3:
         return as_, cnt
-    m = l = (int(ay[as0]) >> 32) & 0xFF
-    for i in range(as0 + 1, as0 + cnt0 - 1):
-        q_span = (int(ay[i]) >> 32) & 0xFF
-        lr = _i32(int(ax[i])) - _i32(int(ax[i - 1]))
-        lq = _i32(int(ay[i])) - _i32(int(ay[i - 1]))
-        mn, mx = (lr, lq) if lr < lq else (lq, lr)
-        if mx - mn > (l >> 1):
-            as_ = i
-        l += mn
-        m += mn if mn < q_span else q_span
-        if l >= bw << 1 or (m >= min_match and m >= bw) or m >= score >> 1:
-            break
+    xs = _i32v(ax[as0: as0 + cnt0])
+    ys = _i32v(ay[as0: as0 + cnt0])
+    spans = ((ay[as0: as0 + cnt0] >> np.uint64(32))
+             & np.uint64(0xFF)).astype(np.int64)
+    lr = xs[1:] - xs[:-1]
+    lq = ys[1:] - ys[:-1]
+    mn = np.minimum(lr, lq)
+    mx = np.maximum(lr, lq)
+
+    def one_pass(mn_, mx_, sp_, l0):
+        # entries correspond to loop steps i = 0..len-1
+        l_after = l0 + np.cumsum(mn_)
+        m_after = l0 + np.cumsum(np.minimum(mn_, sp_))
+        l_before = l_after - mn_
+        stop = (l_after >= (bw << 1)) \
+            | ((m_after >= min_match) & (m_after >= bw)) \
+            | (m_after >= (score >> 1))
+        k = int(np.argmax(stop)) if stop.any() else len(mn_) - 1
+        flag = (mx_ - mn_) > (l_before >> 1)
+        fl = np.nonzero(flag[: k + 1])[0]
+        return int(fl[-1]) if len(fl) else -1
+
+    l0 = int(spans[0])
+    # forward: steps i = as0+1 .. as0+cnt0-2
+    t = one_pass(mn[: cnt0 - 2], mx[: cnt0 - 2], spans[1: cnt0 - 1], l0)
+    if t >= 0:
+        as_ = as0 + 1 + t
     cnt = as0 + cnt0 - as_
-    m = l = (int(ay[as0 + cnt0 - 1]) >> 32) & 0xFF
-    for i in range(as0 + cnt0 - 2, as_, -1):
-        q_span = (int(ay[i + 1]) >> 32) & 0xFF
-        lr = _i32(int(ax[i + 1])) - _i32(int(ax[i]))
-        lq = _i32(int(ay[i + 1])) - _i32(int(ay[i]))
-        mn, mx = (lr, lq) if lr < lq else (lq, lr)
-        if mx - mn > (l >> 1):
-            cnt = i + 1 - as_
-        l += mn
-        m += mn if mn < q_span else q_span
-        if l >= bw << 1 or (m >= min_match and m >= bw) or m >= score >> 1:
-            break
+    # backward: steps i = as0+cnt0-2 .. as_+1 (gaps reversed)
+    l0 = int(spans[cnt0 - 1])
+    nb = as0 + cnt0 - 2 - as_
+    if nb > 0:
+        rmn = mn[::-1][:nb]
+        rmx = mx[::-1][:nb]
+        rsp = spans[::-1][:nb]  # q_span of anchor i+1 at step t
+        t = one_pass(rmn, rmx, rsp, l0)
+        if t >= 0:
+            cnt = (as0 + cnt0 - 2 - t) + 1 - as_
     return as_, cnt
 
 
 def _collect_long_gaps(as1: int, cnt1: int, ax, ay, min_gap: int):
-    K = []
-    for i in range(1, cnt1):
-        gap = (_i32(int(ay[as1 + i])) - _i32(int(ay[as1 + i - 1]))) \
-            - (_i32(int(ax[as1 + i])) - _i32(int(ax[as1 + i - 1])))
-        if gap < -min_gap or gap > min_gap:
-            K.append(i)
+    if cnt1 < 2:
+        return None
+    import numpy as np
+
+    def i32v(a):
+        return (((a & np.uint64(0xFFFFFFFF)).astype(np.int64)
+                 ^ 0x80000000) - 0x80000000)
+
+    ys = i32v(ay[as1: as1 + cnt1])
+    xs = i32v(ax[as1: as1 + cnt1])
+    gap = (ys[1:] - ys[:-1]) - (xs[1:] - xs[:-1])
+    K = (np.nonzero((gap < -min_gap) | (gap > min_gap))[0] + 1).tolist()
     if len(K) <= 1:
         return None
     return K

@@ -535,6 +535,10 @@ def gchain_extra(g, gcs: GChains) -> None:
         n_mini = (int(gcs.ax[q.off + q.cnt - 1]) >> 32) - tmp + 1
         assert p.n_anchor > 0
 
+        def i32v(a):
+            return (((a & np.uint64(0xFFFFFFFF)).astype(np.int64)
+                     ^ 0x80000000) - 0x80000000)
+
         rest_pl = 0
         last_x = int(gcs.ax[gcs.lc[p.off].off])
         last_y = int(gcs.ay[gcs.lc[p.off].off])
@@ -542,23 +546,35 @@ def gchain_extra(g, gcs: GChains) -> None:
             q = gcs.lc[p.off + j]
             vlen = g.seg[q.v >> 1].len
             p.plen += vlen
-            for k in range(q.cnt):
-                rx = int(gcs.ax[q.off + k])
-                ry = int(gcs.ay[q.off + k])
-                ql = _i32(ry) - _i32(last_y)
-                span = (ry >> 32) & 0xFF
-                if j == 0 and k == 0:
-                    pl = ql = span
-                elif j > 0 and k == 0:
-                    pl = _i32(rx) + 1 + rest_pl
+            if q.cnt > 0:
+                # vectorized inner anchor loop (gchain1.c:265-287)
+                rx = gcs.ax[q.off: q.off + q.cnt]
+                ry = gcs.ay[q.off: q.off + q.cnt]
+                rx32 = i32v(rx)
+                ry32 = i32v(ry)
+                rxm = (rx >> np.uint64(32)).astype(np.int64)
+                span = ((ry >> np.uint64(32))
+                        & np.uint64(0xFF)).astype(np.int64)
+                prev_y = np.concatenate(([np.int64(_i32(last_y))],
+                                         ry32[:-1]))
+                prev_x32 = np.concatenate(([np.int64(_i32(last_x))],
+                                           rx32[:-1]))
+                prev_xm = np.concatenate(([np.int64(last_x >> 32)],
+                                          rxm[:-1]))
+                ql = ry32 - prev_y
+                pl = rx32 - prev_x32
+                if j == 0:
+                    pl[0] = ql[0] = span[0]
                 else:
-                    pl = _i32(rx) - _i32(last_x)
-                if ql < 0:
-                    ql = -ql
-                    n_mini += (last_x >> 32) - (rx >> 32)
-                p.blen += pl if pl > ql else ql
-                p.mlen += span if (pl > span and ql > span) else (pl if pl < ql else ql)
-                last_x, last_y = rx, ry
+                    pl[0] = rx32[0] + 1 + rest_pl
+                neg = ql < 0
+                n_mini += int((prev_xm[neg] - rxm[neg]).sum())
+                ql = np.abs(ql)
+                p.blen += int(np.maximum(pl, ql).sum())
+                p.mlen += int(np.where((pl > span) & (ql > span), span,
+                                       np.minimum(pl, ql)).sum())
+                last_x = int(rx[-1])
+                last_y = int(ry[-1])
             if q.cnt == 0:
                 rest_pl += vlen
             else:

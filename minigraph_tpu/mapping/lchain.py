@@ -367,14 +367,12 @@ def update_anchors(lc: LChain, ax: np.ndarray, ay: np.ndarray,
     if n_a <= 0:
         return
     off = lc.off
-    st = int(np.searchsorted(mini_pos, _i32(int(ay[off]))))
-    assert st < len(mini_pos) and mini_pos[st] == _i32(int(ay[off]))
-    k = 0
-    j = st
-    n = len(mini_pos)
-    while j < n and k < n_a:
-        if _i32(int(ay[off + k])) == mini_pos[j]:
-            ax[off + k] = U64((j << 32) | (int(ax[off + k]) & 0xFFFFFFFF))
-            k += 1
-        j += 1
-    assert k == n_a
+    # vectorized: anchor qpos values are a (sorted) subsequence of
+    # mini_pos, so searchsorted gives each anchor's minimizer index
+    qpos = (((ay[off: off + n_a] & np.uint64(0xFFFFFFFF))
+             .astype(np.int64) ^ 0x80000000) - 0x80000000)
+    j_idx = np.searchsorted(mini_pos, qpos)
+    assert j_idx[0] < len(mini_pos) and mini_pos[j_idx[0]] == qpos[0]
+    assert (mini_pos[j_idx] == qpos).all()
+    ax[off: off + n_a] = (j_idx.astype(np.uint64) << np.uint64(32)) \
+        | (ax[off: off + n_a] & np.uint64(0xFFFFFFFF))

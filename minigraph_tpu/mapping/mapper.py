@@ -308,7 +308,9 @@ def _map_file_frag(gi: MinimizerIndex, fns: List[str], opt: MapOptions,
                     frags.append((j, i - j))
                     j = i
             pre = None
-            if n_threads > 1 and not (opt.flag & MG_M_INDEPEND_SEG):
+            import os
+            eff_threads = min(n_threads, os.cpu_count() or 1)
+            if eff_threads > 1 and not (opt.flag & MG_M_INDEPEND_SEG):
                 items = []
                 for off, n_seg in frags:
                     if n_seg == 2:
@@ -320,7 +322,7 @@ def _map_file_frag(gi: MinimizerIndex, fns: List[str], opt: MapOptions,
                     items.append((off,
                                   batch[off].name,
                                   [batch[off + k].seq for k in range(n_seg)]))
-                pre = _map_fragments_parallel(gi, opt, items, n_threads)
+                pre = _map_fragments_parallel(gi, opt, items, eff_threads)
             for fi, (off, n_seg) in enumerate(frags):
                 # paired-end orientation flip (gmap.c:38-43)
                 if pre is None and n_seg == 2:
