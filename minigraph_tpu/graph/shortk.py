@@ -59,6 +59,69 @@ class _Node:
         self.visited = False
 
 
+_native_cfg = False
+
+
+def _shortest_k_native(g, src: int, dst: List[PathDst], max_dist: int,
+                       max_k: int, want_path: bool):
+    """Native engine (native/mgt_shortk.c).  Returns (ok, ret)."""
+    global _native_cfg
+    import ctypes
+    from ..utils.native import get_lib
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "mgt_shortest_k"):
+        return False, None
+    if not _native_cfg:
+        lib.mgt_shortest_k.restype = ctypes.c_int64
+        _native_cfg = True
+    n_dst = len(dst)
+    dst_v = np.asarray([t.v for t in dst], dtype=np.int64)
+    dst_td = np.asarray([t.target_dist for t in dst], dtype=np.int64)
+    dst_th = np.asarray([t.target_hash for t in dst], dtype=np.uint32)
+    dst_ch = np.asarray([t.check_hash for t in dst], dtype=np.int64)
+    dst_in = np.asarray([t.inner for t in dst], dtype=np.int64)
+    o_np = np.zeros(n_dst, dtype=np.int64)
+    o_di = np.zeros(n_dst, dtype=np.int64)
+    o_ha = np.zeros(n_dst, dtype=np.uint32)
+    o_i0 = np.zeros(n_dst, dtype=np.int64)
+    o_pe = np.zeros(n_dst, dtype=np.int64)
+    path_cap = 1 << 16 if want_path else 0
+    pv_v = np.zeros(max(path_cap, 1), dtype=np.int64)
+    pv_d = np.zeros(max(path_cap, 1), dtype=np.int64)
+    pv_p = np.zeros(max(path_cap, 1), dtype=np.int64)
+
+    def P(a):
+        return a.ctypes.data_as(ctypes.c_void_p)
+
+    idx = g.idx
+    if idx.dtype != np.int64 or not idx.flags["C_CONTIGUOUS"]:
+        idx = np.ascontiguousarray(idx, dtype=np.int64)
+        g.idx = idx
+    r = lib.mgt_shortest_k(
+        P(idx), P(g.arc_w), P(g.arc_lv),
+        P(g.arc_rank), ctypes.c_int64(len(idx)),
+        ctypes.c_int64(src), ctypes.c_int64(max_dist),
+        ctypes.c_int64(max_k), ctypes.c_int64(1 if want_path else 0),
+        ctypes.c_int64(n_dst),
+        P(dst_v), P(dst_td), P(dst_th), P(dst_ch), P(dst_in),
+        P(o_np), P(o_di), P(o_ha), P(o_i0), P(o_pe),
+        ctypes.c_int64(path_cap), P(pv_v), P(pv_d), P(pv_p))
+    if r == -3:
+        return False, None  # overflow: python fallback
+    for i, t in enumerate(dst):
+        t.n_path = int(o_np[i])
+        t.dist = int(o_di[i])
+        t.hash = int(o_ha[i])
+        t.is_0 = int(o_i0[i])
+        t.path_end = int(o_pe[i])
+    if r == -2:
+        return True, None   # reference "logical bug" guard
+    if want_path and (o_np > 0).any():
+        return True, [PathV(v=int(pv_v[i]), d=int(pv_d[i]),
+                            pre=int(pv_p[i])) for i in range(r)]
+    return True, None
+
+
 def shortest_k(g, src: int, dst: List[PathDst], max_dist: int,
                max_k: int, want_path: bool) -> Optional[List[PathV]]:
     """Search from vertex src to all dst[]; fills dst fields in place.
@@ -68,6 +131,9 @@ def shortest_k(g, src: int, dst: List[PathDst], max_dist: int,
     n_dst = len(dst)
     if n_dst <= 0:
         return None
+    ok, ret = _shortest_k_native(g, src, dst, max_dist, max_k, want_path)
+    if ok:
+        return ret
     for t in dst:
         if t.inner:
             t.dist, t.n_path, t.path_end = 0, 1, -1

@@ -161,3 +161,66 @@ def test_native_chaining_matches_python():
             assert np.array_equal(a[0], b[0])
             assert np.array_equal(a[1], b[1])
             assert np.array_equal(a[3], b[3])
+
+
+def test_native_shortk_fuzz():
+    """Native mgt_shortest_k matches the python engine on random graphs."""
+    import numpy as np
+    from minigraph_tpu.graph.gfa import Graph
+    from minigraph_tpu.graph import shortk as SK
+
+    rng = np.random.default_rng(42)
+    for trial in range(20):
+        n_seg = int(rng.integers(4, 30))
+        g = Graph()
+        for i in range(n_seg):
+            sid = g.add_seg(f"s{i}")
+            g.seg[sid].len = int(rng.integers(50, 2000))
+            g.seg[sid].seq = "A" * g.seg[sid].len
+            g.seg[sid].snid = -1
+            g.seg[sid].rank = int(rng.integers(0, 3))
+        n_arc = int(rng.integers(n_seg, n_seg * 3))
+        for _ in range(n_arc):
+            v = int(rng.integers(0, 2 * n_seg))
+            w = int(rng.integers(0, 2 * n_seg))
+            if (v >> 1) == (w >> 1):
+                continue
+            g.add_arc1(v, w, 0, 0)
+        g.finalize()
+        src = int(rng.integers(0, 2 * n_seg))
+        n_dst = int(rng.integers(1, 8))
+        mk = int(rng.integers(1, 16))
+        md = int(rng.integers(100, 20000))
+        wp = bool(rng.integers(0, 2))
+
+        def mk_dst():
+            ds = []
+            for _ in range(n_dst):
+                t = SK.PathDst(v=int(rng.integers(0, 2 * n_seg)))
+                t.target_dist = int(rng.integers(-1, 10000))
+                t.check_hash = int(rng.integers(0, 2))
+                t.inner = int(rng.integers(0, 5) == 0)
+                ds.append(t)
+            return ds
+
+        state = rng.bit_generator.state
+        d1 = mk_dst()
+        rng.bit_generator.state = state
+        d2 = mk_dst()
+        ok, r1 = SK._shortest_k_native(g, src, d1, md, mk, wp)
+        assert ok
+        orig = SK._shortest_k_native
+        SK._shortest_k_native = lambda *a, **k: (False, None)
+        try:
+            r2 = SK.shortest_k(g, src, d2, md, mk, wp)
+        finally:
+            SK._shortest_k_native = orig
+        for a, b in zip(d1, d2):
+            assert (a.n_path, a.dist, a.hash, a.is_0, a.path_end) == \
+                (b.n_path, b.dist, b.hash, b.is_0, b.path_end), trial
+        if r1 is None or r2 is None:
+            assert r1 == r2 or (not wp), trial
+        else:
+            assert len(r1) == len(r2), trial
+            for x, y in zip(r1, r2):
+                assert (x.v, x.d, x.pre) == (y.v, y.d, y.pre), trial
