@@ -30,8 +30,8 @@ REF_GFA = Path("/root/reference/test/MT.gfa")
 ORACLE = REPO / ".golden" / "minigraph_ref"
 
 READ_LEN = 2048
-N_READS = 1024
-BATCH = 512
+N_READS = 2048
+BATCH = 2048
 N_ITER = 3
 
 
@@ -78,11 +78,11 @@ def simulate_reads(g, n, read_len, seed=11):
 def bench_device(gi, reads):
     import jax
     from minigraph_tpu.ops.anchors_jax import JoinIndex
-    from minigraph_tpu.ops.pipeline import make_map_pipeline_v2
+    from minigraph_tpu.ops.pipeline import make_map_step_v3
     from minigraph_tpu.ops.sketch_jax import encode_batch
 
     ji = JoinIndex.from_host(gi, occ_cap=16)
-    fn = make_map_pipeline_v2(ji, w=gi.w, k=gi.k, acap=READ_LEN, window=32)
+    fn = make_map_step_v3(ji, w=gi.w, k=gi.k, acap=READ_LEN, window=32)
     batches = []
     for i in range(0, len(reads), BATCH):
         chunk = reads[i: i + BATCH]

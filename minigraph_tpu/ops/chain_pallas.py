@@ -112,7 +112,14 @@ def _make_kernel(W, T, B, maxdx, maxdy, bw, pen_gap, pen_skip):
                                    "pen_gap", "pen_skip", "interpret"))
 def _chain_planes_jit(axh, axl, ayh, ayl, n_a, maxdx, maxdy, bw,
                       pen_gap, pen_skip, window, tile, interpret):
-    """x64-free inner jit: u32 anchor planes (B, A) -> (f, p) (B, A)."""
+    return chain_planes_traced(axh, axl, ayh, ayl, n_a, maxdx, maxdy,
+                               bw, pen_gap, pen_skip, window, tile,
+                               interpret)
+
+
+def chain_planes_traced(axh, axl, ayh, ayl, n_a, maxdx, maxdy, bw,
+                        pen_gap, pen_skip, window, tile, interpret):
+    """x64-free traceable chain: u32 planes (B, A) -> (f, p) (B, A)."""
     B, A = axh.shape
     W, T = window, tile
     assert A % T == 0

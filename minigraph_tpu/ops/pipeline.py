@@ -225,6 +225,50 @@ def make_map_pipeline_v2(ji, w: int, k: int, acap: int = 2048,
     return run
 
 
+def make_map_step_v3(ji, w: int, k: int, acap: int = 2048,
+                     occ_cap: int = 16, qcap: int = 512,
+                     window: int = 32, max_occ: int = 50,
+                     b_chunk: int = 32, pallas_interpret: bool = False,
+                     **chain_kw):
+    """Single-dispatch production map step: Pallas sketch + MXU join +
+    Pallas chain fused under ONE x64-free jit.  On this backend every
+    dispatch blocks the host ~13 ms, so dispatch count — not op
+    count — sets the throughput floor; the whole path is uint32/f32 so
+    nothing needs x64.  Returns a plain Python function."""
+    from .anchors_jax import collect_anchors_join
+    from .chain_pallas import chain_planes_traced
+    from .sketch_pallas import sketch_planes_pallas_traced
+
+    @partial(jax.jit, static_argnames=())
+    def step(codes, lens):
+        sp = sketch_planes_pallas_traced(codes, lens, w, k,
+                                         interpret=pallas_interpret)
+        axh, axl, ayh, ayl, n_a, q_ovf = collect_anchors_join(
+            ji.keymat, ji.keyext, sp.hh, sp.hl, sp.meta,
+            sp.t_hh, sp.t_hl, sp.t_meta, jnp.int32(max_occ),
+            occ_cap=occ_cap, qcap=qcap, acap=acap, b_chunk=b_chunk,
+            return_planes=True)
+        f, p = chain_planes_traced(
+            axh, axl, ayh, ayl, n_a, 5000, 5000, 500,
+            0.1827, 0.00913, window, 256, pallas_interpret)
+        best = jnp.max(f, axis=1)
+        best_i = jnp.argmax(f, axis=1).astype(jnp.int32)
+        return {"f": f, "p": p, "best": best, "best_anchor": best_i,
+                "n_anchors": n_a, "overflow": sp.overflow | q_ovf}
+
+    def run(codes, lens):
+        prev = jax.config.jax_enable_x64
+        if prev:
+            jax.config.update("jax_enable_x64", False)
+        try:
+            return step(codes, lens)
+        finally:
+            if prev:
+                jax.config.update("jax_enable_x64", True)
+
+    return run
+
+
 def make_map_step(dix: DeviceIndex, mcap: int, acap: int, occ_cap: int = 16,
                   window: int = 64, max_occ: int = 50, max_dist_x: int = 5000,
                   max_dist_y: int = 5000, bw: int = 500,

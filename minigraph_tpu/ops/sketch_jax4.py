@@ -189,9 +189,12 @@ def sketch_planes(codes, lens, w: int, k: int) -> SketchPlanes:
         pad_m = jnp.where(fin_ok, mym[last_i], U32MAX)[None]
         slot = jnp.arange(L + 1, dtype=jnp.int32)
         at_fin = slot == n_len
-        out_h = jnp.where(at_fin, pad_h, jnp.concatenate([out_h, pad_h]))
-        out_l = jnp.where(at_fin, pad_l, jnp.concatenate([out_l, pad_l]))
-        out_m = jnp.where(at_fin, pad_m, jnp.concatenate([out_m, pad_m]))
+        umax1 = jnp.full(1, U32MAX, dtype=U32)
+        # NB: the widening slot L must stay EMPTY unless n_len == L,
+        # otherwise short reads emit the fin minimizer twice
+        out_h = jnp.where(at_fin, pad_h, jnp.concatenate([out_h, umax1]))
+        out_l = jnp.where(at_fin, pad_l, jnp.concatenate([out_l, umax1]))
+        out_m = jnp.where(at_fin, pad_m, jnp.concatenate([out_m, umax1]))
         zpad = jnp.full(1, U32MAX, dtype=U32)
         tie_h = jnp.concatenate([tie_h, zpad])
         tie_l = jnp.concatenate([tie_l, zpad])

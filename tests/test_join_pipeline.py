@@ -240,3 +240,23 @@ def test_hash_anchors_match_flat():
         hi.tag, hi.pay, hi.p_rid, hi.p_pos, hi.p_base, *args)
     for x, y in zip(a1[:3], a2[:3]):
         assert (np.asarray(x) == np.asarray(y)).all()
+
+
+def test_sketch_pallas_matches_xla():
+    """Interpret-mode Pallas sketch equals the XLA plane sketch,
+    including short reads, Ns, ties and the fin slot."""
+    from minigraph_tpu.ops.sketch_pallas import sketch_planes_pallas
+
+    rng = np.random.default_rng(5)
+    reads = []
+    for _ in range(6):
+        n = int(rng.integers(100, 257))
+        reads.append("".join(rng.choice(list("ACGTN"), n,
+                                        p=[.24, .24, .24, .24, .04])))
+    reads[0] = "ACGT" * 64          # ties -> overflow path
+    codes, lens = encode_batch(reads, pad_to=256)
+    sp1 = jax.jit(partial(sketch_planes, w=W, k=K))(codes, lens)
+    sp2 = sketch_planes_pallas(codes, lens, W, K, rb=2, tl=64,
+                               interpret=True)
+    for a, b in zip(sp1, sp2):
+        assert (np.asarray(a) == np.asarray(b)).all()
