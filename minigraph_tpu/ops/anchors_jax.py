@@ -55,6 +55,8 @@ class JoinIndex:
     """Device tables for the matmul-join anchor stage."""
     keymat: jnp.ndarray    # (9, K) f32 equality-join matrix
     keyext: jnp.ndarray    # (K, 2 + 3*occ_cap) f32 payload extract matrix
+    km_p: jnp.ndarray      # (1, 9, Kpad) for the fused Pallas probe
+    ke_p: jnp.ndarray      # (1, EXT, Kpad) transposed/padded
     occ_cap: int
     k: int
     w: int
@@ -96,7 +98,14 @@ class JoinIndex:
             ext[j, 2 + 1 * occ_cap: 2 + 1 * occ_cap + n] = rposs
             ext[j, 2 + 2 * occ_cap: 2 + 2 * occ_cap + n] = \
                 seg_len[rid] - rposs - 2
+        kpad = max(256, -(-K // 256) * 256)
+        km_p = np.zeros((1, 9, kpad), np.float32)
+        km_p[0, 8, :] = 1.0  # padding columns never match
+        km_p[0, :, :K] = keymat
+        ke_p = np.zeros((1, ext.shape[1], kpad), np.float32)
+        ke_p[0, :, :K] = ext.T
         return cls(keymat=jnp.asarray(keymat), keyext=jnp.asarray(ext),
+                   km_p=jnp.asarray(km_p), ke_p=jnp.asarray(ke_p),
                    occ_cap=occ_cap, k=gi.k, w=gi.w, n_key=K)
 
 
@@ -279,3 +288,192 @@ def collect_anchors_join(keymat, keyext, hh, hl, meta, t_hh, t_hl, t_meta,
     if return_planes:
         return axh, axl, ayh, ayl, n_a, q_overflow
     return (u32.to_u64(axh, axl), u32.to_u64(ayh, ayl), n_a, q_overflow)
+
+
+@partial(jax.jit, static_argnames=("occ_cap", "qcap", "acap", "b_chunk",
+                                   "return_planes"))
+def collect_anchors_join2(keymat, keyext, hh, hl, meta, t_hh, t_hl, t_meta,
+                          max_occ, occ_cap: int, qcap: int = 512,
+                          acap: int = 2048, b_chunk: int = 32,
+                          return_planes: bool = False):
+    """collect_anchors_join without the band-expansion matmul.
+
+    The (query, hit-slot) grid is assembled elementwise straight from
+    the probe's extract planes and ONE final sort both orders the
+    anchors by x and compacts the padding to the tail — the band
+    onehot (the dominant HBM traffic at large batch) disappears.
+    Reads whose total hits exceed acap are flagged (the band version
+    silently kept the first acap in query order).
+    """
+    B, S = hh.shape
+    b_chunk = min(b_chunk, B)
+    pad_b = (-B) % b_chunk
+
+    emitted = meta != U32MAX
+    t_emitted = t_meta != U32MAX
+    tand = _tandem_flags(hh, hl, emitted)
+    meta_t = jnp.where(tand, meta | U32(1 << 31), meta)
+    t_meta_t = jnp.where(t_emitted, t_meta | U32(1 << 31), t_meta)
+
+    chh = jnp.concatenate([hh, t_hh], 1)
+    chl = jnp.concatenate([hl, t_hl], 1)
+    cmeta = jnp.concatenate([meta_t, t_meta_t], 1)
+    cemit = jnp.concatenate([emitted, t_emitted], 1)
+
+    n_q = jnp.sum(cemit, axis=1).astype(jnp.int32)
+    q_overflow = n_q > qcap
+    _, qhh, qhl, qmeta = jax.lax.sort(
+        (jnp.logical_not(cemit), chh, chl, cmeta), dimension=1,
+        num_keys=1, is_stable=True)
+    qhh, qhl, qmeta = qhh[:, :qcap], qhl[:, :qcap], qmeta[:, :qcap]
+    qvalid = jnp.arange(qcap)[None, :] < jnp.minimum(n_q, qcap)[:, None]
+
+    m_lo32 = qhl
+    feats = []
+    for i in range(3):
+        ci = ((m_lo32 >> U32(9 * i)) & U32(0x1FF)).astype(F32)
+        feats.extend([ci * ci, ci])
+    c3 = (((qhh << U32(5)) | (m_lo32 >> U32(27))) & U32(0x1FF)).astype(F32)
+    feats.extend([c3 * c3, c3, jnp.ones_like(c3)])
+    Q = jnp.stack(feats, -1)
+    Q = jnp.where(qvalid[..., None], Q, F32(-1))
+
+    def probe_chunk(_, qc):
+        D = jax.lax.dot_general(qc, keymat, (((2,), (0,)), ((), ())),
+                                precision=PREC)
+        ind = (D == 0).astype(F32)
+        out = jax.lax.dot_general(ind, keyext, (((2,), (0,)), ((), ())),
+                                  precision=PREC)
+        return _, out
+
+    Qp = jnp.pad(Q, ((0, pad_b), (0, 0), (0, 0))) if pad_b else Q
+    nb = (B + pad_b) // b_chunk
+    _, ext = jax.lax.scan(probe_chunk, 0, Qp.reshape(nb, b_chunk, qcap, 9))
+    ext = ext.reshape(B + pad_b, qcap, keyext.shape[1])[:B]
+
+    cnt = ext[..., 0].astype(jnp.int32)
+    found = ext[..., 1] > 0
+    keep = found & qvalid & (cnt < max_occ)
+    occ = jnp.where(keep, jnp.minimum(cnt, occ_cap), 0)
+    occ_byte = jnp.where(keep, jnp.minimum(cnt, 255), 0).astype(U32)
+    n_tot = jnp.sum(occ, axis=1)
+    n_a = jnp.minimum(n_tot, acap).astype(jnp.int32)
+    a_overflow = n_tot > acap
+
+    # ---- direct (query, slot) grid assembly: all elementwise ----
+    slot_ok = (jnp.arange(occ_cap)[None, None, :]
+               < occ[..., None])                         # (B, qcap, occ)
+    rid_strand = ext[..., 2: 2 + occ_cap].astype(U32)
+    rpos = ext[..., 2 + occ_cap: 2 + 2 * occ_cap].astype(jnp.int32)
+    base = ext[..., 2 + 2 * occ_cap: 2 + 3 * occ_cap].astype(jnp.int32)
+
+    qmeta_x = qmeta[..., None]
+    z = qmeta_x & U32(1)
+    qpos = (qmeta_x >> U32(1)) & U32((1 << META_Q_BITS) - 1)
+    span = (qmeta_x >> U32(META_Q_BITS + 1)) & U32(0x1F)
+    tandem_b = qmeta_x >> U32(31)
+
+    strand = rid_strand & U32(1)
+    rid = rid_strand >> U32(1)
+    rev = strand ^ z
+    tpos = jnp.where(rev == 0, rpos, base + span.astype(jnp.int32))
+
+    axh = (rid << U32(1)) | rev
+    axl = tpos.astype(U32)
+    ayh = (occ_byte[..., None] << U32(24)) | (tandem_b << U32(10)) | span
+    ayl = qpos
+    axh = jnp.where(slot_ok, axh, U32MAX).reshape(B, qcap * occ_cap)
+    axl = jnp.where(slot_ok, axl, U32MAX).reshape(B, qcap * occ_cap)
+    ayh = jnp.where(slot_ok, ayh, U32MAX).reshape(B, qcap * occ_cap)
+    ayl = jnp.where(slot_ok, ayl, U32MAX).reshape(B, qcap * occ_cap)
+
+    axh, axl, ayh, ayl = jax.lax.sort(
+        (axh, axl, ayh, ayl), dimension=1, num_keys=2, is_stable=True)
+    axh, axl = axh[:, :acap], axl[:, :acap]
+    ayh, ayl = ayh[:, :acap], ayl[:, :acap]
+    if return_planes:
+        return axh, axl, ayh, ayl, n_a, q_overflow | a_overflow
+    return (u32.to_u64(axh, axl), u32.to_u64(ayh, ayl), n_a,
+            q_overflow | a_overflow)
+
+
+def collect_anchors_flat_pallas_traced(ji, hh, hl, meta, t_hh, t_hl,
+                                       t_meta, max_occ, occ_cap: int,
+                                       qcap: int = 512, acap: int = 2048,
+                                       interpret: bool = False):
+    """join2 semantics with the probe fused on-core (probe_pallas).
+
+    Traceable; caller must be x64-free.  Returns u32 anchor planes.
+    """
+    from .probe_pallas import probe_flat_traced
+
+    B, S = hh.shape
+    emitted = meta != U32MAX
+    t_emitted = t_meta != U32MAX
+    tand = _tandem_flags(hh, hl, emitted)
+    meta_t = jnp.where(tand, meta | U32(1 << 31), meta)
+    t_meta_t = jnp.where(t_emitted, t_meta | U32(1 << 31), t_meta)
+
+    chh = jnp.concatenate([hh, t_hh], 1)
+    chl = jnp.concatenate([hl, t_hl], 1)
+    cmeta = jnp.concatenate([meta_t, t_meta_t], 1)
+    cemit = jnp.concatenate([emitted, t_emitted], 1)
+
+    n_q = jnp.sum(cemit, axis=1).astype(jnp.int32)
+    q_overflow = n_q > qcap
+    _, qhh, qhl, qmeta = jax.lax.sort(
+        (jnp.logical_not(cemit), chh, chl, cmeta), dimension=1,
+        num_keys=1, is_stable=True)
+    qhh, qhl, qmeta = qhh[:, :qcap], qhl[:, :qcap], qmeta[:, :qcap]
+    qvalid = jnp.arange(qcap)[None, :] < jnp.minimum(n_q, qcap)[:, None]
+
+    feats = []
+    for i in range(3):
+        ci = ((qhl >> U32(9 * i)) & U32(0x1FF)).astype(F32)
+        feats.extend([ci * ci, ci])
+    c3 = (((qhh << U32(5)) | (qhl >> U32(27))) & U32(0x1FF)).astype(F32)
+    feats.extend([c3 * c3, c3, jnp.ones_like(c3)])
+    sQ = jnp.stack([jnp.where(qvalid, f, F32(-1)) for f in feats])
+
+    ext = probe_flat_traced(sQ, ji.km_p, ji.ke_p, interpret=interpret)
+    # ext: (EXT, B, qcap) plane-major
+    cnt = ext[0].astype(jnp.int32)
+    found = ext[1] > 0
+    keep = found & qvalid & (cnt < max_occ)
+    occ = jnp.where(keep, jnp.minimum(cnt, occ_cap), 0)
+    occ_byte = jnp.where(keep, jnp.minimum(cnt, 255), 0).astype(U32)
+    n_tot = jnp.sum(occ, axis=1)
+    n_a = jnp.minimum(n_tot, acap).astype(jnp.int32)
+    a_overflow = n_tot > acap
+
+    qmeta_x = qmeta
+    z = qmeta_x & U32(1)
+    qpos = (qmeta_x >> U32(1)) & U32((1 << META_Q_BITS) - 1)
+    span = (qmeta_x >> U32(META_Q_BITS + 1)) & U32(0x1F)
+    tandem_b = qmeta_x >> U32(31)
+
+    parts = []
+    for sft in range(occ_cap):
+        ok_s = sft < occ
+        rid_strand = ext[2 + sft].astype(U32)
+        rpos = ext[2 + occ_cap + sft].astype(jnp.int32)
+        base = ext[2 + 2 * occ_cap + sft].astype(jnp.int32)
+        strand = rid_strand & U32(1)
+        rid = rid_strand >> U32(1)
+        rev = strand ^ z
+        tpos = jnp.where(rev == 0, rpos, base + span.astype(jnp.int32))
+        axh = jnp.where(ok_s, (rid << U32(1)) | rev, U32MAX)
+        axl = jnp.where(ok_s, tpos.astype(U32), U32MAX)
+        ayh = jnp.where(ok_s, (occ_byte << U32(24))
+                        | (tandem_b << U32(10)) | span, U32MAX)
+        ayl = jnp.where(ok_s, qpos, U32MAX)
+        parts.append((axh, axl, ayh, ayl))
+    axh = jnp.concatenate([p[0] for p in parts], 1)
+    axl = jnp.concatenate([p[1] for p in parts], 1)
+    ayh = jnp.concatenate([p[2] for p in parts], 1)
+    ayl = jnp.concatenate([p[3] for p in parts], 1)
+
+    axh, axl, ayh, ayl = jax.lax.sort(
+        (axh, axl, ayh, ayl), dimension=1, num_keys=2, is_stable=True)
+    return (axh[:, :acap], axl[:, :acap], ayh[:, :acap], ayl[:, :acap],
+            n_a, q_overflow | a_overflow)

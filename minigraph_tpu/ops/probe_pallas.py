@@ -59,6 +59,10 @@ def _make_kernel(bb, qb, KB, KC, EXT):
 
 @partial(jax.jit, static_argnames=("nb", "bb", "kc", "interpret"))
 def _probe_jit(sQ, keymat, keyext, nb, bb, kc, interpret):
+    return _probe_jit_traced(sQ, keymat, keyext, nb, bb, kc, interpret)
+
+
+def _probe_jit_traced(sQ, keymat, keyext, nb, bb, kc, interpret):
     _, B, SB = sQ.shape
     qb = SB // nb
     KB = keymat.shape[2]
@@ -101,3 +105,54 @@ def probe_bucketed_pallas(sQ, keymat, keyext, nb: int, bb: int = 128,
     finally:
         if prev:
             jax.config.update("jax_enable_x64", True)
+
+
+def _make_flat_kernel(bb, qcap, KB, KC, EXT):
+    n_kc = KB // KC
+
+    def kernel(sq_ref, km_ref, ke_ref, out_ref, acc):
+        # sq_ref: (9, bb, qcap); km_ref: (9, KB); ke_ref: (EXT, KB)
+        q = sq_ref[...].reshape(9, bb * qcap)
+
+        def chunk(c, _):
+            km = km_ref[:, pl.ds(c * KC, KC)]              # (9, KC)
+            D = jax.lax.dot_general(km, q, (((0,), (0,)), ((), ())),
+                                    precision=PREC)         # (KC, N)
+            ind = (D == 0).astype(jnp.float32)
+            ke = ke_ref[:, pl.ds(c * KC, KC)]               # (EXT, KC)
+            acc[...] += jax.lax.dot_general(
+                ke, ind, (((1,), (0,)), ((), ())), precision=PREC)
+            return _
+
+        acc[...] = jnp.zeros((EXT, bb * qcap), dtype=jnp.float32)
+        jax.lax.fori_loop(jnp.int32(0), jnp.int32(n_kc), chunk,
+                          jnp.int32(0))
+        out_ref[...] = acc[...].reshape(EXT, bb, qcap)
+
+    return kernel
+
+
+def probe_flat_traced(sQ, km_p, ke_p, bb: int = 8, kc: int = 256,
+                      interpret: bool = False):
+    """Flat (single-bucket) fused probe: (9, B, qcap) queries x the
+    whole key table -> (EXT, B, qcap).  Traceable, x64-free caller."""
+    _, B, qcap = sQ.shape
+    km = km_p[0] if km_p.ndim == 3 else km_p        # (9, Kpad)
+    ke = ke_p[0] if ke_p.ndim == 3 else ke_p        # (EXT, Kpad)
+    KB = km.shape[1]
+    kc = min(kc, KB)
+    EXT = ke.shape[0]
+    while B % bb:
+        bb //= 2
+    kernel = _make_flat_kernel(bb, qcap, KB, kc, EXT)
+    return pl.pallas_call(
+        kernel,
+        grid=(B // bb,),
+        in_specs=[pl.BlockSpec((9, bb, qcap), lambda rb: (0, rb, 0)),
+                  pl.BlockSpec((9, KB), lambda rb: (0, 0)),
+                  pl.BlockSpec((EXT, KB), lambda rb: (0, 0))],
+        out_specs=pl.BlockSpec((EXT, bb, qcap), lambda rb: (0, rb, 0)),
+        out_shape=jax.ShapeDtypeStruct((EXT, B, qcap), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((EXT, bb * qcap), jnp.float32)],
+        interpret=interpret,
+    )(sQ, km, ke)
