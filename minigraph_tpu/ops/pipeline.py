@@ -235,19 +235,42 @@ def make_map_step_v3(ji, w: int, k: int, acap: int = 2048,
     dispatch blocks the host ~13 ms, so dispatch count — not op
     count — sets the throughput floor; the whole path is uint32/f32 so
     nothing needs x64.  Returns a plain Python function."""
+    from .anchors_bucketed import (BucketedJoinIndex, finish_anchors,
+                                   spread_queries)
     from .anchors_jax import collect_anchors_join
     from .chain_pallas import chain_planes_traced
+    from .probe_pallas import probe_bucketed_pallas
     from .sketch_pallas import sketch_planes_pallas_traced
+
+    bucketed = isinstance(ji, BucketedJoinIndex)
+    nb = ji.keymat.shape[0] if bucketed else 0
 
     @partial(jax.jit, static_argnames=())
     def step(codes, lens):
         sp = sketch_planes_pallas_traced(codes, lens, w, k,
                                          interpret=pallas_interpret)
-        axh, axl, ayh, ayl, n_a, q_ovf = collect_anchors_join(
-            ji.keymat, ji.keyext, sp.hh, sp.hl, sp.meta,
-            sp.t_hh, sp.t_hl, sp.t_meta, jnp.int32(max_occ),
-            occ_cap=occ_cap, qcap=qcap, acap=acap, b_chunk=b_chunk,
-            return_planes=True)
+        if bucketed:
+            sf, n_q, s_ovf = spread_queries(
+                sp.hh, sp.hl, sp.meta, sp.t_hh, sp.t_hl, sp.t_meta, nb,
+                qcap=qcap, b_chunk=b_chunk)
+            B = sf.shape[1]
+            bb = 128
+            while B % bb:
+                bb //= 2
+            ext = probe_bucketed_pallas(
+                sf[:9], ji.keymat, ji.keyext, nb, bb=bb,
+                kc=min(512, ji.keymat.shape[2]),
+                interpret=pallas_interpret)
+            axh, axl, ayh, ayl, n_a = finish_anchors(
+                ext, sf, jnp.int32(max_occ), occ_cap, acap=acap,
+                b_chunk=b_chunk, return_planes=True)
+            q_ovf = s_ovf
+        else:
+            axh, axl, ayh, ayl, n_a, q_ovf = collect_anchors_join(
+                ji.keymat, ji.keyext, sp.hh, sp.hl, sp.meta,
+                sp.t_hh, sp.t_hl, sp.t_meta, jnp.int32(max_occ),
+                occ_cap=occ_cap, qcap=qcap, acap=acap, b_chunk=b_chunk,
+                return_planes=True)
         f, p = chain_planes_traced(
             axh, axl, ayh, ayl, n_a, 5000, 5000, 500,
             0.1827, 0.00913, window, 256, pallas_interpret)
