@@ -138,6 +138,44 @@ def bench_reference(reads):
         os.unlink(fa)
 
 
+def bench_scale_2mb():
+    """Informational: MHC-class scale (2 Mb graph, K~334k) via the
+    bucketed fused step."""
+    import numpy as np
+
+    from minigraph_tpu.graph.gfa import Graph
+    from minigraph_tpu.index.midx import build_index
+    from minigraph_tpu.ops.anchors_bucketed import BucketedJoinIndex
+    from minigraph_tpu.ops.pipeline import make_map_step_v3
+    from minigraph_tpu.ops.sketch_jax import encode_batch
+
+    rng = np.random.default_rng(0)
+    seq = "".join(rng.choice(list("ACGT"), size=2_000_000))
+    g = Graph()
+    sid = g.add_seg("s1")
+    g.seg[sid].seq = seq
+    g.seg[sid].len = len(seq)
+    g.seg[sid].snid = g.sseq_add("chr1")
+    g.seg[sid].soff = 0
+    g.seg[sid].rank = 0
+    g.finalize()
+    gi = build_index(g, 17, 11)
+    bi = BucketedJoinIndex.from_host(gi, occ_cap=16)
+    reads = simulate_reads(g, BATCH, READ_LEN, seed=7)
+    codes, lens = encode_batch(reads, pad_to=READ_LEN)
+    fn = make_map_step_v3(bi, w=gi.w, k=gi.k, acap=READ_LEN,
+                          window=32)
+    out = fn(codes, lens)
+    np.asarray(out["best"])
+    t0 = time.perf_counter()
+    for _ in range(3):
+        out = fn(codes, lens)
+    np.asarray(out["best"])
+    dt = (time.perf_counter() - t0) / 3
+    log(f"scale 2Mb graph (K={len(gi.keys)}): "
+        f"{BATCH / dt:.0f} reads/s/chip (bucketed fused step)")
+
+
 def main():
     import jax
     log(f"devices: {jax.devices()}")
@@ -145,6 +183,10 @@ def main():
     reads = simulate_reads(g, N_READS, READ_LEN)
     log(f"{len(reads)} reads x {READ_LEN} bp vs graph with {g.n_seg} segs")
     rps, out = bench_device(gi, reads)
+    try:
+        bench_scale_2mb()
+    except Exception as e:
+        log(f"scale bench skipped: {e}")
     log(f"device seed-chain: {rps:.1f} reads/s "
         f"({rps * READ_LEN / 1e6:.1f} Mbp/s)")
     base = None
