@@ -100,6 +100,21 @@ def gchain_cigar(g, es, qseq: str, gt: GChains, qname: Optional[str]) -> None:
                 _append1(cigar, 7, qlen)
             else:
                 rst = wfa_auto(seq, qgap, cigar=True)
+                from ..options import DBG, MG_DBG_MINIWFA, MG_DBG_MWF_SEQ
+                if DBG["flag"] & (MG_DBG_MINIWFA | MG_DBG_MWF_SEQ) \
+                        and l_seq > 5000 and qlen > 5000 \
+                        and rst.s >= 10000:
+                    # long-WFA logging (galign.c:109-121)
+                    import sys as _sys
+                    if DBG["flag"] & MG_DBG_MINIWFA:
+                        _sys.stderr.write(
+                            f"WL\t{qname}\t{j}\t{_i32(qy) + 1}\t"
+                            f"{_i32(py) - _i32(qy)}\t{l_seq}\t{rst.s}\n")
+                    if DBG["flag"] & MG_DBG_MWF_SEQ:
+                        _sys.stderr.write(
+                            f"WL\t{qname}\t{j}\t{_i32(qy) + 1}\t{rst.s}\n"
+                            f"WT\t{seq.decode('latin-1')}\n"
+                            f"WQ\t{qgap.decode('latin-1')}\n")
                 _append_many(cigar, rst.cigar or [])
             j0 = j
             l0 = l

@@ -30,7 +30,8 @@ _LONG = [
     "min-cov-mapq=", "gap-pen=", "ref-bonus=", "max-gap-pre=", "max-lc-skip=",
     "max-gc-skip=", "max-lc-iter=", "max-rmq-size=", "inv=", "write-mz",
     "call", "cap-calloc=", "gdp-max-ed=", "dbg-seed",
-    "dbg-lchain", "dbg-gc1", "dbg-shortk",
+    "dbg-lchain", "dbg-gc1", "dbg-shortk", "dbg-qname", "dbg-insert",
+    "dbg-lc-prof", "dbg-mwf-long", "dbg-mwf-seq", "no-kalloc",
 ]
 
 
@@ -207,6 +208,17 @@ def main(argv: Optional[List[str]] = None) -> int:
         elif k == "--dbg-seed":
             from .options import DBG, MG_DBG_SEED
             DBG["flag"] |= MG_DBG_SEED
+        elif k in ("--dbg-qname", "--dbg-insert", "--dbg-lc-prof",
+                   "--dbg-mwf-long", "--dbg-mwf-seq", "--no-kalloc"):
+            from .options import (DBG, MG_DBG_INSERT, MG_DBG_LC_PROF,
+                                  MG_DBG_MINIWFA, MG_DBG_MWF_SEQ,
+                                  MG_DBG_NO_KALLOC, MG_DBG_QNAME)
+            DBG["flag"] |= {"--dbg-qname": MG_DBG_QNAME,
+                            "--dbg-insert": MG_DBG_INSERT,
+                            "--dbg-lc-prof": MG_DBG_LC_PROF,
+                            "--dbg-mwf-long": MG_DBG_MINIWFA,
+                            "--dbg-mwf-seq": MG_DBG_MWF_SEQ,
+                            "--no-kalloc": MG_DBG_NO_KALLOC}[k]
         elif k == "--dbg-gc1":
             from .options import DBG, MG_DBG_GC1
             DBG["flag"] |= MG_DBG_GC1

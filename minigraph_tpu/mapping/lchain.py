@@ -202,6 +202,17 @@ def _native_chain(fn_name: str, args_pre, ax: np.ndarray, ay: np.ndarray):
              ax.ctypes.data_as(ct.POINTER(ct.c_uint64)),
              ay.ctypes.data_as(ct.POINTER(ct.c_uint64)),
              u.ctypes.data_as(ct.POINTER(ct.c_uint64)), ct.byref(n_u))
+    from ..options import DBG, MG_DBG_LC_PROF
+    if DBG["flag"] & MG_DBG_LC_PROF:
+        import sys as _sys
+        stats = (ct.c_int64 * 4).in_dll(lib, "mgt_lchain_stats")
+        if fn_name == "mgt_lchain_dp":
+            _sys.stderr.write(
+                f"LP\tn_iter={stats[0]}\tmmax_f={stats[1]}\n")
+        else:
+            _sys.stderr.write(
+                f"LP\tn_iter={stats[0]}\tmmax_f={stats[1]}\t"
+                f"rmq_size={stats[2]}\tmp_max={stats[3]}\n")
     if n_u.value == 0:
         return (np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.uint64),
                 0, np.empty(0, dtype=np.uint64))

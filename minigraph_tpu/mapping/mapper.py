@@ -43,6 +43,9 @@ def map_frag(gi: MinimizerIndex, qlens: List[int], seqs: List[str],
     if opt.max_qlen > 0 and qlen_sum > opt.max_qlen:
         return None
 
+    from ..options import DBG as _DBG, MG_DBG_QNAME as _Q
+    if _DBG["flag"] & _Q:
+        sys.stderr.write(f"QR\t{qname}\t0\t{qlen_sum}\n")
     hash_ = kh_hash_str(qname) if qname else 0
     hash_ ^= (kh_hash_uint32(qlen_sum & U32) + kh_hash_uint32(opt.seed)) & U32
     hash_ &= U32
@@ -58,9 +61,21 @@ def map_frag(gi: MinimizerIndex, qlens: List[int], seqs: List[str],
         ax, ay, rep_len, mini_pos = collect_seed_hits(
             gi, opt, opt.occ_max1, mv_x, mv_y, qname)
 
-    from ..options import DBG, MG_DBG_SEED, MG_DBG_LCHAIN
+    from ..options import DBG, MG_DBG_SEED, MG_DBG_LCHAIN, MG_DBG_QNAME
     if DBG["flag"] & MG_DBG_SEED:
         _dump_seeds(gi, ax, ay, rep_len)
+
+    def _ptime(t0, stage):
+        # Q-stage timing lines (print_time, map-algo.c:332-338)
+        import time
+        t = time.time()
+        sys.stderr.write(f"Q{stage}\t{qname}\t{t - t0:.3f}\n")
+        return t
+
+    dbg_q = bool(DBG["flag"] & MG_DBG_QNAME)
+    if dbg_q:
+        import time
+        _qt = time.time()
 
     is_sr = bool(opt.flag & MG_M_SR)
     is_splice = bool(opt.flag & MG_M_SPLICE)
@@ -110,6 +125,8 @@ def map_frag(gi: MinimizerIndex, qlens: List[int], seqs: List[str],
                                          opt.min_lc_score, chn_pen_gap,
                                          chn_pen_skip, ax, ay)
 
+    if dbg_q:
+        _qt = _ptime(_qt, 1)
     if n_lc:
         lc = lchain_gen(qlen_sum, n_lc, u, ax, ay)
         if n_lc > 1:
@@ -137,15 +154,21 @@ def map_frag(gi: MinimizerIndex, qlens: List[int], seqs: List[str],
         lc = []
     if DBG["flag"] & MG_DBG_LCHAIN:
         _dump_lchain(gi, lc, ax, ay, qname)
+    if dbg_q:
+        _qt = _ptime(_qt, 2)
 
     seq_cat = "".join(seqs)
     n_gc, u, lc = gchain1_dp(gi.g, lc, qlen_sum, opt.bw_long, opt.bw_long,
                              opt.bw_long, opt.max_gc_skip, opt.ref_bonus,
                              chn_pen_gap, chn_pen_skip, opt.mask_level, ay)
+    if dbg_q:
+        _qt = _ptime(_qt, 3)
     gcs = gchain_gen(gi.g, gi.es, n_gc, u, lc, ax, ay, hash_,
                      opt.min_gc_cnt, opt.min_gc_score, opt.gdp_max_ed,
                      n_segs, seq_cat)
     gcs.rep_len = rep_len
+    if dbg_q:
+        _qt = _ptime(_qt, 4)
 
     gchain_set_parent(opt.mask_level, gcs.gc, opt.sub_diff, 0)
     gchain_flt_sub(opt.pri_ratio, gi.k * 2, opt.best_n, gcs.gc)
@@ -155,6 +178,11 @@ def map_frag(gi: MinimizerIndex, qlens: List[int], seqs: List[str],
         from ..align.cigar import gchain_cigar, gchain_gen_ds
         gchain_cigar(gi.g, gi.es, seq_cat, gcs, qname)
         gchain_gen_ds(gi.g, gi.es, seq_cat, gcs)
+    if dbg_q:
+        _qt = _ptime(_qt, 5)
+        # QM memory-stat line (map-algo.c:485); no kalloc arenas here
+        sys.stderr.write(f"QM\t{qname}\t{qlen_sum}\t"
+                         f"cap=0,nCore=0,largest=0\n")
     return gcs
 
 

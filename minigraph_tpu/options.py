@@ -179,8 +179,14 @@ def opt_update(gi, mo: MapOptions, go: GGOptions | None = None) -> None:
 
 
 # debug flags (mgpriv.h:7-16); set via CLI --dbg-* or MGT_DBG env
+MG_DBG_NO_KALLOC = 0x1  # allocator flag in the reference; no-op here
+MG_DBG_QNAME = 0x2
 MG_DBG_SEED = 0x4
 MG_DBG_LCHAIN = 0x8
+MG_DBG_INSERT = 0x10
 MG_DBG_SHORTK = 0x20   # allocator-mode switch in the reference; no output
 MG_DBG_GC1 = 0x40
+MG_DBG_LC_PROF = 0x80
+MG_DBG_MINIWFA = 0x100
+MG_DBG_MWF_SEQ = 0x200
 DBG = {"flag": 0}

@@ -16,6 +16,9 @@
 
 extern void mgt_radix_sort_128x(uint64_t *a, int64_t n);
 
+/* --dbg-lc-prof counters (lchain.c:153,209,361), read via ctypes */
+int64_t mgt_lchain_stats[4];
+
 static inline float mg_log2f(float x)
 {
     union { float f; uint32_t i; } z = { x };
@@ -213,6 +216,7 @@ int64_t mgt_lchain_dp(int32_t max_dist_x, int32_t max_dist_y, int32_t bw,
     t = (int32_t *)calloc(n, 4);
     for (i = 0; i < n; ++i) t[i] = -1;
 
+    int64_t n_iter = 0, mmax_f = 0;
     for (i = 0, max_ii = -1; i < n; ++i) {
         int64_t max_j = -1, end_j;
         int64_t max_f = (int64_t)(ay[i] >> 32 & 0xff);
@@ -225,6 +229,7 @@ int64_t mgt_lchain_dp(int32_t max_dist_x, int32_t max_dist_y, int32_t bw,
             int64_t sc = comput_sc(ax[i], ay[i], ax[j], ay[j], max_dist_x,
                                    max_dist_y, bw, chn_pen_gap, chn_pen_skip,
                                    is_cdna, n_seg);
+            ++n_iter;
             if (sc == I32_MIN) continue;
             sc += f[j];
             if (sc > max_f) {
@@ -254,7 +259,11 @@ int64_t mgt_lchain_dp(int32_t max_dist_x, int32_t max_dist_y, int32_t bw,
         if (max_ii < 0 || (ax[i] <= ax[max_ii] + (uint64_t)max_dist_x
                            && f[max_ii] < f[i]))
             max_ii = i;
+        if (mmax_f < max_f) mmax_f = max_f;
     }
+    mgt_lchain_stats[0] = n_iter;
+    mgt_lchain_stats[1] = mmax_f;
+    mgt_lchain_stats[2] = mgt_lchain_stats[3] = 0;
 
     vv = (int64_t *)malloc(8 * n);
     n_v = chain_backtrack(n, f, p, min_cnt, min_sc, max_drop, u_out, &n_u,
@@ -567,6 +576,11 @@ int64_t mgt_lchain_rmq(int32_t max_dist, int32_t max_dist_inner, int32_t bw,
     freelist = (rnode_t **)malloc(sizeof(rnode_t *) * 2 * (n + 1));
     gap_d = (double)chn_pen_gap;
 
+    int64_t n_iter = 0, mmax_f = 0, max_rmq_size = 0;
+    int64_t live = 0, max_live = 0;
+#define POOL_TAKE() (live++, (live > max_live ? (max_live = live) : 0), \
+                     nfree ? freelist[--nfree] : &pool[pool_n++])
+#define POOL_FREE(q) (live--, freelist[nfree++] = (q))
     for (i = i0 = 0; i < n; ++i) {
         int64_t max_j = -1;
         int64_t q_span = (int64_t)(ay[i] >> 32 & 0xff), max_f = q_span;
@@ -577,11 +591,11 @@ int64_t mgt_lchain_rmq(int32_t max_dist, int32_t max_dist_inner, int32_t bw,
                 double pri = -((double)f[j]
                                + 0.5 * gap_d * ((double)(int32_t)ax[j]
                                                 + (double)(int32_t)ay[j]));
-                q = nfree ? freelist[--nfree] : &pool[pool_n++];
+                q = POOL_TAKE();
                 q->y = (int32_t)ay[j], q->i = j, q->pri = pri;
                 r_insert(&root, q);
                 if (use_inner) {
-                    rnode_t *r2 = nfree ? freelist[--nfree] : &pool[pool_n++];
+                    rnode_t *r2 = POOL_TAKE();
                     r2->y = (int32_t)ay[j], r2->i = j, r2->pri = pri;
                     r_insert(&root_inner, r2);
                 }
@@ -594,7 +608,7 @@ int64_t mgt_lchain_rmq(int32_t max_dist, int32_t max_dist_inner, int32_t bw,
             q = r_find(root, (int32_t)ay[st], st);
             if (q) {
                 r_erase(&root, q);
-                freelist[nfree++] = q;
+                POOL_FREE(q);
             }
             ++st;
         }
@@ -606,7 +620,7 @@ int64_t mgt_lchain_rmq(int32_t max_dist, int32_t max_dist_inner, int32_t bw,
                 q = r_find(root_inner, (int32_t)ay[st_inner], st_inner);
                 if (q) {
                     r_erase(&root_inner, q);
-                    freelist[nfree++] = q;
+                    POOL_FREE(q);
                 }
                 ++st_inner;
             }
@@ -626,6 +640,7 @@ int64_t mgt_lchain_rmq(int32_t max_dist, int32_t max_dist_inner, int32_t bw,
                     rnode_t *qq = lo;
                     while (qq) {
                         if (qq->y < (int32_t)ay[i] - max_dist_inner) break;
+                        ++n_iter;
                         j = qq->i;
                         sc = f[j] + comput_sc_simple(ax[i], ay[i], ax[j],
                                                      ay[j], chn_pen_gap,
@@ -645,7 +660,14 @@ int64_t mgt_lchain_rmq(int32_t max_dist, int32_t max_dist_inner, int32_t bw,
             }
         }
         f[i] = max_f, p[i] = max_j;
+        if (mmax_f < max_f) mmax_f = max_f;
+        if ((int64_t)RSIZE(root) > max_rmq_size)
+            max_rmq_size = (int64_t)RSIZE(root);
     }
+    mgt_lchain_stats[0] = n_iter;
+    mgt_lchain_stats[1] = mmax_f;
+    mgt_lchain_stats[2] = max_rmq_size;
+    mgt_lchain_stats[3] = max_live;
 
     vv = (int64_t *)malloc(8 * n);
     n_v = chain_backtrack(n, f, p, min_cnt, min_sc, bw, u_out, &n_u, vv);

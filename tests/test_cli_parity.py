@@ -46,3 +46,61 @@ def test_dbg_gc1_dump_parity(run_oracle, ref_test_dir, tmp_path):
     flt = lambda s: [ln for ln in s.splitlines() if pat.match(ln)]
     assert flt(ours.stderr) == flt(ref.stderr)
     assert flt(ref.stderr), "oracle produced no GC1 dump lines"
+
+
+def test_dbg_insert_dump_parity(run_oracle, tmp_path):
+    """--dbg-insert IN/IS stage dumps byte-identical to the reference
+    (ggsimple.c:247-257).  Synthetic sample with real SVs: the MT test
+    data inserts nothing (the distributed MT.gfa already contains all
+    its variation)."""
+    import subprocess
+    import sys
+
+    import numpy as np
+    import tests.conftest as C
+    rng = np.random.default_rng(3)
+    ref_seq = "".join(rng.choice(list("ACGT"), 300000))
+    ins = "".join(rng.choice(list("ACGT"), 5000))
+    # sample: a 5kb insertion at 100k (one clean ggs event)
+    smp = ref_seq[:100000] + ins + ref_seq[100000:]
+    ref_fa = tmp_path / "ref.fa"
+    smp_fa = tmp_path / "smp.fa"
+    ref_fa.write_text(">chr1\n" + ref_seq + "\n")
+    smp_fa.write_text(">s1\n" + smp + "\n")
+    args = ["--dbg-insert", "-cxggs", str(ref_fa), str(smp_fa)]
+    ref = subprocess.run([str(C.ORACLE), "-t", "1", *args],
+                         capture_output=True, text=True)
+    ours = subprocess.run([sys.executable, "-m", "minigraph_tpu", *args],
+                          capture_output=True, text=True, cwd=str(C.REPO))
+    flt = lambda s: [ln for ln in s.splitlines()
+                     if ln.startswith(("IN\t", "IS\t", "IP\t", "IQ\t"))]
+    assert flt(ours.stderr) == flt(ref.stderr)
+    assert flt(ref.stderr), "oracle produced no insert dump lines"
+    # the augmented graphs must match too
+    assert ours.stdout == ref.stdout
+
+
+def test_dbg_lc_prof_parity(run_oracle, ref_test_dir):
+    """--dbg-lc-prof LP counters match the reference (n_iter / mmax_f /
+    rmq_size exactly; mp_max is allocator-internal and approximate)."""
+    import subprocess
+    import sys
+    import tests.conftest as C
+    gfa = str(ref_test_dir / "MT.gfa")
+    fa = str(ref_test_dir / "MT-orangA.fa")
+    ref = subprocess.run(
+        [str(C.ORACLE), "--dbg-lc-prof", "-t", "1", gfa, fa],
+        capture_output=True, text=True)
+    ours = subprocess.run(
+        [sys.executable, "-m", "minigraph_tpu", "--dbg-lc-prof", gfa, fa],
+        capture_output=True, text=True, cwd=str(C.REPO))
+
+    def flt(s):
+        out = []
+        for ln in s.splitlines():
+            if ln.startswith("LP\t"):
+                out.append("\t".join(ln.split("\t")[:4]))
+        return out
+
+    assert flt(ours.stderr) == flt(ref.stderr)
+    assert flt(ref.stderr)
