@@ -51,11 +51,91 @@ def _append_many(cigar: List[int], other: List[int]) -> None:
     cigar.extend(other[1:])
 
 
+_es_cache: dict = {}
+_native_gc_cfg = False
+
+
+def _es_tables(es):
+    """Per-vertex sequence-pointer table + per-segment length array for
+    the native engine, cached per index (es is built once in midx.py)."""
+    import ctypes
+    key = id(es)
+    hit = _es_cache.get(key)
+    if hit is not None and hit[0] is es and hit[1] == len(es):
+        return hit[2], hit[3]
+    n = len(es)
+    seqp = (ctypes.c_char_p * (2 * n))()
+    seg_len = np.empty(n, dtype=np.int64)
+    for i, e in enumerate(es):
+        seqp[2 * i] = e.fwd
+        seqp[2 * i + 1] = e.rc
+        seg_len[i] = e.len
+    _es_cache.clear()  # one live index at a time
+    _es_cache[key] = (es, n, seqp, seg_len)
+    return seqp, seg_len
+
+
+def _gchain_cigar_native(es, qbytes: bytes, gt: GChains, gc) -> bool:
+    """One-call native anchor walk + per-gap WFA (native/mgt_cigar.c).
+    Returns False to fall back to the Python path."""
+    global _native_gc_cfg
+    import ctypes
+
+    from ..utils.native import get_lib
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "mgt_gchain_cigar"):
+        return False
+    if not _native_gc_cfg:
+        lib.mgt_gchain_cigar.restype = ctypes.c_int64
+        _native_gc_cfg = True
+    seqp, seg_len = _es_tables(es)
+    lct = getattr(gt, "_lc_tables", None)
+    if lct is None:
+        lct = (np.asarray([r.v for r in gt.lc], dtype=np.int64),
+               np.asarray([r.off for r in gt.lc], dtype=np.int64),
+               np.asarray([r.cnt for r in gt.lc], dtype=np.int64))
+        gt._lc_tables = lct
+    lc_v, lc_off, lc_cnt = lct
+    off_a0 = gt.lc[gc.off].off
+    cig_cap = (gc.pe - gc.ps) + (gc.qe - gc.qs) + 4 * gc.n_anchor + 64
+    cig = np.empty(cig_cap, dtype=np.uint32)
+    stats = np.zeros(4, dtype=np.int64)
+
+    def P(a):
+        return a.ctypes.data_as(ctypes.c_void_p)
+
+    ax = gt.ax if gt.ax.flags["C_CONTIGUOUS"] else np.ascontiguousarray(gt.ax)
+    ay = gt.ay if gt.ay.flags["C_CONTIGUOUS"] else np.ascontiguousarray(gt.ay)
+    n = lib.mgt_gchain_cigar(
+        P(ax), P(ay), ctypes.c_int64(off_a0),
+        ctypes.c_int64(gc.n_anchor),
+        P(lc_v), P(lc_off), P(lc_cnt),
+        ctypes.c_int64(gc.off), ctypes.c_int64(gc.cnt),
+        seqp, P(seg_len), qbytes,
+        P(cig), ctypes.c_int64(cig_cap), P(stats))
+    if n < 0:
+        return False
+    p = Cigar()
+    p.ss = _i32(int(gt.ax[off_a0])) + 1 - ((int(gt.ay[off_a0]) >> 32) & 0xFF)
+    p.ee = _i32(int(gt.ax[off_a0 + gc.n_anchor - 1])) + 1
+    p.n_cigar = int(n)
+    p.cigar = cig[:n].tolist()
+    p.mlen, p.blen, p.aplen = int(stats[0]), int(stats[1]), int(stats[2])
+    gc.p = p
+    gc.ds = None
+    assert int(stats[3]) == gc.qe - gc.qs and p.aplen == gc.pe - gc.ps
+    return True
+
+
 def gchain_cigar(g, es, qseq: str, gt: GChains, qname: Optional[str]) -> None:
     """Walk anchors of each gchain, align the inter-anchor gaps with WFA
     and merge into one graph CIGAR (galign.c:39-145)."""
+    from ..options import DBG, MG_DBG_MINIWFA, MG_DBG_MWF_SEQ
+    use_native = not (DBG["flag"] & (MG_DBG_MINIWFA | MG_DBG_MWF_SEQ))
     qbytes = qseq.encode("latin-1")
     for gc in gt.gc:
+        if use_native and _gchain_cigar_native(es, qbytes, gt, gc):
+            continue
         l0 = gc.off
         off_a0 = gt.lc[l0].off
         cigar: List[int] = []
@@ -163,6 +243,46 @@ def _write_indel(parts: List[str], seq, ln: int, ll: int, lr: int) -> None:
             parts.append("]")
 
 
+_native_ds_cfg = False
+
+
+def _gen_ds_native(gc, tseq: bytes, qbytes: bytes):
+    """Native ds generation (native/mgt_cigar.c).  Returns DsString or
+    None when the library is unavailable."""
+    global _native_ds_cfg
+    import ctypes
+
+    from ..utils.native import get_lib
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "mgt_gen_ds"):
+        return None
+    if not _native_ds_cfg:
+        lib.mgt_gen_ds.restype = ctypes.c_int64
+        _native_ds_cfg = True
+    cig = np.asarray(gc.p.cigar, dtype=np.uint32)
+    span = gc.p.aplen + (gc.qe - gc.qs)
+    ds_cap = 4 * span + 16 * len(cig) + 64
+    off_cap = 2 * span + len(cig) + 8
+    ds_buf = ctypes.create_string_buffer(ds_cap)
+    off = np.empty(off_cap, dtype=np.int64)
+    n_off = ctypes.c_int64(0)
+    n = lib.mgt_gen_ds(
+        cig.ctypes.data_as(ctypes.c_void_p), ctypes.c_int64(len(cig)),
+        tseq, ctypes.c_int64(gc.p.aplen),
+        qbytes, ctypes.c_int64(gc.qs), ctypes.c_int64(gc.qe),
+        ds_buf, ctypes.c_int64(ds_cap),
+        off.ctypes.data_as(ctypes.c_void_p), ctypes.c_int64(off_cap),
+        ctypes.byref(n_off))
+    if n < 0:
+        return None
+    ds = DsString()
+    ds.ds = ds_buf.raw[:n].decode("latin-1")
+    ds.len = n
+    ds.n_off = int(n_off.value)
+    ds.off = off[: ds.n_off]
+    return ds
+
+
 def gchain_gen_ds(g, es, qseq: str, gt: GChains) -> None:
     """Derive the ds:Z difference string from the CIGAR
     (mg_gchain_gen_ds, galign.c:182-293)."""
@@ -180,6 +300,10 @@ def gchain_gen_ds(g, es, qseq: str, gt: GChains) -> None:
             parts.append(_es_seq(es, v)[st:en])
         tseq = b"".join(parts)
         assert len(tseq) == gc.p.aplen
+        nds = _gen_ds_native(gc, tseq, qbytes)
+        if nds is not None:
+            gc.ds = nds
+            continue
         tnt = _NT4[np.frombuffer(tseq, dtype=np.uint8)] if tseq else \
             np.empty(0, dtype=np.uint8)
 
