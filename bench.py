@@ -140,12 +140,13 @@ def bench_reference(reads):
 
 def bench_scale_2mb():
     """Informational: MHC-class scale (2 Mb graph, K~334k) via the
-    bucketed fused step."""
+    cuckoo-hash fused step (K-independent gathers win above ~1e5
+    keys; see ops/anchors_hash.py)."""
     import numpy as np
 
     from minigraph_tpu.graph.gfa import Graph
     from minigraph_tpu.index.midx import build_index
-    from minigraph_tpu.ops.anchors_bucketed import BucketedJoinIndex
+    from minigraph_tpu.ops.anchors_hash import HashJoinIndex
     from minigraph_tpu.ops.pipeline import make_map_step_v3
     from minigraph_tpu.ops.sketch_jax import encode_batch
 
@@ -160,10 +161,10 @@ def bench_scale_2mb():
     g.seg[sid].rank = 0
     g.finalize()
     gi = build_index(g, 17, 11)
-    bi = BucketedJoinIndex.from_host(gi, occ_cap=16)
+    hi = HashJoinIndex.from_host(gi, occ_cap=16)
     reads = simulate_reads(g, BATCH, READ_LEN, seed=7)
     codes, lens = encode_batch(reads, pad_to=READ_LEN)
-    fn = make_map_step_v3(bi, w=gi.w, k=gi.k, acap=READ_LEN,
+    fn = make_map_step_v3(hi, w=gi.w, k=gi.k, acap=READ_LEN,
                           window=32)
     out = fn(codes, lens)
     np.asarray(out["best"])
@@ -173,7 +174,7 @@ def bench_scale_2mb():
     np.asarray(out["best"])
     dt = (time.perf_counter() - t0) / 3
     log(f"scale 2Mb graph (K={len(gi.keys)}): "
-        f"{BATCH / dt:.0f} reads/s/chip (bucketed fused step)")
+        f"{BATCH / dt:.0f} reads/s/chip (cuckoo-hash fused step)")
 
 
 def main():

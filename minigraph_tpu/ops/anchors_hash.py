@@ -54,8 +54,8 @@ class HashJoinIndex:
     tag: jnp.ndarray    # (H,) u32
     pay: jnp.ndarray    # (H,) u32
     p_rid: jnp.ndarray  # (P,) u32 rid<<1|strand
-    p_pos: jnp.ndarray  # (P,) u32 rpos
-    p_base: jnp.ndarray  # (P,) u32 seg_len - rpos - 2
+    p_sel: jnp.ndarray  # (2P,) u32 interleaved [rpos, seg_len-rpos-2];
+    #                     indexed 2*i+rev so tpos needs ONE gather
     hbits: int
     occ_cap: int
     k: int
@@ -65,11 +65,21 @@ class HashJoinIndex:
     @classmethod
     def from_host(cls, gi: MinimizerIndex, occ_cap: int = 16,
                   max_occ: int = 50) -> "HashJoinIndex":
-        keys = np.asarray(gi.keys, dtype=np.uint64)
-        start = np.asarray(gi.key_start, dtype=np.int64)
-        cnt = np.asarray(gi.key_cnt, dtype=np.int64)
-        pos = np.asarray(gi.pos, dtype=np.uint64)
         seg_len = np.asarray([s.len for s in gi.g.seg], dtype=np.int64)
+        return cls.from_arrays(
+            np.asarray(gi.keys, dtype=np.uint64),
+            np.asarray(gi.key_start, dtype=np.int64),
+            np.asarray(gi.key_cnt, dtype=np.int64),
+            np.asarray(gi.pos, dtype=np.uint64),
+            seg_len, k=gi.k, w=gi.w, occ_cap=occ_cap)
+
+    @classmethod
+    def from_arrays(cls, keys, start, cnt, pos, seg_len, k: int, w: int,
+                    occ_cap: int = 16,
+                    hbits_min: int = 0) -> "HashJoinIndex":
+        """Build from flat index arrays (used directly for per-shard
+        tables in idx-axis mesh sharding; hbits_min forces a common
+        table size across shards)."""
         K = len(keys)
         assert keys.max(initial=0) < 1 << 34
         assert start.max(initial=0) < 1 << 24, \
@@ -81,7 +91,8 @@ class HashJoinIndex:
         pay = (start.astype(np.uint32) << np.uint32(8)) \
             | (cnt_c.astype(np.uint32) << np.uint32(2)) \
             | hh
-        hbits = max(4, int(np.ceil(np.log2(max(K, 1) * 2))))
+        hbits = max(4, hbits_min,
+                    int(np.ceil(np.log2(max(K, 1) * 2))))
         for _ in range(6):
             H = 1 << hbits
             s1, s2 = _slot_hashes(hh, hl, hbits)
@@ -119,15 +130,18 @@ class HashJoinIndex:
         rid = (pos >> np.uint64(32)).astype(np.int64)
         p_base = (seg_len[rid] - p_pos.astype(np.int64) - 2) \
             .astype(np.uint32)
+        p_sel = np.empty(2 * max(len(pos), 1), dtype=np.uint32)
+        p_sel[0::2] = p_pos if len(pos) else 0
+        p_sel[1::2] = p_base if len(pos) else 0
         return cls(tag=jnp.asarray(tag), pay=jnp.asarray(payt),
-                   p_rid=jnp.asarray(p_rid), p_pos=jnp.asarray(p_pos),
-                   p_base=jnp.asarray(p_base), hbits=hbits,
-                   occ_cap=occ_cap, k=gi.k, w=gi.w, n_key=K)
+                   p_rid=jnp.asarray(p_rid), p_sel=jnp.asarray(p_sel),
+                   hbits=hbits,
+                   occ_cap=occ_cap, k=k, w=w, n_key=K)
 
 
 @partial(jax.jit, static_argnames=("hbits", "occ_cap", "qcap", "acap",
                                    "b_chunk", "return_planes"))
-def collect_anchors_hash(tag, pay, p_rid, p_pos, p_base, hh, hl, meta,
+def collect_anchors_hash(tag, pay, p_rid, p_sel, hh, hl, meta,
                          t_hh, t_hl, t_meta, max_occ, hbits: int,
                          occ_cap: int, qcap: int = 512, acap: int = 2048,
                          b_chunk: int = 32, return_planes: bool = False):
@@ -215,10 +229,9 @@ def collect_anchors_hash(tag, pay, p_rid, p_pos, p_base, hh, hl, meta,
         | aext[..., 2].astype(U32)
     idx = jnp.where(a_valid, aext[..., 4].astype(jnp.int32) + rank, 0)
 
-    # ---- per-anchor position fetch: 3 gathers ----
+    # ---- per-anchor position fetch: 2 gathers (rev selects the
+    # pre-flipped coordinate inside the interleaved plane) ----
     rid_strand = jnp.take(p_rid, idx)
-    rpos = jnp.take(p_pos, idx).astype(jnp.int32)
-    base = jnp.take(p_base, idx).astype(jnp.int32)
 
     z = qmeta_a & U32(1)
     qpos = (qmeta_a >> U32(1)) & U32((1 << META_Q_BITS) - 1)
@@ -228,7 +241,9 @@ def collect_anchors_hash(tag, pay, p_rid, p_pos, p_base, hh, hl, meta,
     strand = rid_strand & U32(1)
     rid = rid_strand >> U32(1)
     rev = strand ^ z
-    tpos = jnp.where(rev == 0, rpos, base + span.astype(jnp.int32))
+    val = jnp.take(p_sel, ((idx.astype(U32) << U32(1)) | rev)
+                   .astype(jnp.int32)).astype(jnp.int32)
+    tpos = jnp.where(rev == 0, val, val + span.astype(jnp.int32))
 
     axh = (rid << U32(1)) | rev
     axl = tpos.astype(U32)

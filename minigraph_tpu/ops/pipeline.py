@@ -237,12 +237,14 @@ def make_map_step_v3(ji, w: int, k: int, acap: int = 2048,
     nothing needs x64.  Returns a plain Python function."""
     from .anchors_bucketed import (BucketedJoinIndex, finish_anchors,
                                    spread_queries)
+    from .anchors_hash import HashJoinIndex, collect_anchors_hash
     from .anchors_jax import collect_anchors_join
     from .chain_pallas import chain_planes_traced
     from .probe_pallas import probe_bucketed_pallas
     from .sketch_pallas import sketch_planes_pallas_traced
 
     bucketed = isinstance(ji, BucketedJoinIndex)
+    hashed = isinstance(ji, HashJoinIndex)
     nb = ji.keymat.shape[0] if bucketed else 0
 
     @partial(jax.jit, static_argnames=())
@@ -265,6 +267,12 @@ def make_map_step_v3(ji, w: int, k: int, acap: int = 2048,
                 ext, sf, jnp.int32(max_occ), occ_cap, acap=acap,
                 b_chunk=b_chunk, return_planes=True)
             q_ovf = s_ovf
+        elif hashed:
+            axh, axl, ayh, ayl, n_a, q_ovf = collect_anchors_hash(
+                ji.tag, ji.pay, ji.p_rid, ji.p_sel,
+                sp.hh, sp.hl, sp.meta, sp.t_hh, sp.t_hl, sp.t_meta,
+                jnp.int32(max_occ), hbits=ji.hbits, occ_cap=occ_cap,
+                qcap=qcap, acap=acap, b_chunk=b_chunk, return_planes=True)
         else:
             axh, axl, ayh, ayl, n_a, q_ovf = collect_anchors_join(
                 ji.keymat, ji.keyext, sp.hh, sp.hl, sp.meta,

@@ -129,6 +129,104 @@ def make_index_sharded_map_step_v2(mesh: Mesh, ji, w: int, k: int,
     return jax.jit(step)
 
 
+def shard_hash_index(gi, n_shards: int, occ_cap: int = 16):
+    """Build one cuckoo table per contiguous key-range shard (equal
+    hbits and padded position planes so the shards stack into a single
+    "idx"-sharded array).  Per-shard position offsets are rebased,
+    which also lifts the 24-bit start ceiling by n_shards."""
+    from ..ops.anchors_hash import HashJoinIndex
+
+    seg_len = np.asarray([s.len for s in gi.g.seg], dtype=np.int64)
+    keys_sh, start_sh, cnt_sh, pos_sh = shard_index_by_key(
+        np.asarray(gi.keys), np.asarray(gi.key_start),
+        np.asarray(gi.key_cnt), np.asarray(gi.pos), n_shards)
+    hbits_min = 0
+    while True:  # until every shard fits the common table size
+        shards = []
+        for s in range(n_shards):
+            ks = keys_sh[s]
+            real = ks != np.uint64(0xFFFFFFFFFFFFFFFF)
+            shards.append(HashJoinIndex.from_arrays(
+                ks[real], start_sh[s][real].astype(np.int64),
+                cnt_sh[s][real].astype(np.int64),
+                pos_sh[s], seg_len, k=gi.k, w=gi.w, occ_cap=occ_cap,
+                hbits_min=hbits_min))
+        hb = max(h.hbits for h in shards)
+        if all(h.hbits == hb for h in shards):
+            break
+        hbits_min = hb
+    pmax = max(h.p_rid.shape[0] for h in shards)
+    smax = max(h.p_sel.shape[0] for h in shards)
+
+    def padto(a, n):
+        a = np.asarray(a)
+        return np.pad(a, (0, n - len(a)))
+
+    tag = jnp.asarray(np.stack([np.asarray(h.tag) for h in shards]))
+    pay = jnp.asarray(np.stack([np.asarray(h.pay) for h in shards]))
+    p_rid = jnp.asarray(np.stack([padto(h.p_rid, pmax) for h in shards]))
+    p_sel = jnp.asarray(np.stack([padto(h.p_sel, smax) for h in shards]))
+    return tag, pay, p_rid, p_sel, hb
+
+
+def make_hash_sharded_map_step(mesh: Mesh, gi, acap: int = 1024,
+                               occ_cap: int = 16, qcap: int = 256,
+                               window: int = 16, max_occ: int = 50):
+    """Cuckoo-hash probe with the TABLE sharded over the "idx" mesh
+    axis — the human-scale layout (SURVEY.md §2.5): every key lives in
+    exactly one shard's table, each device probes the full query set
+    against its shard with K-independent gathers, per-shard anchors
+    are all-gathered along "idx" and merge-sorted, then chained.
+    Reads stay data-parallel over "data"."""
+    from jax.experimental.shard_map import shard_map
+
+    from ..ops.anchors_hash import collect_anchors_hash
+    from ..ops.chain_jax import lchain_dp_tiled
+    from ..ops.sketch_jax4 import sketch_planes
+
+    n_idx = mesh.shape["idx"]
+    tag_sh, pay_sh, prid_sh, psel_sh, hbits = shard_hash_index(
+        gi, n_idx, occ_cap=occ_cap)
+    acap_shard = max(acap // n_idx, 256)
+    w, k = gi.w, gi.k
+
+    def local_step(codes, lens, tag, pay, p_rid, p_sel):
+        tag, pay, p_rid, p_sel = tag[0], pay[0], p_rid[0], p_sel[0]
+        sp = sketch_planes(codes, lens, w, k)
+        ax, ay, n_a, q_ovf = collect_anchors_hash(
+            tag, pay, p_rid, p_sel, sp.hh, sp.hl, sp.meta,
+            sp.t_hh, sp.t_hl, sp.t_meta, jnp.int32(max_occ),
+            hbits=hbits, occ_cap=occ_cap, qcap=qcap, acap=acap_shard,
+            b_chunk=min(32, codes.shape[0]))
+        ax_all = jax.lax.all_gather(ax, "idx", axis=0)
+        ay_all = jax.lax.all_gather(ay, "idx", axis=0)
+        n_all = jax.lax.psum(n_a, "idx")
+        b = ax.shape[0]
+        ax_m = jnp.moveaxis(ax_all, 0, 1).reshape(b, -1)
+        ay_m = jnp.moveaxis(ay_all, 0, 1).reshape(b, -1)
+        ax_m, ay_m = jax.lax.sort((ax_m, ay_m), dimension=1, num_keys=1,
+                                  is_stable=True)
+        ax_m, ay_m = ax_m[:, :acap], ay_m[:, :acap]
+        f, p = lchain_dp_tiled(ax_m, ay_m, jnp.minimum(n_all, acap),
+                               jnp.int32(5000), jnp.int32(5000),
+                               jnp.int32(500), jnp.float32(0.1827),
+                               jnp.float32(0.00913), window=window, tile=8)
+        best = jnp.max(f, axis=1)
+        return best, jnp.minimum(n_all, acap)
+
+    fn = shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P("data"), P("data"), P("idx"), P("idx"), P("idx"),
+                  P("idx")),
+        out_specs=(P("data"), P("data")),
+        check_rep=False)
+
+    def step(codes, lens):
+        return fn(codes, lens, tag_sh, pay_sh, prid_sh, psel_sh)
+
+    return jax.jit(step)
+
+
 def make_index_sharded_map_step(mesh: Mesh, dix: DeviceIndex, mcap: int,
                                 acap: int, occ_cap: int = 16,
                                 window: int = 32, max_occ: int = 50):

@@ -55,3 +55,46 @@ def test_dryrun_multichip():
                                       fromlist=["REPO"]).REPO))
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)
+
+
+@pytest.mark.skipif(len(jax.devices("cpu")) < 8 and len(jax.devices()) < 8,
+                    reason="needs 8 devices")
+def test_hash_sharded_matches_unsharded():
+    """Sharded cuckoo tables + allgather merge give the same best chain
+    scores as the single-device flat join step."""
+    import numpy as np
+
+    from minigraph_tpu.graph.gfa_io import read_gfa
+    from minigraph_tpu.index.midx import build_index
+    from minigraph_tpu.ops.anchors_jax import JoinIndex
+    from minigraph_tpu.ops.pipeline import make_map_step_v2
+    from minigraph_tpu.ops.sketch_jax import encode_batch
+    from minigraph_tpu.parallel.shard import (make_hash_sharded_map_step,
+                                              make_mesh)
+
+    g = read_gfa("/root/reference/test/MT.gfa")
+    gi = build_index(g, 17, 11)
+    rng = np.random.default_rng(3)
+    ref = "".join((s.seq or "") for s in g.seg if s.rank == 0)
+    B, L = 8, 512
+    reads = []
+    for _ in range(B):
+        st = int(rng.integers(0, len(ref) - L))
+        s = list(ref[st: st + L])
+        for p in rng.integers(0, len(s), L // 20):
+            s[p] = "ACGT"[int(rng.integers(0, 4))]
+        reads.append("".join(s))
+    codes, lens = encode_batch(reads, pad_to=L)
+
+    mesh = make_mesh(8, idx_shards=4)
+    step = make_hash_sharded_map_step(mesh, gi, acap=1024, window=16)
+    with mesh:
+        best_sh, n_a = step(codes, lens)
+        jax.block_until_ready(best_sh)
+
+    ji = JoinIndex.from_host(gi, occ_cap=16)
+    ref_step = make_map_step_v2(ji, w=gi.w, k=gi.k, acap=1024, window=16,
+                                b_chunk=4)
+    out = jax.jit(ref_step)(codes, lens)
+    assert (np.asarray(best_sh) == np.asarray(out["best"])).all()
+    assert int(np.asarray(n_a).max()) > 0

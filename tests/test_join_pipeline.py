@@ -237,7 +237,7 @@ def test_hash_anchors_match_flat():
         ji.keymat, ji.keyext, *args)
     a2 = jax.jit(partial(collect_anchors_hash, hbits=hi.hbits,
                          occ_cap=16))(
-        hi.tag, hi.pay, hi.p_rid, hi.p_pos, hi.p_base, *args)
+        hi.tag, hi.pay, hi.p_rid, hi.p_sel, *args)
     for x, y in zip(a1[:3], a2[:3]):
         assert (np.asarray(x) == np.asarray(y)).all()
 
