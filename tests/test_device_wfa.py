@@ -43,3 +43,74 @@ def test_device_wfa_matches_host():
                              int(end_d[i]), bool(no_ext[i]))
         assert cig == host.cigar
     assert checked >= 10
+
+
+def test_banded_pallas_matches_exact_wfa():
+    """Pallas banded dual-affine scores equal the exact WFA penalty
+    whenever the optimal path stays inside the band, and equal the
+    full min-plus DP exactly when the band covers the whole table."""
+    import numpy as np
+
+    from minigraph_tpu.align.wfa import WfOpt, wfa_exact
+    from minigraph_tpu.ops.wfa_pallas import banded_score
+
+    X, O1, E1, O2, E2 = 4, 4, 2, 15, 1
+    BIG = 1 << 30
+
+    def dp_oracle(t, q):
+        tl, ql = len(t), len(q)
+        H = np.full((tl + 1, ql + 1), BIG, np.int64)
+        E1a = np.full_like(H, BIG); F1a = np.full_like(H, BIG)
+        E2a = np.full_like(H, BIG); F2a = np.full_like(H, BIG)
+        H[0, 0] = 0
+        for i in range(tl + 1):
+            for j in range(ql + 1):
+                if i == 0 and j == 0:
+                    continue
+                e1 = min(E1a[i, j-1] + E1, H[i, j-1] + O1 + E1) \
+                    if j > 0 else BIG
+                e2 = min(E2a[i, j-1] + E2, H[i, j-1] + O2 + E2) \
+                    if j > 0 else BIG
+                f1 = min(F1a[i-1, j] + E1, H[i-1, j] + O1 + E1) \
+                    if i > 0 else BIG
+                f2 = min(F2a[i-1, j] + E2, H[i-1, j] + O2 + E2) \
+                    if i > 0 else BIG
+                d = H[i-1, j-1] + (0 if t[i-1] == q[j-1] else X) \
+                    if (i > 0 and j > 0) else BIG
+                E1a[i, j], E2a[i, j] = e1, e2
+                F1a[i, j], F2a[i, j] = f1, f2
+                H[i, j] = min(d, e1, e2, f1, f2)
+        return int(H[tl, ql])
+
+    rng = np.random.default_rng(0)
+
+    def rnd(n):
+        return "".join(rng.choice(list("ACGT"), size=n)).encode()
+
+    pairs = [(rnd(int(rng.integers(1, 16))), rnd(int(rng.integers(1, 16))))
+             for _ in range(40)]
+    got = banded_score(pairs, wa=32, interpret=True)
+    want = np.array([dp_oracle(t, q) for t, q in pairs])
+    assert (got == want).all()
+
+    pairs2 = []
+    for _ in range(10):
+        t = bytearray(rnd(150)); q = bytearray(t)
+        for p in rng.integers(0, len(q), size=8):
+            q[p] = ord(rng.choice(list("ACGT")))
+        for _ in range(3):
+            p = int(rng.integers(0, len(q) - 4))
+            if rng.random() < 0.5:
+                del q[p: p + int(rng.integers(1, 4))]
+            else:
+                q[p:p] = rnd(int(rng.integers(1, 4)))
+        pairs2.append((bytes(t), bytes(q)))
+    got2 = banded_score(pairs2, wa=32, interpret=True)
+    want2 = np.array([wfa_exact(WfOpt(max_iter=10**8), t, q).s
+                      for t, q in pairs2])
+    assert (got2 == want2).all()
+
+    # out-of-band length skew reports -1, in-band result unaffected
+    got3 = banded_score([(rnd(100), rnd(20)), pairs2[0]], wa=32,
+                        interpret=True)
+    assert got3[0] == -1 and got3[1] == want2[0]
