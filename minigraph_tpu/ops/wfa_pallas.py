@@ -172,21 +172,24 @@ def encode_banded(pairs: List[Tuple[bytes, bytes]], wa: int = 32,
     n_steps = ((Lmax + 2 + ku - 1) // ku) * ku
     Lpad = ((n_steps + wa + ku + 1 + 7) // 8) * 8
     Bp = ((B + bb - 1) // bb) * bb
-    tp = np.full((Lpad, Bp), T_PAD, dtype=np.int32)
-    qp = np.full((Lpad, Bp), Q_PAD, dtype=np.int32)
+    # build row-major (pair-contiguous) then transpose once: column
+    # writes into the (Lpad, Bp) layout are 60x slower
+    tpr = np.full((Bp, Lpad), T_PAD, dtype=np.uint8)
+    qpr = np.full((Bp, Lpad), Q_PAD, dtype=np.uint8)
     tl = np.zeros(Bp, dtype=np.int32)
     ql = np.zeros(Bp, dtype=np.int32)
     c = n_steps - 1 + wa // 2
+    tpr[:B, wa // 2] = SENT
+    qpr[:B, c] = SENT
     for i, (t, q) in enumerate(pairs):
         tl[i], ql[i] = len(t), len(q)
-        tp[wa // 2, i] = SENT
-        tp[wa // 2 + 1: wa // 2 + 1 + len(t), i] = \
+        tpr[i, wa // 2 + 1: wa // 2 + 1 + len(t)] = \
             np.frombuffer(t, dtype=np.uint8)
-        qp[c, i] = SENT
-        qp[c - len(q): c, i] = np.frombuffer(q, dtype=np.uint8)[::-1]
+        qpr[i, c - len(q): c] = np.frombuffer(q, dtype=np.uint8)[::-1]
     tl8 = np.broadcast_to(tl, (8, Bp)).copy()
     ql8 = np.broadcast_to(ql, (8, Bp)).copy()
-    return (jnp.asarray(tp), jnp.asarray(qp),
+    return (jnp.asarray(tpr.T.astype(np.int32)),
+            jnp.asarray(qpr.T.astype(np.int32)),
             jnp.asarray(tl8), jnp.asarray(ql8), n_steps)
 
 
