@@ -82,7 +82,10 @@ def bench_device(gi, reads):
     from minigraph_tpu.ops.sketch_jax import encode_batch
 
     ji = JoinIndex.from_host(gi, occ_cap=16)
-    fn = make_map_step_v3(ji, w=gi.w, k=gi.k, acap=READ_LEN, window=32)
+    # acap/qcap sized to the workload (2kb reads emit <= ~350
+    # minimizers, ~1.2 hits each); overflow flags guard truncation
+    fn = make_map_step_v3(ji, w=gi.w, k=gi.k, acap=512, qcap=384,
+                          window=32, b_chunk=64)
     batches = []
     for i in range(0, len(reads), BATCH):
         chunk = reads[i: i + BATCH]
@@ -164,8 +167,8 @@ def bench_scale_2mb():
     hi = HashJoinIndex.from_host(gi, occ_cap=16)
     reads = simulate_reads(g, BATCH, READ_LEN, seed=7)
     codes, lens = encode_batch(reads, pad_to=READ_LEN)
-    fn = make_map_step_v3(hi, w=gi.w, k=gi.k, acap=READ_LEN,
-                          window=32)
+    fn = make_map_step_v3(hi, w=gi.w, k=gi.k, acap=512, qcap=384,
+                          window=32, b_chunk=64)
     out = fn(codes, lens)
     np.asarray(out["best"])
     t0 = time.perf_counter()

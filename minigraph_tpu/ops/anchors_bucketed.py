@@ -262,7 +262,9 @@ def finish_anchors(ext, sf, max_occ, occ_cap: int, acap: int = 2048,
     occ_byte = jnp.where(keep, jnp.minimum(cnt, 255), 0)
 
     offs = jnp.cumsum(occ, axis=1) - occ
-    n_a = jnp.minimum(jnp.sum(occ, axis=1), acap).astype(jnp.int32)
+    n_tot = jnp.sum(occ, axis=1)
+    n_a = jnp.minimum(n_tot, acap).astype(jnp.int32)
+    a_ovf = n_tot > acap
 
     qext = jnp.concatenate(
         [jnp.stack([offs.astype(F32), occ_byte.astype(F32),
@@ -328,8 +330,8 @@ def finish_anchors(ext, sf, max_occ, occ_cap: int, acap: int = 2048,
     axh, axl, ayh, ayl = jax.lax.sort(
         (axh, axl, ayh, ayl), dimension=1, num_keys=2, is_stable=True)
     if return_planes:
-        return axh, axl, ayh, ayl, n_a
-    return (u32.to_u64(axh, axl), u32.to_u64(ayh, ayl), n_a)
+        return axh, axl, ayh, ayl, n_a, a_ovf
+    return (u32.to_u64(axh, axl), u32.to_u64(ayh, ayl), n_a, a_ovf)
 
 
 def collect_anchors_bucketed(keymat, keyext, hh, hl, meta, t_hh, t_hl,
@@ -362,4 +364,4 @@ def collect_anchors_bucketed(keymat, keyext, hh, hl, meta, t_hh, t_hl,
         ext = probe_xla(keymat, keyext, sf)
     out = finish_anchors(ext, sf, max_occ, occ_cap, acap=acap,
                          b_chunk=b_chunk, return_planes=return_planes)
-    return (*out, q_overflow)
+    return (*out[:-1], q_overflow | out[-1])

@@ -190,7 +190,9 @@ def collect_anchors_hash(tag, pay, p_rid, p_sel, hh, hl, meta,
     occ_byte = jnp.where(keep, cnt, 0)  # capped at 63 by the table
 
     offs = jnp.cumsum(occ, axis=1) - occ
-    n_a = jnp.minimum(jnp.sum(occ, axis=1), acap).astype(jnp.int32)
+    n_tot = jnp.sum(occ, axis=1)
+    n_a = jnp.minimum(n_tot, acap).astype(jnp.int32)
+    q_overflow = q_overflow | (n_tot > acap)
 
     # ---- band expansion extracting [offs, occ_byte, m_lo, m_hi, start]
     qext = jnp.stack([offs.astype(F32), occ_byte.astype(F32),

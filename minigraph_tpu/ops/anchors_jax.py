@@ -207,7 +207,9 @@ def collect_anchors_join(keymat, keyext, hh, hl, meta, t_hh, t_hl, t_meta,
     occ_byte = jnp.where(keep, jnp.minimum(cnt, 255), 0)
 
     offs = jnp.cumsum(occ, axis=1) - occ
-    n_a = jnp.minimum(jnp.sum(occ, axis=1), acap).astype(jnp.int32)
+    n_tot = jnp.sum(occ, axis=1)
+    n_a = jnp.minimum(n_tot, acap).astype(jnp.int32)
+    q_overflow = q_overflow | (n_tot > acap)
 
     # ---- band expansion: anchor a belongs to query q iff
     # offs_q <= a < offs_q + occ_q ----

@@ -198,8 +198,8 @@ def make_map_pipeline_v2(ji, w: int, k: int, acap: int = 2048,
                 sf[:9], ji.keymat, ji.keyext, nb, bb=bb,
                 kc=min(512, ji.keymat.shape[2]),
                 interpret=pallas_interpret)
-            axh, axl, ayh, ayl, n_a = tail(ext, sf)
-            return axh, axl, ayh, ayl, n_a, ovf
+            axh, axl, ayh, ayl, n_a, a_ovf = tail(ext, sf)
+            return axh, axl, ayh, ayl, n_a, ovf | a_ovf
     else:
         @jax.jit
         def anchors(codes, lens):
@@ -263,10 +263,10 @@ def make_map_step_v3(ji, w: int, k: int, acap: int = 2048,
                 sf[:9], ji.keymat, ji.keyext, nb, bb=bb,
                 kc=min(512, ji.keymat.shape[2]),
                 interpret=pallas_interpret)
-            axh, axl, ayh, ayl, n_a = finish_anchors(
+            axh, axl, ayh, ayl, n_a, a_ovf = finish_anchors(
                 ext, sf, jnp.int32(max_occ), occ_cap, acap=acap,
                 b_chunk=b_chunk, return_planes=True)
-            q_ovf = s_ovf
+            q_ovf = s_ovf | a_ovf
         elif hashed:
             axh, axl, ayh, ayl, n_a, q_ovf = collect_anchors_hash(
                 ji.tag, ji.pay, ji.p_rid, ji.p_sel,
