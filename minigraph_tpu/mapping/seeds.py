@@ -246,7 +246,10 @@ def collect_seed_hits(gi: MinimizerIndex, opt: MapOptions, max_occ: int,
     rpos = ((r & U64(0xFFFFFFFF)) >> U64(1)).astype(np.int64)
     rev = ((r.astype(np.int64) ^ mq_pos) & 1).astype(np.int64)
 
-    seg_len = np.asarray([s.len for s in gi.g.seg], dtype=np.int64)
+    seg_len = getattr(gi, "_seg_len_arr", None)
+    if seg_len is None or len(seg_len) != gi.g.n_seg:
+        seg_len = np.asarray([s.len for s in gi.g.seg], dtype=np.int64)
+        gi._seg_len_arr = seg_len
     tpos = np.where(rev == 0, rpos, seg_len[rid] - (rpos + 1 - mq_span) - 1)
     ax = (rid.astype(np.uint64) << U64(33)) | (rev.astype(np.uint64) << U64(32)) \
         | tpos.astype(np.uint64)
