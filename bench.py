@@ -141,10 +141,11 @@ def bench_reference(reads):
         os.unlink(fa)
 
 
-def bench_scale_2mb():
-    """Informational: MHC-class scale (2 Mb graph, K~334k) via the
-    cuckoo-hash fused step (K-independent gathers win above ~1e5
-    keys; see ops/anchors_hash.py)."""
+def bench_scale():
+    """Informational: MHC-class scale — an 8 Mb, 400-segment synthetic
+    graph (200 backbone segments + 200 divergent alt alleles, K~1.4M)
+    through the cuckoo-hash fused step (K-independent gathers win
+    above ~1e5 keys; see ops/anchors_hash.py)."""
     import numpy as np
 
     from minigraph_tpu.graph.gfa import Graph
@@ -154,18 +155,42 @@ def bench_scale_2mb():
     from minigraph_tpu.ops.sketch_jax import encode_batch
 
     rng = np.random.default_rng(0)
-    seq = "".join(rng.choice(list("ACGT"), size=2_000_000))
     g = Graph()
-    sid = g.add_seg("s1")
-    g.seg[sid].seq = seq
-    g.seg[sid].len = len(seq)
-    g.seg[sid].snid = g.sseq_add("chr1")
-    g.seg[sid].soff = 0
-    g.seg[sid].rank = 0
+    backbone = []
+    soff = 0
+    for i in range(200):
+        seq = "".join(rng.choice(list("ACGT"), size=40_000))
+        sid = g.add_seg(f"s{i}")
+        g.seg[sid].seq = seq
+        g.seg[sid].len = len(seq)
+        g.seg[sid].snid = g.sseq_add("chr1") if i == 0 else g.seg[0].snid
+        g.seg[sid].soff = soff
+        g.seg[sid].rank = 0
+        soff += len(seq)
+        backbone.append(seq)
+    for i in range(200):
+        s = list(backbone[i][10_000:12_000])
+        for p in rng.integers(0, len(s), size=100):
+            s[p] = "ACGT"[int(rng.integers(0, 4))]
+        sid = g.add_seg(f"a{i}")
+        g.seg[sid].seq = "".join(s)
+        g.seg[sid].len = len(s)
+        g.seg[sid].snid = g.sseq_add(f"alt{i}")
+        g.seg[sid].soff = 0
+        g.seg[sid].rank = 1
     g.finalize()
     gi = build_index(g, 17, 11)
     hi = HashJoinIndex.from_host(gi, occ_cap=16)
-    reads = simulate_reads(g, BATCH, READ_LEN, seed=7)
+
+    ref = "".join(backbone)
+    rng2 = np.random.default_rng(7)
+    reads = []
+    for _ in range(BATCH):
+        st = int(rng2.integers(0, len(ref) - READ_LEN))
+        s = list(ref[st: st + READ_LEN])
+        for p in rng2.integers(0, len(s), size=READ_LEN // 20):
+            s[p] = "ACGT"[int(rng2.integers(0, 4))]
+        reads.append("".join(s))
     codes, lens = encode_batch(reads, pad_to=READ_LEN)
     fn = make_map_step_v3(hi, w=gi.w, k=gi.k, acap=512, qcap=384,
                           window=32, b_chunk=64)
@@ -176,7 +201,7 @@ def bench_scale_2mb():
         out = fn(codes, lens)
     np.asarray(out["best"])
     dt = (time.perf_counter() - t0) / 3
-    log(f"scale 2Mb graph (K={len(gi.keys)}): "
+    log(f"scale 8Mb/400-seg graph (K={len(gi.keys)}): "
         f"{BATCH / dt:.0f} reads/s/chip (cuckoo-hash fused step)")
 
 
@@ -188,7 +213,7 @@ def main():
     log(f"{len(reads)} reads x {READ_LEN} bp vs graph with {g.n_seg} segs")
     rps, out = bench_device(gi, reads)
     try:
-        bench_scale_2mb()
+        bench_scale()
     except Exception as e:
         log(f"scale bench skipped: {e}")
     log(f"device seed-chain: {rps:.1f} reads/s "
