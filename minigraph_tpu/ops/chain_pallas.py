@@ -122,7 +122,8 @@ def chain_planes_traced(axh, axl, ayh, ayl, n_a, maxdx, maxdy, bw,
     """x64-free traceable chain: u32 planes (B, A) -> (f, p) (B, A)."""
     B, A = axh.shape
     W, T = window, tile
-    assert A % T == 0
+    assert A % T == 0, \
+        f"anchor capacity {A} must be a multiple of the chain tile {T}"
 
     axh_t = axh.T                                          # (A, B)
     tp = axl.view(jnp.int32).T

@@ -260,3 +260,56 @@ def test_sketch_pallas_matches_xla():
                                interpret=True)
     for a, b in zip(sp1, sp2):
         assert (np.asarray(a) == np.asarray(b)).all()
+
+
+def test_anchor_cap_overflow_flag():
+    """Anchors beyond acap raise the read's overflow flag (fallback
+    routing) in the flat, hash, and bucketed backends alike."""
+    from minigraph_tpu.graph.gfa_io import read_gfa
+    from minigraph_tpu.index.midx import build_index
+    from minigraph_tpu.ops.anchors_bucketed import (BucketedJoinIndex,
+                                                    collect_anchors_bucketed)
+    from minigraph_tpu.ops.anchors_hash import (HashJoinIndex,
+                                                collect_anchors_hash)
+    from minigraph_tpu.ops.anchors_jax import JoinIndex, collect_anchors_join
+
+    g = read_gfa("/root/reference/test/MT.gfa")
+    gi = build_index(g, K, W)
+    rng = np.random.default_rng(2)
+    ref = "".join((s.seq or "") for s in g.seg if s.rank == 0)
+    B, L = 4, 2048  # ~200 anchors per read at 5% divergence
+    reads = []
+    for _ in range(B):
+        st = int(rng.integers(0, len(ref) - L))
+        s = list(ref[st: st + L])
+        for p in rng.integers(0, len(s), L // 20):
+            s[p] = "ACGT"[int(rng.integers(0, 4))]
+        reads.append("".join(s))
+    codes, lens = encode_batch(reads, pad_to=L)
+    sp = jax.jit(partial(sketch_planes, w=W, k=K))(codes, lens)
+    args = (sp.hh, sp.hl, sp.meta, sp.t_hh, sp.t_hl, sp.t_meta,
+            jnp.int32(50))
+    ji = JoinIndex.from_host(gi, occ_cap=16)
+    hi = HashJoinIndex.from_host(gi, occ_cap=16)
+    bi = BucketedJoinIndex.from_host(gi, occ_cap=16)
+    for small, big in (
+        (collect_anchors_join(ji.keymat, ji.keyext, *args, occ_cap=16,
+                              acap=64, b_chunk=4),
+         collect_anchors_join(ji.keymat, ji.keyext, *args, occ_cap=16,
+                              acap=1024, b_chunk=4)),
+        (collect_anchors_hash(hi.tag, hi.pay, hi.p_rid, hi.p_sel, *args,
+                              hbits=hi.hbits, occ_cap=16, acap=64,
+                              b_chunk=4),
+         collect_anchors_hash(hi.tag, hi.pay, hi.p_rid, hi.p_sel, *args,
+                              hbits=hi.hbits, occ_cap=16, acap=1024,
+                              b_chunk=4)),
+        (collect_anchors_bucketed(bi.keymat, bi.keyext, *args, occ_cap=16,
+                                  acap=64, b_chunk=4),
+         collect_anchors_bucketed(bi.keymat, bi.keyext, *args, occ_cap=16,
+                                  acap=1024, b_chunk=4)),
+    ):
+        n_big = np.asarray(big[2])
+        ovf_small = np.asarray(small[3])
+        ovf_big = np.asarray(big[3])
+        assert (ovf_small == (n_big > 64)).all()
+        assert not ovf_big.any()
