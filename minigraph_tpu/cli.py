@@ -31,7 +31,7 @@ _LONG = [
     "max-gc-skip=", "max-lc-iter=", "max-rmq-size=", "inv=", "write-mz",
     "call", "cap-calloc=", "gdp-max-ed=", "dbg-seed",
     "dbg-lchain", "dbg-gc1", "dbg-shortk", "dbg-qname", "dbg-insert",
-    "dbg-lc-prof", "dbg-mwf-long", "dbg-mwf-seq", "no-kalloc",
+    "dbg-lc-prof", "dbg-mwf-long", "dbg-mwf-seq", "no-kalloc", "tpu",
 ]
 
 
@@ -78,6 +78,7 @@ def main(argv: Optional[List[str]] = None) -> int:
                 return 1
     out = sys.stdout
     n_threads = 4
+    device = False
     for k, v in opts:
         if k == "-w":
             io_.w = int(v)
@@ -228,6 +229,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         elif k == "--dbg-lchain":
             from .options import DBG, MG_DBG_LCHAIN
             DBG["flag"] |= MG_DBG_LCHAIN
+        elif k == "--tpu":
+            device = True
 
     if opt_check(io_, mo, go) < 0:
         return 1
@@ -241,7 +244,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     mlog("main", f'loaded the graph from "{args[0]}"')
     ret = 0
     if go.algo == 0 and not (go.flag & MG_G_CALL):
-        ret = map_files(g, args[1:], io_, mo, out=out, n_threads=n_threads)
+        ret = map_files(g, args[1:], io_, mo, out=out, n_threads=n_threads,
+                        device=device)
     else:
         from .ggen.driver import ggen
         if go.flag & MG_G_CALL:

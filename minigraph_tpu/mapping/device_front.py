@@ -1,0 +1,237 @@
+"""TPU device front-end for the production mapping path.
+
+Runs the batched seed stage — minimizer sketch, index probe, anchor
+construction (collect_seed_hits semantics, map-algo.c:58-192) — on
+device with BYTE PARITY against the host path, then hands each read to
+the exact host tail (mapping/mapper.py:map_frag_tail).  Reads the
+device cannot reproduce exactly carry an overflow flag (sketch tie
+overflow, qcap/acap overflow, occurrence-cap truncation) and fall back
+to the full host path, so output is byte-identical either way.
+
+Reads are padded into length buckets so each (batch, pad_len)
+combination compiles once; long reads use wider, shallower buckets.
+"""
+from __future__ import annotations
+
+import sys
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..index.midx import MinimizerIndex
+from ..options import (MG_M_HEAP_SORT, MG_M_NO_DIAG, MapOptions)
+
+U64 = np.uint64
+META_Q_MASK = (1 << 25) - 1
+
+# (pad_len, batch) buckets; reads longer than the widest go to host
+DEFAULT_BUCKETS: Tuple[Tuple[int, int], ...] = (
+    (2048, 256), (8192, 64), (32768, 16))
+
+
+@dataclass
+class FrontResult:
+    """Per-read device seed-stage output, host-array form."""
+    ax: np.ndarray        # (n_a,) uint64 anchors sorted by x
+    ay: np.ndarray
+    rep_len: int
+    mini_pos: np.ndarray  # (n_mini_pos,) int32
+    n_mv: int
+    f: Optional[np.ndarray] = None  # (n_a,) int32 device chain DP scores
+    p: Optional[np.ndarray] = None  # (n_a,) int32 parents
+
+
+def derive_query_info(q_cnt: np.ndarray, q_meta: np.ndarray, n_q: int,
+                      max_occ: int) -> Tuple[int, np.ndarray]:
+    """rep_len + mini_pos from per-emission query info
+    (collect_matches, map-algo.c:67-89)."""
+    cnts = q_cnt[:n_q].astype(np.int64)
+    metas = q_meta[:n_q].astype(np.uint32)
+    qpos = ((metas >> 1) & META_Q_MASK).astype(np.int64)   # k-mer end i
+    span = ((metas >> 26) & 0x1F).astype(np.int64)
+    rep = cnts >= max_occ
+    mini_pos = qpos[~rep].astype(np.int32)
+    rep_st = rep_en = 0
+    rep_len = 0
+    for en, sp in zip((qpos[rep] + 1).tolist(), span[rep].tolist()):
+        st = en - sp
+        if st > rep_en:
+            rep_len += rep_en - rep_st
+            rep_st, rep_en = st, en
+        else:
+            rep_en = en
+    rep_len += rep_en - rep_st
+    return rep_len, mini_pos
+
+
+class DeviceFront:
+    """Batched on-device seed stage with host fallback flags."""
+
+    def __init__(self, gi: MinimizerIndex, opt: MapOptions,
+                 buckets: Sequence[Tuple[int, int]] = DEFAULT_BUCKETS,
+                 occ_cap: int = 16, b_chunk: int = 32, chain: bool = True,
+                 chain_max_anchors: int = 2048):
+        from ..options import MG_M_RMQ, MG_M_SPLICE, MG_M_SR
+        from ..ops.anchors_jax import JoinIndex
+        from ..utils.hashes import expf
+        self.gi = gi
+        self.opt = opt
+        self.occ_cap = occ_cap
+        self.b_chunk = b_chunk
+        self.ji = JoinIndex.from_host(gi, occ_cap=occ_cap)
+        self.buckets = sorted(buckets)
+        self.max_len = self.buckets[-1][0]
+        self._fns: Dict[int, object] = {}
+        self.n_device = 0
+        self.n_fallback = 0
+        self.n_chain_unsure = 0
+        # device chain DP (ops/chain_exact.py) applies when the chain
+        # parameters are read-independent (map-algo.c:377-390): no sr/
+        # splice/rmq, no frag-length-dependent ref gap
+        self.chain_enabled = (
+            chain and not (opt.flag & (MG_M_RMQ | MG_M_SPLICE | MG_M_SR))
+            and opt.max_frag_len <= 0)
+        self.chain_max_anchors = chain_max_anchors
+        tmp = expf(-np.float32(opt.div) * np.float32(gi.k))
+        self.chn_pen_gap = float(np.float32(
+            np.float32(opt.chn_pen_gap) * np.float32(tmp)))
+        self.chn_pen_skip = float(np.float32(
+            np.float32(opt.chn_pen_skip) * np.float32(tmp)))
+        mdx = opt.max_gap_ref if opt.max_gap_ref > 0 else opt.max_gap
+        mdy = opt.max_gap
+        self.mdx_adj = max(mdx, opt.bw)
+        self.mdy_adj = max(mdy, opt.bw)
+
+    def _fn(self, pad_len: int):
+        fn = self._fns.get(pad_len)
+        if fn is None:
+            import jax
+            import jax.numpy as jnp
+            from functools import partial
+            from ..ops import u32
+            from ..ops.anchors_jax import collect_anchors_exact
+            from ..ops.chain_exact import lchain_dp_exact
+            from ..ops.sketch_jax4 import sketch_planes
+            # caps scale with the bucket: qcap covers ~2L/w emissions,
+            # acap covers a few hits per emission; overflow-flagged
+            # reads fall back to host, so caps trade throughput only.
+            qcap = max(512, pad_len // 2)
+            acap = max(1024, pad_len)
+            do_chain = self.chain_enabled and acap <= self.chain_max_anchors
+            opt = self.opt
+
+            @jax.jit
+            def step(codes, lens, max_occ):
+                sp = sketch_planes(codes, lens, self.gi.w, self.gi.k)
+                res = collect_anchors_exact(
+                    self.ji.keymat, self.ji.keyext, sp.hh, sp.hl, sp.meta,
+                    sp.t_hh, sp.t_hl, sp.t_meta, max_occ,
+                    occ_cap=self.occ_cap, qcap=qcap, acap=acap,
+                    b_chunk=self.b_chunk)
+                res["overflow"] = res["overflow"] | sp.overflow
+                if do_chain:
+                    ax = u32.to_u64(res["axh"], res["axl"])
+                    ay = u32.to_u64(res["ayh"], res["ayl"])
+                    f, p, v, sure = lchain_dp_exact(
+                        ax, ay, res["n_a"], jnp.int32(self.mdx_adj),
+                        jnp.int32(self.mdy_adj), jnp.int32(opt.bw),
+                        jnp.int32(opt.max_lc_skip),
+                        jnp.int32(opt.max_lc_iter),
+                        jnp.float32(self.chn_pen_gap),
+                        jnp.float32(self.chn_pen_skip))
+                    res["f"], res["p"], res["sure"] = f, p, sure
+                return res
+
+            self._fns[pad_len] = fn = step
+        return fn
+
+    def eligible(self, opt: MapOptions, n_segs: int, qlen_sum: int) -> bool:
+        from ..options import DBG
+        if DBG["flag"]:
+            return False
+        if n_segs != 1 or qlen_sum == 0 or qlen_sum > self.max_len:
+            return False
+        if opt.flag & (MG_M_HEAP_SORT | MG_M_NO_DIAG):
+            return False
+        if opt.max_qlen > 0 and qlen_sum > opt.max_qlen:
+            return False
+        return True
+
+    def run_batch(self, seqs: List[str]) -> List[Optional[FrontResult]]:
+        """Device seed stage for a list of reads (already uppercased).
+
+        Returns one FrontResult per read, or None where the read must
+        take the host path (overflow).  Reads are grouped into length
+        buckets; each bucket is one device dispatch.
+        """
+        from ..ops.sketch_jax import encode_batch
+
+        out: List[Optional[FrontResult]] = [None] * len(seqs)
+        by_bucket: Dict[int, List[int]] = {}
+        for i, s in enumerate(seqs):
+            for pad_len, bsz in self.buckets:
+                if len(s) <= pad_len:
+                    by_bucket.setdefault(pad_len, []).append(i)
+                    break
+        max_occ = np.int32(self.opt.occ_max1)
+        for pad_len, idxs in by_bucket.items():
+            bsz = dict(self.buckets)[pad_len]
+            fn = self._fn(pad_len)
+            for c0 in range(0, len(idxs), bsz):
+                chunk = idxs[c0: c0 + bsz]
+                reads = [seqs[i] for i in chunk]
+                # pad the batch to the compiled size
+                reads += [""] * (bsz - len(reads))
+                codes, lens = encode_batch(reads, pad_to=pad_len)
+                res = fn(codes, lens, max_occ)
+                ovf = np.asarray(res["overflow"])
+                f_dev = np.asarray(res["f"]) if "f" in res else None
+                p_dev = np.asarray(res["p"]) if "p" in res else None
+                sure = np.asarray(res["sure"]) if "sure" in res else None
+                axh = np.asarray(res["axh"])
+                axl = np.asarray(res["axl"])
+                ayh = np.asarray(res["ayh"])
+                ayl = np.asarray(res["ayl"])
+                n_a = np.asarray(res["n_a"])
+                q_cnt = np.asarray(res["q_cnt"])
+                q_meta = np.asarray(res["q_meta"])
+                n_q = np.asarray(res["n_q"])
+                for bi, ri in enumerate(chunk):
+                    if ovf[bi]:
+                        self.n_fallback += 1
+                        continue
+                    n = int(n_a[bi])
+                    ax = (axh[bi, :n].astype(U64) << U64(32)) \
+                        | axl[bi, :n].astype(U64)
+                    # device ayh = occ<<24|tandem<<10|span; host layout is
+                    # occ<<56|seg<<48|tandem<<42|span<<32 in the hi word
+                    ah = ayh[bi, :n].astype(U64)
+                    occ = ah >> U64(24)
+                    tand = (ah >> U64(10)) & U64(1)
+                    span = ah & U64(0x3FF)
+                    ay = (occ << U64(56)) | (tand << U64(42)) \
+                        | (span << U64(32)) | ayl[bi, :n].astype(U64)
+                    rep_len, mini_pos = derive_query_info(
+                        q_cnt[bi], q_meta[bi], int(n_q[bi]),
+                        int(self.opt.occ_max1))
+                    fb = pb = None
+                    if f_dev is not None:
+                        if sure[bi]:
+                            fb, pb = f_dev[bi, :n], p_dev[bi, :n]
+                        else:
+                            self.n_chain_unsure += 1
+                    out[ri] = FrontResult(ax=ax, ay=ay, rep_len=rep_len,
+                                          mini_pos=mini_pos,
+                                          n_mv=int(n_q[bi]), f=fb, p=pb)
+                    self.n_device += 1
+        return out
+
+    def log_stats(self):
+        from ..utils.syslog import mlog
+        tot = self.n_device + self.n_fallback
+        if tot:
+            mlog("device_front",
+                 f"device seed stage: {self.n_device}/{tot} reads on "
+                 f"device, {self.n_fallback} host fallbacks, "
+                 f"{self.n_chain_unsure} chain-DP host reruns")

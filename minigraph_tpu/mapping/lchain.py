@@ -309,6 +309,26 @@ def lchain_dp(max_dist_x: int, max_dist_y: int, bw: int, max_skip: int,
     return ox, oy, n_u, u
 
 
+def lchain_dp_from_fp(f: np.ndarray, p: np.ndarray, bw: int, max_skip_unused,
+                      min_cnt: int, min_sc: int, is_cdna: bool,
+                      ax: np.ndarray, ay: np.ndarray):
+    """Finish mg_lchain_dp from precomputed DP arrays (lchain.c:209-219).
+
+    The device chain kernel (ops/chain_exact.py) fills f/p exactly for
+    unflagged reads; this runs the shared peak backtrack + chain
+    compaction on the host.  Returns (ax, ay, n_u, u) like lchain_dp."""
+    n = len(ax)
+    max_drop = 0x7FFFFFFF if is_cdna else bw
+    u, vv, n_u, n_v = chain_backtrack(
+        n, f.astype(np.int64), p.astype(np.int64), min_cnt, min_sc,
+        max_drop, 0)
+    if n_u == 0:
+        return (np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.uint64),
+                0, np.empty(0, dtype=np.uint64))
+    ox, oy = compact_a(n_u, u, n_v, vv, ax, ay)
+    return ox, oy, n_u, u
+
+
 def lchain_rmq(max_dist, max_dist_inner, bw, max_chn_skip, cap_rmq_size,
                min_cnt, min_sc, chn_pen_gap, chn_pen_skip, ax, ay):
     """RMQ-based long-range chaining (mg_lchain_rmq, lchain.c:252-372)."""

@@ -46,10 +46,6 @@ def map_frag(gi: MinimizerIndex, qlens: List[int], seqs: List[str],
     from ..options import DBG as _DBG, MG_DBG_QNAME as _Q
     if _DBG["flag"] & _Q:
         sys.stderr.write(f"QR\t{qname}\t0\t{qlen_sum}\n")
-    hash_ = kh_hash_str(qname) if qname else 0
-    hash_ ^= (kh_hash_uint32(qlen_sum & U32) + kh_hash_uint32(opt.seed)) & U32
-    hash_ &= U32
-    hash_ = kh_hash_uint32(hash_)
 
     mv_x, mv_y = collect_minimizers(gi, qlens, seqs)
     n_mv = len(mv_x)
@@ -60,6 +56,25 @@ def map_frag(gi: MinimizerIndex, qlens: List[int], seqs: List[str],
     else:
         ax, ay, rep_len, mini_pos = collect_seed_hits(
             gi, opt, opt.occ_max1, mv_x, mv_y, qname)
+    return map_frag_tail(gi, qlens, seqs, opt, qname,
+                         ax, ay, rep_len, mini_pos, n_mv)
+
+
+def map_frag_tail(gi: MinimizerIndex, qlens: List[int], seqs: List[str],
+                  opt: MapOptions, qname: Optional[str],
+                  ax: np.ndarray, ay: np.ndarray, rep_len: int,
+                  mini_pos: np.ndarray, n_mv: int,
+                  chain_fp=None) -> Optional[GChains]:
+    """Per-read pipeline after seed collection (map-algo.c:377-495).
+
+    Split out so the device front-end (mapping/device_front.py) can
+    inject batched on-device anchors and continue byte-identically."""
+    n_segs = len(qlens)
+    qlen_sum = sum(qlens)
+    hash_ = kh_hash_str(qname) if qname else 0
+    hash_ ^= (kh_hash_uint32(qlen_sum & U32) + kh_hash_uint32(opt.seed)) & U32
+    hash_ &= U32
+    hash_ = kh_hash_uint32(hash_)
 
     from ..options import DBG, MG_DBG_SEED, MG_DBG_LCHAIN, MG_DBG_QNAME
     if DBG["flag"] & MG_DBG_SEED:
@@ -101,6 +116,12 @@ def map_frag(gi: MinimizerIndex, qlens: List[int], seqs: List[str],
                                      opt.max_lc_skip, opt.rmq_size_cap,
                                      opt.min_lc_cnt, opt.min_lc_score,
                                      chn_pen_gap, chn_pen_skip, ax, ay)
+    elif chain_fp is not None:
+        # device-computed DP fill (ops/chain_exact.py); host backtrack
+        from .lchain import lchain_dp_from_fp
+        ax, ay, n_lc, u = lchain_dp_from_fp(
+            chain_fp[0], chain_fp[1], opt.bw, opt.max_lc_skip,
+            opt.min_lc_cnt, opt.min_lc_score, is_splice, ax, ay)
     else:
         ax, ay, n_lc, u = lchain_dp(max_chain_gap_ref, max_chain_gap_qry,
                                     opt.bw, opt.max_lc_skip, opt.max_lc_iter,
@@ -231,13 +252,21 @@ def map_one(gi: MinimizerIndex, seq: str, opt: MapOptions,
 
 def map_files(g: Graph, fns: List[str], ipt: IndexOptions, opt0: MapOptions,
               out=sys.stdout, cov: Optional[tuple] = None,
-              n_threads: int = 1) -> int:
-    """Index once, then map each query file (mg_map_files, gmap.c:186-211)."""
+              n_threads: int = 1, device: bool = False) -> int:
+    """Index once, then map each query file (mg_map_files, gmap.c:186-211).
+
+    With device=True the batched seed stage (sketch + index probe +
+    anchor build) runs on the TPU (mapping/device_front.py); flagged
+    reads fall back to the host path, so output stays byte-identical."""
     import copy
     opt = copy.copy(opt0)
     gi = build_index(g, ipt.k, ipt.w, opt)
     if gi is None:
         return -1
+    front = None
+    if device:
+        from .device_front import DeviceFront
+        front = DeviceFront(gi, opt)
     c_seg = c_link = None
     if opt.flag & MG_M_CAL_COV:
         c_seg = np.zeros(g.n_seg, dtype=np.float64)
@@ -245,7 +274,9 @@ def map_files(g: Graph, fns: List[str], ipt: IndexOptions, opt0: MapOptions,
     frag_mode = bool(opt.flag & MG_M_FRAG_MODE)
     file_groups = [fns] if frag_mode and len(fns) > 1 else [[fn] for fn in fns]
     for group in file_groups:
-        _map_file_frag(gi, group, opt, out, c_seg, c_link, n_threads)
+        _map_file_frag(gi, group, opt, out, c_seg, c_link, n_threads, front)
+    if front is not None:
+        front.log_stats()
     if opt.flag & MG_M_CAL_COV:
         from ..ggen.cov import aux_update_cv
         aux_update_cv(g, "dc", c_seg, c_link)
@@ -312,7 +343,8 @@ def _revcomp_str(s: str) -> str:
 
 
 def _map_file_frag(gi: MinimizerIndex, fns: List[str], opt: MapOptions,
-                   out, c_seg, c_link, n_threads: int = 1) -> None:
+                   out, c_seg, c_link, n_threads: int = 1,
+                   front=None) -> None:
     """3-step read→map→write pipeline semantics (gmap.c:66-177)."""
     frag_mode = len(fns) > 1 or bool(opt.flag & MG_M_FRAG_MODE)
     fps = [BSeqFile(fn) for fn in fns]
@@ -336,8 +368,20 @@ def _map_file_frag(gi: MinimizerIndex, fns: List[str], opt: MapOptions,
                     frags.append((j, i - j))
                     j = i
             pre = None
+            front_res = None
+            if front is not None:
+                # device seed stage for every eligible single-seg frag
+                front_idx = [fi for fi, (off, n_seg) in enumerate(frags)
+                             if front.eligible(opt, n_seg,
+                                               batch[off].l_seq)]
+                if front_idx:
+                    res = front.run_batch(
+                        [batch[frags[fi][0]].seq for fi in front_idx])
+                    front_res = dict(zip(front_idx, res))
             import os
             eff_threads = min(n_threads, os.cpu_count() or 1)
+            if front is not None:
+                eff_threads = 1  # device batching replaces the fork pool
             if eff_threads > 1 and not (opt.flag & MG_M_INDEPEND_SEG):
                 items = []
                 for off, n_seg in frags:
@@ -362,6 +406,13 @@ def _map_file_frag(gi: MinimizerIndex, fns: List[str], opt: MapOptions,
                 qlens = [len(s) for s in seqs]
                 if pre is not None:
                     gcs_list = [pre[fi]]
+                elif front_res is not None and front_res.get(fi) is not None:
+                    fr = front_res[fi]
+                    fp = (fr.f, fr.p) if fr.f is not None else None
+                    gcs_list = [map_frag_tail(gi, qlens, seqs, opt,
+                                              batch[off].name, fr.ax, fr.ay,
+                                              fr.rep_len, fr.mini_pos,
+                                              fr.n_mv, chain_fp=fp)]
                 elif opt.flag & MG_M_INDEPEND_SEG:
                     gcs_list = [map_frag(gi, [qlens[k]], [seqs[k]], opt,
                                          batch[off + k].name)

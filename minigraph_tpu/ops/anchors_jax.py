@@ -292,35 +292,63 @@ def collect_anchors_join(keymat, keyext, hh, hl, meta, t_hh, t_hl, t_meta,
     return (u32.to_u64(axh, axl), u32.to_u64(ayh, ayl), n_a, q_overflow)
 
 
-@partial(jax.jit, static_argnames=("occ_cap", "qcap", "acap", "b_chunk",
-                                   "return_planes"))
-def collect_anchors_join2(keymat, keyext, hh, hl, meta, t_hh, t_hl, t_meta,
-                          max_occ, occ_cap: int, qcap: int = 512,
-                          acap: int = 2048, b_chunk: int = 32,
-                          return_planes: bool = False):
-    """collect_anchors_join without the band-expansion matmul.
+def merge_planes(hh, hl, meta, t_hh, t_hl, t_meta):
+    """Interleave main/tie planes into the exact reference emission
+    order and set MG_SEED_TANDEM by emission-order adjacency.
 
-    The (query, hit-slot) grid is assembled elementwise straight from
-    the probe's extract planes and ONE final sort both orders the
-    anchors by x and compacts the padding to the tail — the band
-    onehot (the dominant HBM traffic at large batch) disappears.
-    Reads whose total hits exceed acap are flagged (the band version
-    silently kept the first acap in query order).
+    The reference emits, per trigger position t: the A/B-rule old
+    minimum, then (B-rule) the first tie (sketch.c:90-105); the device
+    planes park both AT t, so slot 2t = main, 2t+1 = tie reproduces
+    mv[] order exactly (the one corner where a first-window tie
+    precedes a main emission at the same t is flagged by the sketch's
+    overflow bit).  Tandem = hash equal to the previous or the next
+    emission in mv[] order (collect_matches, map-algo.c:83-85).
+    Returns (mhh, mhl, mmeta, memit), each (B, 2S).
+    """
+    B, S = hh.shape
+
+    def ilv(a, b):
+        return jnp.stack([a, b], 2).reshape(B, 2 * S)
+
+    mhh, mhl, mmeta = ilv(hh, t_hh), ilv(hl, t_hl), ilv(meta, t_meta)
+    memit = mmeta != U32MAX
+    tand = _tandem_flags(mhh, mhl, memit)
+    mmeta = jnp.where(tand, mmeta | U32(1 << 31), mmeta)
+    return mhh, mhl, mmeta, memit
+
+
+@partial(jax.jit, static_argnames=("occ_cap", "qcap", "acap", "b_chunk"))
+def collect_anchors_exact(keymat, keyext, hh, hl, meta, t_hh, t_hl, t_meta,
+                          max_occ, occ_cap: int, qcap: int = 512,
+                          acap: int = 2048, b_chunk: int = 32):
+    """Byte-parity anchor collection (collect_seed_hits semantics,
+    map-algo.c:58-192, including emission ORDER).
+
+    Differences from collect_anchors_join that make this the
+    production front-end for the parity CLI path:
+      * main/tie planes interleaved in emission order (merge_planes),
+        so x-tied anchors keep the reference's generation order under
+        the stable sort (radix_sort_128x is LSD-stable; ties keep
+        (minimizer emission idx, index hit idx) order);
+      * tandem flags by exact emission adjacency, not plane heuristics;
+      * occurrence truncation is FLAGGED: a kept minimizer with
+        occ_cap < cnt < max_occ would silently lose anchors, so such
+        reads route to the host path;
+      * per-emission query info (q_cnt, q_meta) is returned so the
+        host can compute rep_len and mini_pos (collect_matches
+        semantics) without re-sketching.
+
+    Returns a dict: axh/axl/ayh/ayl (B, acap) u32 anchor planes sorted
+    by x with reference tie order, n_a, overflow, q_cnt (B, qcap) true
+    index occurrence per emission (0 = not indexed), q_meta (B, qcap)
+    tandem<<31|span<<26|qpos<<1|strand per emission (all-ones pad),
+    n_q (B,) total emissions.
     """
     B, S = hh.shape
     b_chunk = min(b_chunk, B)
     pad_b = (-B) % b_chunk
 
-    emitted = meta != U32MAX
-    t_emitted = t_meta != U32MAX
-    tand = _tandem_flags(hh, hl, emitted)
-    meta_t = jnp.where(tand, meta | U32(1 << 31), meta)
-    t_meta_t = jnp.where(t_emitted, t_meta | U32(1 << 31), t_meta)
-
-    chh = jnp.concatenate([hh, t_hh], 1)
-    chl = jnp.concatenate([hl, t_hl], 1)
-    cmeta = jnp.concatenate([meta_t, t_meta_t], 1)
-    cemit = jnp.concatenate([emitted, t_emitted], 1)
+    chh, chl, cmeta, cemit = merge_planes(hh, hl, meta, t_hh, t_hl, t_meta)
 
     n_q = jnp.sum(cemit, axis=1).astype(jnp.int32)
     q_overflow = n_q > qcap
@@ -355,12 +383,16 @@ def collect_anchors_join2(keymat, keyext, hh, hl, meta, t_hh, t_hl, t_meta,
 
     cnt = ext[..., 0].astype(jnp.int32)
     found = ext[..., 1] > 0
+    cnt = jnp.where(found, cnt, 0)
     keep = found & qvalid & (cnt < max_occ)
     occ = jnp.where(keep, jnp.minimum(cnt, occ_cap), 0)
     occ_byte = jnp.where(keep, jnp.minimum(cnt, 255), 0).astype(U32)
     n_tot = jnp.sum(occ, axis=1)
     n_a = jnp.minimum(n_tot, acap).astype(jnp.int32)
     a_overflow = n_tot > acap
+    # silent anchor loss: cnt in (occ_cap, max_occ) would keep the
+    # minimizer but drop hits beyond occ_cap
+    trunc = jnp.any(keep & (cnt > occ_cap), axis=1)
 
     # ---- direct (query, slot) grid assembly: all elementwise ----
     slot_ok = (jnp.arange(occ_cap)[None, None, :]
@@ -393,10 +425,19 @@ def collect_anchors_join2(keymat, keyext, hh, hl, meta, t_hh, t_hl, t_meta,
         (axh, axl, ayh, ayl), dimension=1, num_keys=2, is_stable=True)
     axh, axl = axh[:, :acap], axl[:, :acap]
     ayh, ayl = ayh[:, :acap], ayl[:, :acap]
-    if return_planes:
-        return axh, axl, ayh, ayl, n_a, q_overflow | a_overflow
-    return (u32.to_u64(axh, axl), u32.to_u64(ayh, ayl), n_a,
-            q_overflow | a_overflow)
+    # duplicate x keys: the reference sorts anchors with ksort.h's
+    # IN-PLACE MSD radix sort, whose equal-key permutation is NOT
+    # insertion order; distinct keys sort identically under any
+    # algorithm, so only reads with x collisions (tandem self-hits)
+    # need the host path.
+    dup = jnp.any((axh[:, 1:] == axh[:, :-1])
+                  & (axl[:, 1:] == axl[:, :-1])
+                  & (axh[:, 1:] != U32MAX), axis=1)
+    return {"axh": axh, "axl": axl, "ayh": ayh, "ayl": ayl, "n_a": n_a,
+            "overflow": q_overflow | a_overflow | trunc | dup,
+            "q_cnt": jnp.where(qvalid, cnt, 0),
+            "q_meta": jnp.where(qvalid, qmeta, U32MAX),
+            "n_q": n_q}
 
 
 def collect_anchors_flat_pallas_traced(ji, hh, hl, meta, t_hh, t_hl,

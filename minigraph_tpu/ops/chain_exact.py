@@ -1,0 +1,205 @@
+"""Byte-exact device linear-chaining DP with certainty flags.
+
+Reproduces mg_lchain_dp's DP fill (lchain.c:165-207) EXACTLY for every
+read it does not flag, including the max_skip early-break heuristic,
+the max_iter window clamp, and the max_ii long-range candidate — all
+of which change results and therefore cannot be approximated on a
+parity path.
+
+The early break is the hard part: the reference counts "skips" —
+window candidates that do not improve the running maximum AND are
+marked in t[] as the parent of an already-processed candidate — and
+breaks the predecessor scan after max_skip of them.  Key structural
+facts that make an exact vectorized emulation possible:
+
+  1. Parents precede children (p[j'] < j'), and the scan window is an
+     upper range [st, i), so every child of an in-window anchor is
+     itself in-window.  A cumulative child count cnt[j] = #{j' > j :
+     p[j'] == j} therefore reproduces t[] membership exactly EXCEPT
+     for per-i validity (the reference only marks from candidates
+     whose transition score is valid at i).
+  2. Over-marking can only BREAK EARLIER (at a larger j).  So compute
+     the over-approximate break position jb_over; the true break (if
+     any) is at jb_true <= jb_over, and the true processed window
+     [end_j_true, i) always CONTAINS [jb_over, i).
+  3. The skip counter is a floor-at-zero running sum of +-1 deltas,
+     which has the closed form n_t = S_t - min(0, min_{u<=t} S_u)
+     (prefix sums in processing order = suffix sums in index order) —
+     all associative scans, no sequential inner loop.
+
+A step's full-window argmax j* >= jb_over therefore implies the true
+result equals the full-window result (any window containing the
+argmax yields the same max, and ties break to the largest j = first
+processed under the reference's strict > update).  Otherwise the read
+is flagged `uncertain` and routed to the exact host DP.  The max_ii
+secondary candidate (lchain.c:191-198) is applied when it fires under
+every possible break position and flagged when its firing depends on
+the unknown true break.
+
+Single-query-segment flavor (n_seg == 1, !is_cdna): the production
+device path only maps single-segment fragments.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .chain_jax import _mg_log2
+
+I32 = jnp.int32
+NEG_BIG = jnp.int32(-0x3FFFFFFF)
+
+
+def _sc_valid(xi, yi, xj, yj, max_dist_x, max_dist_y, bw,
+              chn_pen_gap, chn_pen_skip):
+    """Vectorized comput_sc (lchain.c:115-140) returning (sc, valid).
+
+    Window membership (same vertex, x-distance) is handled by the
+    caller; this reproduces only the INT32_MIN validity rules."""
+    dq = (yi & jnp.uint64(0xFFFFFFFF)).astype(I32) \
+        - (yj & jnp.uint64(0xFFFFFFFF)).astype(I32)
+    dr = (xi - xj).astype(jnp.uint64).astype(jnp.uint32).view(I32)
+    bad = (dq <= 0) | (dq > max_dist_x)
+    bad |= (dr == 0) | (dq > max_dist_y)
+    dd = jnp.abs(dr - dq)
+    bad |= dd > bw
+    dg = jnp.minimum(dr, dq)
+    q_span = ((yj >> jnp.uint64(32)) & jnp.uint64(0xFF)).astype(I32)
+    sc = jnp.minimum(q_span, dg)
+    lin_pen = jnp.float32(chn_pen_gap) * dd.astype(jnp.float32) \
+        + jnp.float32(chn_pen_skip) * dg.astype(jnp.float32)
+    log_pen = jnp.where(dd >= 1, _mg_log2((dd + 1).astype(jnp.float32)),
+                        jnp.float32(0.0))
+    pen = (lin_pen + jnp.float32(0.5) * log_pen).astype(I32)
+    sc = sc - jnp.where((dd != 0) | (dg > q_span), pen, 0)
+    return jnp.where(bad, NEG_BIG, sc), ~bad
+
+
+def _pick(arr, idx):
+    """arr[b, idx[b]] per lane without a gather: one-hot masked max."""
+    B, N = arr.shape
+    iota = jnp.arange(N, dtype=I32)[None, :]
+    hit = iota == idx[:, None]
+    return jnp.max(jnp.where(hit, arr, arr.min()), axis=1)
+
+
+@partial(jax.jit, static_argnames=())
+def lchain_dp_exact(ax, ay, n_a, max_dist_x, max_dist_y, bw, max_skip,
+                    max_iter, chn_pen_gap, chn_pen_skip):
+    """Exact-or-flagged batched chaining DP fill.
+
+    ax/ay: (B, N) uint64 anchors in reference sort order; n_a: (B,).
+    The caller must pre-apply mg_lchain_dp's entry adjustments
+    (max_dist_x = max(max_dist_x, bw), same for y).
+    Returns (f, p, v, sure): (B, N) int32 DP arrays (v = peak score,
+    lchain.c:201) and a per-read flag that is True only when every
+    step's result provably equals the reference's.
+    """
+    B, N = ax.shape
+    iota = jnp.arange(N, dtype=I32)[None, :]
+    xh = (ax >> jnp.uint64(32)).astype(jnp.uint32)
+
+    def step(carry, i):
+        f, p, cnt, v, max_ii, f_mii, uncertain = carry
+        xi = jax.lax.dynamic_index_in_dim(ax, i, 1, keepdims=False)
+        yi = jax.lax.dynamic_index_in_dim(ay, i, 1, keepdims=False)
+        xhi = (xi >> jnp.uint64(32)).astype(jnp.uint32)
+        active = i < n_a
+
+        # window masks: mask_dist = same vertex & x-dist (the st
+        # pointer, lchain.c:173); win = additionally the max_iter clamp
+        same_vx = xh == xhi[:, None]
+        xdist_ok = (xi[:, None] - ax).astype(jnp.uint64) \
+            <= jnp.uint64(1) * max_dist_x.astype(jnp.uint64)
+        before = iota < i
+        mask_dist = same_vx & xdist_ok & before
+        win = mask_dist & (iota >= i - max_iter)
+        st_dist = i - jnp.sum(mask_dist, axis=1).astype(I32)
+        st_win = i - jnp.sum(win, axis=1).astype(I32)
+
+        sc, valid0 = _sc_valid(xi[:, None], yi[:, None], ax, ay,
+                               max_dist_x, max_dist_y, bw,
+                               chn_pen_gap, chn_pen_skip)
+        valid = valid0 & win
+        sc_tot = jnp.where(valid, sc + f, NEG_BIG)
+
+        q_span_i = ((yi >> jnp.uint64(32)) & jnp.uint64(0xFF)).astype(I32)
+
+        # full-window max; ties -> largest j (first processed wins
+        # under the strict > update in descending-j order)
+        M = jnp.max(sc_tot, axis=1)
+        idx = jnp.max(jnp.where((sc_tot == M[:, None]) & valid, iota,
+                                I32(-1)), axis=1)
+        best = M > q_span_i
+
+        # ---- exact break emulation (over-approximate marks) ----
+        # new-max indicator vs the descending-order running max
+        suf = jax.lax.cummax(sc_tot, axis=1, reverse=True)
+        excl = jnp.concatenate(
+            [suf[:, 1:], jnp.full((B, 1), NEG_BIG, I32)], axis=1)
+        run_before = jnp.maximum(q_span_i[:, None], excl)
+        new = valid & (sc_tot > run_before)
+        marked = cnt > 0
+        d = jnp.where(new, I32(-1),
+                      jnp.where(valid & marked & ~new, I32(1), I32(0)))
+        S = jax.lax.cumsum(d, axis=1, reverse=True)
+        Smin = jax.lax.cummin(S, axis=1, reverse=True)
+        n_after = S - jnp.minimum(0, Smin)
+        brk = (d == 1) & (n_after > max_skip)
+        jb = jnp.max(jnp.where(brk, iota, I32(-1)), axis=1)
+        has_break = jb >= 0
+
+        max_f = jnp.where(best, M, q_span_i)
+        max_j = jnp.where(best, idx, I32(-1))
+        step_unc = has_break & best & (idx < jb)
+
+        # ---- max_ii long-range candidate (lchain.c:191-198) ----
+        stale = (max_ii < 0) | (max_ii < st_dist)
+        fw = jnp.where(win, f, NEG_BIG)
+        Mf = jnp.max(fw, axis=1)
+        idx_f = jnp.max(jnp.where((fw == Mf[:, None]) & win, iota,
+                                  I32(-1)), axis=1)
+        any_win = jnp.any(win, axis=1)
+        max_ii = jnp.where(stale, jnp.where(any_win, idx_f, I32(-1)),
+                           max_ii)
+        f_mii = jnp.where(stale, jnp.where(any_win, Mf, I32(0)), f_mii)
+
+        has_mii = max_ii >= 0
+        tmp = _pick(jnp.where(valid, sc, NEG_BIG), max_ii)
+        cand_ok = has_mii & (tmp > NEG_BIG)
+        delta = cand_ok & (max_f < tmp + f_mii)
+        # fires under every possible end_j (end_j >= st_win - 1)
+        fire_sure = has_mii & (max_ii < st_win - 1)
+        fire_maybe = has_mii & ~fire_sure & has_break & (max_ii < jb)
+        apply = fire_sure & delta
+        step_unc |= fire_maybe & delta
+        f_i = jnp.where(apply, tmp + f_mii, max_f)
+        p_i = jnp.where(apply, max_ii, max_j)
+
+        v_pi = _pick(v, jnp.maximum(p_i, 0))
+        v_i = jnp.where((p_i >= 0) & (v_pi > f_i), v_pi, f_i)
+
+        # final max_ii update (lchain.c:203-204); a live max_ii is
+        # always x-close (else it would have been recomputed above)
+        upd = (max_ii < 0) | (f_mii < f_i)
+        max_ii = jnp.where(active & upd, i, max_ii)
+        f_mii = jnp.where(active & upd, f_i, f_mii)
+
+        uncertain = uncertain | (step_unc & active)
+        wr = active[:, None] & (iota == i)
+        f = jnp.where(wr, f_i[:, None], f)
+        p = jnp.where(wr, p_i[:, None], p)
+        v = jnp.where(wr, v_i[:, None], v)
+        cnt = cnt + ((iota == p_i[:, None]) & (p_i >= 0)[:, None]
+                     & active[:, None]).astype(I32)
+        return (f, p, cnt, v, max_ii, f_mii, uncertain), None
+
+    init = (jnp.zeros((B, N), I32), jnp.full((B, N), -1, I32),
+            jnp.zeros((B, N), I32), jnp.zeros((B, N), I32),
+            jnp.full((B,), -1, I32), jnp.zeros((B,), I32),
+            jnp.zeros((B,), bool))
+    (f, p, cnt, v, max_ii, f_mii, uncertain), _ = jax.lax.scan(
+        step, init, jnp.arange(N, dtype=I32))
+    return f, p, v, ~uncertain

@@ -1,9 +1,13 @@
 """Position-aligned minimizer sketch: no compaction, no sorts, no gathers.
 
-Emission semantics are identical to sketch_jax3 (== sketch.c:56-109 for
-odd k), but instead of compacting emissions into a dense (cap,) list —
-a batched 45k-element sort plus decode gathers that dominate the device
-profile — emissions stay AT the position that triggered them:
+Emission semantics match sketch.c:56-109 for ODD k — every minigraph
+preset uses k in {17, 19, 21}, and for odd k a canonical k-mer can
+never equal its reverse complement (the middle base flips), so the
+reference's symmetric-k-mer skip (sketch.c:74) never fires and the
+event stream IS the position stream.  Instead of compacting emissions
+into a dense (cap,) list — a batched 45k-element sort plus decode
+gathers that dominate the device profile — emissions stay AT the
+position that triggered them:
 
   plane 0 (main): the A/B-rule old-minimum emitted at position t
   plane 1 (tie):  the first tie emitted at position t (B-rescan or
@@ -11,7 +15,7 @@ profile — emissions stay AT the position that triggered them:
   fin scalars:    the end-of-read state emission
   overflow flag:  true when some position emits >= 2 ties; such reads
                   must be re-sketched by the exact compacting path
-                  (sketch_jax3) or the host.  Ties need equal 34-bit+
+                  (sketch_jax2) or the host.  Ties need equal 34-bit+
                   hashes inside one window, so overflow is rare outside
                   extreme tandem repeats.
 
@@ -156,6 +160,7 @@ def sketch_planes(codes, lens, w: int, k: int) -> SketchPlanes:
         tie_l = jnp.full(L, U32MAX, dtype=U32)
         tie_m = jnp.full(L, U32MAX, dtype=U32)
         tie_n = jnp.zeros(L, dtype=jnp.int32)
+        tie_fw = jnp.zeros(L, dtype=bool)
 
         def add_tie(cond, vh, vl, vm, th, tl, tm, tn):
             first = cond & (tn == 0)
@@ -171,6 +176,7 @@ def sketch_planes(codes, lens, w: int, k: int) -> SketchPlanes:
                 ft = fw & u32.eq(wxh_j, wxl_j, pmh, pml) & (wym_j != pmym)
                 tie_h, tie_l, tie_m, tie_n = add_tie(
                     ft, wxh_j, wxl_j, wym_j, tie_h, tie_l, tie_m, tie_n)
+                tie_fw = tie_fw | ft
             bt = b_base & u32.eq(wxh_j, wxl_j, mh, ml) & (wym_j != mym)
             tie_h, tie_l, tie_m, tie_n = add_tie(
                 bt, wxh_j, wxl_j, wym_j, tie_h, tie_l, tie_m, tie_n)
@@ -202,7 +208,11 @@ def sketch_planes(codes, lens, w: int, k: int) -> SketchPlanes:
 
         n = jnp.sum(main_emit.astype(jnp.int32)) \
             + jnp.sum(jnp.minimum(tie_n, 1)) + fin_ok.astype(jnp.int32)
-        overflow = jnp.any(tie_n > 1)
+        # A first-window tie sharing its trigger with a main (B-rule)
+        # emission is emitted BEFORE the main record by the reference
+        # (sketch.c:84-87 runs before the A/B block) — the planes encode
+        # main-then-tie, so emission ORDER would be wrong; flag it.
+        overflow = jnp.any(tie_n > 1) | jnp.any(tie_fw & main_emit)
         # strip the ex-packing: planes carry the raw hash pair
         hh_o, hl_o = u32.shr(out_h, out_l, 8)
         hh_o = jnp.where(out_m == U32MAX, U32MAX, hh_o)

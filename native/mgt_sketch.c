@@ -1,7 +1,23 @@
 /* Symmetric (w,k)-minimizer sketching, semantics-equal to the reference
- * (sketch.c:56-109): canonical k-mers via an invertible 64-bit hash,
- * symmetric k-mers skipped, ties all emitted, output sorted by position.
- * Emits packed records x = hash<<8 | span, y = rid<<32 | last_pos<<1 | strand.
+ * (sketch.c:56-109) but structured after this repo's position-aligned
+ * device derivation (ops/sketch_jax4.py): per step we classify the
+ * window transition into named rules —
+ *
+ *   FW  first full window: emit every tie of the current minimum
+ *       (equal hash+span key, different payload), ascending;
+ *   A   the new event is <= the running minimum: emit the old minimum
+ *       (once the window has fully slid) and adopt the new event;
+ *   B   the running minimum just slid out of the window: emit it,
+ *       rescan the live window ascending with >= so the CLOSEST equal
+ *       key wins, then emit the new minimum's ties ascending.
+ *
+ * The window is stored as a step-indexed array (win[step % w]) and all
+ * scans are single ascending loops over the last w steps; expiry is a
+ * step-arithmetic test (min_step == step - w).  Steps count non-skipped
+ * events only: strand-symmetric k-mers (possible for even k) consume a
+ * sequence position but no step, exactly like the reference's
+ * `continue`.  Emitted records pack x = hash<<8 | span,
+ * y = rid<<32 | last_pos<<1 | strand.
  */
 #include <stdint.h>
 #include <stddef.h>
@@ -35,70 +51,82 @@ static inline uint64_t mgt_hash64(uint64_t key, uint64_t mask)
     return key;
 }
 
-typedef struct { uint64_t x, y; } mm_t;
+typedef struct { uint64_t key, pay; } ev_t;   /* hash<<8|span, rid|pos|z */
+
+#define EV_EMPTY UINT64_MAX
 
 /* out holds cap records of 2 uint64; returns #records or -1 on overflow */
 int64_t mgt_sketch(const uint8_t *seq, int64_t len, int w, int k,
                    uint32_t rid, uint64_t *out, int64_t cap)
 {
-    uint64_t shift1 = 2 * (k - 1), mask = (1ULL << (2 * k)) - 1;
-    uint64_t kmer_f = 0, kmer_r = 0;
-    mm_t buf[256], minv = { UINT64_MAX, UINT64_MAX };
-    int64_t i, n = 0;
-    int j, l = 0, buf_pos = 0, min_pos = 0, kmer_span = 0;
+    uint64_t mask, fwd = 0, rc = 0;
+    ev_t win[256], cur;             /* window of the last w events */
+    int64_t i, step, n = 0, cur_step = -1;
+    int p, run = 0, span = 0;
 
     if (!nt4_ready) nt4_init();
     if (len <= 0 || w <= 0 || w >= 256 || k <= 0 || k > 28) return 0;
-    memset(buf, 0xff, w * sizeof(mm_t));
+    mask = (1ULL << (2 * k)) - 1;
+    for (p = 0; p < w; ++p) win[p].key = EV_EMPTY, win[p].pay = EV_EMPTY;
+    cur.key = EV_EMPTY; cur.pay = EV_EMPTY;
 
-#define EMIT(rec) do { \
+#define PUT(e) do { \
         if (n >= cap) return -1; \
-        out[2 * n] = (rec).x; out[2 * n + 1] = (rec).y; ++n; \
+        out[2 * n] = (e).key; out[2 * n + 1] = (e).pay; ++n; \
     } while (0)
 
-    for (i = 0; i < len; ++i) {
+    /* ascending scan over the last w steps, skipping slot `skip` */
+#define SCAN_TIES(ref_, skip_, s_) do { \
+        int64_t q_ = (s_) - w + 1 < 0 ? 0 : (s_) - w + 1; \
+        for (; q_ <= (s_); ++q_) { \
+            const ev_t *e_ = &win[q_ % w]; \
+            if (q_ == (skip_)) continue; \
+            if (e_->key == (ref_).key && e_->pay != (ref_).pay) PUT(*e_); \
+        } \
+    } while (0)
+
+    for (i = 0, step = -1; i < len; ++i) {
         int c = nt4[seq[i]];
-        mm_t info = { UINT64_MAX, UINT64_MAX };
+        ev_t e;
+        e.key = EV_EMPTY; e.pay = EV_EMPTY;
         if (c < 4) {
             int z;
-            kmer_span = l + 1 < k ? l + 1 : k;
-            kmer_f = (kmer_f << 2 | (uint64_t)c) & mask;
-            kmer_r = (kmer_r >> 2) | ((uint64_t)(3 ^ c) << shift1);
-            if (kmer_f == kmer_r) continue;      /* strand-ambiguous k-mer */
-            z = kmer_f < kmer_r ? 0 : 1;
-            ++l;
-            if (l >= k && kmer_span < 256) {
-                info.x = mgt_hash64(z ? kmer_r : kmer_f, mask) << 8 | (uint64_t)kmer_span;
-                info.y = (uint64_t)rid << 32 | (uint64_t)((uint32_t)i << 1 | z);
+            span = run + 1 < k ? run + 1 : k;
+            fwd = (fwd << 2 | (uint64_t)c) & mask;
+            rc = (rc >> 2) | ((uint64_t)(3 ^ c) << (2 * (k - 1)));
+            if (fwd == rc) continue;             /* strand-symmetric */
+            z = fwd < rc ? 0 : 1;
+            ++run;
+            if (run >= k && span < 256) {
+                e.key = mgt_hash64(z ? rc : fwd, mask) << 8 | (uint64_t)span;
+                e.pay = (uint64_t)rid << 32 | (uint64_t)((uint32_t)i << 1 | z);
             }
-        } else l = 0, kmer_span = 0;
-        buf[buf_pos] = info;
-        if (l == w + k - 1 && minv.x != UINT64_MAX) { /* first full window: ties */
-            for (j = buf_pos + 1; j < w; ++j)
-                if (minv.x == buf[j].x && buf[j].y != minv.y) EMIT(buf[j]);
-            for (j = 0; j < buf_pos; ++j)
-                if (minv.x == buf[j].x && buf[j].y != minv.y) EMIT(buf[j]);
-        }
-        if (info.x <= minv.x) {
-            if (l >= w + k && minv.x != UINT64_MAX) EMIT(minv);
-            minv = info, min_pos = buf_pos;
-        } else if (buf_pos == min_pos) {        /* old min left the window */
-            if (l >= w + k - 1 && minv.x != UINT64_MAX) EMIT(minv);
-            minv.x = UINT64_MAX;
-            for (j = buf_pos + 1; j < w; ++j)
-                if (minv.x >= buf[j].x) minv = buf[j], min_pos = j;
-            for (j = 0; j <= buf_pos; ++j)
-                if (minv.x >= buf[j].x) minv = buf[j], min_pos = j;
-            if (l >= w + k - 1 && minv.x != UINT64_MAX) { /* emit ties */
-                for (j = buf_pos + 1; j < w; ++j)
-                    if (minv.x == buf[j].x && minv.y != buf[j].y) EMIT(buf[j]);
-                for (j = 0; j <= buf_pos; ++j)
-                    if (minv.x == buf[j].x && minv.y != buf[j].y) EMIT(buf[j]);
+        } else run = 0, span = 0;
+        ++step;
+        win[step % w] = e;
+
+        if (run == w + k - 1 && cur.key != EV_EMPTY)       /* FW rule */
+            SCAN_TIES(cur, step, step);
+
+        if (e.key <= cur.key) {                            /* A rule */
+            if (run >= w + k && cur.key != EV_EMPTY) PUT(cur);
+            cur = e;
+            cur_step = step;
+        } else if (cur_step == step - w) {                 /* B rule */
+            int64_t q = step - w + 1 < 0 ? 0 : step - w + 1;
+            if (run >= w + k - 1 && cur.key != EV_EMPTY) PUT(cur);
+            cur.key = EV_EMPTY; cur.pay = EV_EMPTY;
+            for (; q <= step; ++q) {
+                const ev_t *t = &win[q % w];
+                if (t->key <= cur.key)             /* <=: closest wins */
+                    cur = *t, cur_step = q;
             }
+            if (run >= w + k - 1 && cur.key != EV_EMPTY)
+                SCAN_TIES(cur, cur_step, step);
         }
-        if (++buf_pos == w) buf_pos = 0;
     }
-    if (minv.x != UINT64_MAX) EMIT(minv);
-#undef EMIT
+    if (cur.key != EV_EMPTY) PUT(cur);
+#undef SCAN_TIES
+#undef PUT
     return n;
 }

@@ -1,0 +1,113 @@
+"""Parity tests for the production device front-end (--tpu path).
+
+Contract: every read either takes the device seed stage with BYTE
+parity against the host collect_seed_hits (anchors incl. order,
+rep_len, mini_pos, n_mv), or carries an overflow flag and falls back
+to the host path — so CLI output is byte-identical either way.
+"""
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+from minigraph_tpu.graph.gfa_io import read_gfa  # noqa: E402
+from minigraph_tpu.index.midx import build_index  # noqa: E402
+from minigraph_tpu.options import (GGOptions, IndexOptions,  # noqa: E402
+                                   MapOptions, opt_set)
+from minigraph_tpu.mapping.seeds import (collect_minimizers,  # noqa: E402
+                                         collect_seed_hits)
+from minigraph_tpu.mapping.device_front import DeviceFront  # noqa: E402
+
+MT_GFA = "/root/reference/test/MT.gfa"
+
+
+def _opts(preset="lr"):
+    io_, mo, go = IndexOptions(), MapOptions(), GGOptions()
+    opt_set(preset, io_, mo, go)
+    return io_, mo, go
+
+
+def _mt_reads(rng, n, lmax, tandem=0):
+    g = read_gfa(MT_GFA)
+    ref = "".join((s.seq or "") for s in g.seg if s.rank == 0)
+    reads = []
+    for _ in range(n):
+        L = int(rng.integers(300, lmax))
+        st = int(rng.integers(0, len(ref) - L))
+        s = list(ref[st:st + L])
+        for p in rng.integers(0, len(s), len(s) // 20):
+            s[p] = "ACGT"[int(rng.integers(0, 4))]
+        reads.append("".join(s))
+    for _ in range(tandem):
+        L = int(rng.integers(300, lmax))
+        st = int(rng.integers(0, len(ref) - L))
+        s = ref[st:st + L]
+        reads.append(s[:100] + s[:30] * 5 + s[100:])
+    return g, reads
+
+
+def test_front_matches_host_collect():
+    rng = np.random.default_rng(5)
+    io_, mo, go = _opts()
+    g, reads = _mt_reads(rng, 30, 1000, tandem=8)
+    gi = build_index(g, io_.k, io_.w, mo)
+    front = DeviceFront(gi, mo, buckets=((1024, 64),))
+    res = front.run_batch(reads)
+    n_dev = 0
+    for r, fr in zip(reads, res):
+        mv_x, mv_y = collect_minimizers(gi, [len(r)], [r])
+        hax, hay, hrep, hmini = collect_seed_hits(
+            gi, mo, mo.occ_max1, mv_x, mv_y, None)
+        if fr is None:
+            continue  # flagged read: host path covers it
+        n_dev += 1
+        assert np.array_equal(fr.ax, hax)
+        assert np.array_equal(fr.ay, hay)
+        assert fr.rep_len == hrep
+        assert np.array_equal(fr.mini_pos, np.asarray(hmini, np.int32))
+        assert fr.n_mv == len(mv_x)
+    # device must actually cover the bulk of ordinary reads
+    assert n_dev >= 25
+
+
+def test_front_flags_tandem_dup_x():
+    """Reads with duplicate anchor x keys must be flagged (the
+    reference's MSD radix sort permutes equal keys unstably)."""
+    rng = np.random.default_rng(11)
+    io_, mo, go = _opts()
+    g, reads = _mt_reads(rng, 0, 1500, tandem=10)
+    gi = build_index(g, io_.k, io_.w, mo)
+    front = DeviceFront(gi, mo, buckets=((2048, 16),))
+    res = front.run_batch(reads)
+    for r, fr in zip(reads, res):
+        if fr is None:
+            continue
+        # unflagged tandem reads must still be exact
+        mv_x, mv_y = collect_minimizers(gi, [len(r)], [r])
+        hax, hay, _, _ = collect_seed_hits(
+            gi, mo, mo.occ_max1, mv_x, mv_y, None)
+        assert np.array_equal(fr.ax, hax)
+        assert np.array_equal(fr.ay, hay)
+
+
+@pytest.mark.slow
+def test_cli_tpu_parity_configs12(tmp_path, oracle):
+    """BASELINE configs 1-2 through --tpu == oracle byte-for-byte.
+
+    Config 1 maps FASTA-as-graph (PAF), config 2 maps the rGFA graph
+    (GAF); the query is the whole 16.6 kb MT-orangA molecule, so this
+    also exercises the 32 kb device bucket."""
+    ref = "/root/reference/test"
+    for tgt in (f"{ref}/MT-human.fa", f"{ref}/MT.gfa"):
+        want = subprocess.run(
+            [str(oracle), tgt, f"{ref}/MT-orangA.fa"],
+            capture_output=True, text=True, check=True).stdout
+        got = subprocess.run(
+            [sys.executable, "-m", "minigraph_tpu", "--tpu", tgt,
+             f"{ref}/MT-orangA.fa"],
+            capture_output=True, text=True, check=True)
+        assert got.stdout == want, f"--tpu output differs for {tgt}"
+        assert "device seed stage" in got.stderr

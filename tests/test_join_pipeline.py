@@ -1,8 +1,8 @@
 """Tests for the position-aligned sketch + MXU-join anchor pipeline.
 
 Exactness contract: for reads without tie/qcap overflow the join
-pipeline must produce the SAME minimizer set as sketch_jax2/3 (which
-are oracle-exact vs sketch.c) and the SAME anchor set as
+pipeline must produce the SAME minimizer set as sketch_jax2 (which
+is oracle-exact vs sketch.c) and the SAME anchor set as
 collect_anchors_device (modulo the tandem bit, whose adjacency
 definition is position-order rather than compaction-order).
 """
@@ -14,7 +14,7 @@ import jax.numpy as jnp  # noqa: E402
 from functools import partial  # noqa: E402
 
 from minigraph_tpu.ops.sketch_jax import encode_batch  # noqa: E402
-from minigraph_tpu.ops.sketch_jax3 import sketch_device_v3  # noqa: E402
+from minigraph_tpu.ops.sketch_jax2 import sketch_device_v2  # noqa: E402
 from minigraph_tpu.ops.sketch_jax4 import (  # noqa: E402
     META_Q_BITS, sketch_planes)
 
@@ -49,12 +49,12 @@ def _plane_set(sp, i):
     return s
 
 
-def test_sketch_planes_match_v3():
+def test_sketch_planes_match_v2():
     reads = _random_reads(32, 1024)
     reads[0] = "ACGT" * 128  # tandem: must flag overflow, not mis-emit
     codes, lens = encode_batch(reads, pad_to=1024)
     mx, my, n3 = map(np.asarray, jax.jit(
-        partial(sketch_device_v3, w=W, k=K, cap=512))(codes, lens))
+        partial(sketch_device_v2, w=W, k=K, cap=512))(codes, lens))
     sp = jax.jit(partial(sketch_planes, w=W, k=K))(codes, lens)
     ovf = np.asarray(sp.overflow)
     n4 = np.asarray(sp.n)
@@ -92,7 +92,7 @@ def test_join_anchors_match_reference_path():
         reads.append("".join(s))
     codes, lens = encode_batch(reads, pad_to=L)
 
-    mx, my, nmv = jax.jit(partial(sketch_device_v3, w=W, k=K, cap=1024))(
+    mx, my, nmv = jax.jit(partial(sketch_device_v2, w=W, k=K, cap=1024))(
         codes, lens)
     axo, ayo, nao = jax.jit(partial(
         collect_anchors_device, occ_cap=16, acap=2048))(

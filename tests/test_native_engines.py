@@ -224,3 +224,27 @@ def test_native_shortk_fuzz():
             assert len(r1) == len(r2), trial
             for x, y in zip(r1, r2):
                 assert (x.v, x.d, x.pre) == (y.v, y.d, y.pre), trial
+
+
+def test_native_sketch_fuzz_vs_python():
+    """The rewritten native sketch (position-rule formulation) must
+    emit the exact record stream of the reference loop, which the
+    pure-Python engine reproduces (sketch.c:56-109)."""
+    import numpy as np
+    from minigraph_tpu.index.sketch import _native_sketch, _py_sketch
+
+    rng = np.random.default_rng(0)
+    for t in range(500):
+        L = int(rng.integers(1, 300))
+        w = int(rng.integers(1, 18))
+        k = int(rng.integers(1, 25))  # even k exercises symmetric skips
+        s = "".join(rng.choice(list("ACGTN"), L,
+                               p=[.24, .24, .24, .24, .04])).encode()
+        if rng.random() < 0.3:
+            u = s[:max(1, int(rng.integers(1, 20)))]
+            s = s[:20] + u * int(rng.integers(2, 10)) + s[20:]
+        a = _native_sketch(s, w, k, rid=3)
+        b = _py_sketch(s, w, k, rid=3)
+        assert a is not None
+        assert np.array_equal(a[0], b[0]) and np.array_equal(a[1], b[1]), \
+            (t, L, w, k)
