@@ -121,11 +121,14 @@ class DeviceFront:
             do_chain = self.chain_enabled and acap <= self.chain_max_anchors
             opt = self.opt
 
+            # NB: index tables are runtime args, NOT closure constants —
+            # baking MB-sized tables into the jit can wedge the axon
+            # remote compiler for ~30 min (see .claude/skills/verify).
             @jax.jit
-            def step(codes, lens, max_occ):
+            def step(keymat, keyext, codes, lens, max_occ):
                 sp = sketch_planes(codes, lens, self.gi.w, self.gi.k)
                 res = collect_anchors_exact(
-                    self.ji.keymat, self.ji.keyext, sp.hh, sp.hl, sp.meta,
+                    keymat, keyext, sp.hh, sp.hl, sp.meta,
                     sp.t_hh, sp.t_hl, sp.t_meta, max_occ,
                     occ_cap=self.occ_cap, qcap=qcap, acap=acap,
                     b_chunk=self.b_chunk)
@@ -184,7 +187,8 @@ class DeviceFront:
                 # pad the batch to the compiled size
                 reads += [""] * (bsz - len(reads))
                 codes, lens = encode_batch(reads, pad_to=pad_len)
-                res = fn(codes, lens, max_occ)
+                res = fn(self.ji.keymat, self.ji.keyext, codes, lens,
+                         max_occ)
                 ovf = np.asarray(res["overflow"])
                 f_dev = np.asarray(res["f"]) if "f" in res else None
                 p_dev = np.asarray(res["p"]) if "p" in res else None

@@ -28,39 +28,62 @@ static void ds_nt4_init(void)
     ds_nt4_ready = 1;
 }
 
-/* write_indel (galign.c:153-180) */
-static int64_t ds_write_indel(char *out, const uint8_t *seq, int64_t ln,
-                              int64_t ll, int64_t lr)
+/* Emit one indel's bases with microhomology brackets.  The indel of
+ * length ln has ll bases of homology with the sequence following it
+ * and lr bases with the sequence preceding it; the bracketed spans are
+ * the movable prefix/suffix.  Expressed as a segment list: up to three
+ * (start, end, bracketed) spans — prefix [0,ll), core [ll,ln-lr),
+ * suffix [ln-lr,ln) — collapsing to one fully-bracketed span when the
+ * homologies cover the whole indel. */
+static int64_t ds_indel(char *out, const uint8_t *seq, int64_t ln,
+                        int64_t ll, int64_t lr)
 {
-    int64_t n = 0, i, k;
+    int64_t seg[3][2], br[3];
+    int64_t n = 0, s, i, n_seg;
     if (ll + lr >= ln) {
-        out[n++] = '[';
-        for (i = 0; i < ln; ++i) out[n++] = ds_acgtn[ds_nt4[seq[i]]];
-        out[n++] = ']';
+        seg[0][0] = 0; seg[0][1] = ln; br[0] = 1; n_seg = 1;
     } else {
-        k = 0;
-        if (ll > 0) {
-            out[n++] = '[';
-            for (i = 0; i < ll; ++i) out[n++] = ds_acgtn[ds_nt4[seq[k + i]]];
-            out[n++] = ']';
-            k += ll;
-        }
-        for (i = 0; i < ln - lr - ll; ++i)
-            out[n++] = ds_acgtn[ds_nt4[seq[k + i]]];
-        k += ln - lr - ll;
-        if (lr > 0) {
-            out[n++] = '[';
-            for (i = 0; i < lr; ++i) out[n++] = ds_acgtn[ds_nt4[seq[k + i]]];
-            out[n++] = ']';
-        }
+        seg[0][0] = 0;       seg[0][1] = ll;      br[0] = 1;
+        seg[1][0] = ll;      seg[1][1] = ln - lr; br[1] = 0;
+        seg[2][0] = ln - lr; seg[2][1] = ln;      br[2] = 1;
+        n_seg = 3;
+    }
+    for (s = 0; s < n_seg; ++s) {
+        if (seg[s][0] == seg[s][1]) continue;
+        if (br[s]) out[n++] = '[';
+        for (i = seg[s][0]; i < seg[s][1]; ++i)
+            out[n++] = ds_acgtn[ds_nt4[seq[i]]];
+        if (br[s]) out[n++] = ']';
     }
     return n;
+}
+
+/* Longest prefix of the indel that matches the sequence continuing
+ * after it (bases s[0..) vs s[ln..), scanning forward within bound). */
+static int64_t ds_homol_fwd(const uint8_t *s, int64_t at, int64_t ln,
+                            int64_t hi)
+{
+    int64_t h = 0;
+    while (h < ln && at + ln + h < hi && s[at + h] == s[at + ln + h]) ++h;
+    return h;
+}
+
+/* Longest suffix of the indel matching the sequence just before it. */
+static int64_t ds_homol_bwd(const uint8_t *s, int64_t at, int64_t ln,
+                            int64_t lo)
+{
+    int64_t h = 0;
+    while (h < ln && at - 1 - h >= lo
+           && s[at + ln - 1 - h] == s[at - 1 - h]) ++h;
+    return h;
 }
 
 /* Returns the ds length written, or -1 if a capacity is exceeded.
  * tseq: the aligned target sequence (length aplen); qseq: the FULL
  * query, walked from qs to qe.  off_out gets the ds offset of each
- * token start; *n_off_out its count. */
+ * token start; *n_off_out its count.  Token stream per reference
+ * semantics (mg_gchain_gen_ds, galign.c:182-293): ":N" match runs,
+ * "*tq" mismatches, "+/-" indels via ds_indel above. */
 int64_t mgt_gen_ds(const uint32_t *cigar, int64_t n_cigar,
                    const uint8_t *tseq, int64_t aplen,
                    const uint8_t *qseq, int64_t qs, int64_t qe,
@@ -70,61 +93,54 @@ int64_t mgt_gen_ds(const uint32_t *cigar, int64_t n_cigar,
 {
     int64_t x = 0, y = qs, n = 0, n_off = 0, c;
     if (!ds_nt4_ready) ds_nt4_init();
+
+#define TOKEN(need_) do { \
+        if (n_off >= off_cap || n + (need_) > ds_cap) return -1; \
+        off_out[n_off++] = n; \
+    } while (0)
+
     for (c = 0; c < n_cigar; ++c) {
         int64_t op = cigar[c] & 0xf, ln = cigar[c] >> 4;
         if (op == 0 || op == 7 || op == 8) {
-            int64_t z, run = 0;
-            for (z = 0; z < ln; ++z) {
-                if (ds_nt4[tseq[x + z]] != ds_nt4[qseq[y + z]]) {
-                    if (run > 0) {
-                        if (n_off >= off_cap || n + 14 > ds_cap) return -1;
-                        off_out[n_off++] = n;
-                        n += snprintf(ds_out + n, 14, ":%lld",
-                                      (long long)run);
-                        run = 0;
-                    }
-                    if (n_off >= off_cap || n + 3 > ds_cap) return -1;
-                    off_out[n_off++] = n;
+            /* two-pointer scan: a maximal match run, then one
+             * mismatch, repeated */
+            int64_t z = 0;
+            while (z < ln) {
+                int64_t r = z;
+                while (r < ln && ds_nt4[tseq[x + r]] == ds_nt4[qseq[y + r]])
+                    ++r;
+                if (r > z) {
+                    TOKEN(14);
+                    n += snprintf(ds_out + n, 14, ":%lld",
+                                  (long long)(r - z));
+                }
+                if (r < ln) {
+                    TOKEN(3);
                     ds_out[n++] = '*';
-                    ds_out[n++] = ds_acgtn[ds_nt4[tseq[x + z]]];
-                    ds_out[n++] = ds_acgtn[ds_nt4[qseq[y + z]]];
-                } else ++run;
-            }
-            if (run > 0) {
-                if (n_off >= off_cap || n + 14 > ds_cap) return -1;
-                off_out[n_off++] = n;
-                n += snprintf(ds_out + n, 14, ":%lld", (long long)run);
+                    ds_out[n++] = ds_acgtn[ds_nt4[tseq[x + r]]];
+                    ds_out[n++] = ds_acgtn[ds_nt4[qseq[y + r]]];
+                    ++r;
+                }
+                z = r;
             }
             x += ln, y += ln;
         } else if (op == 1) { /* insertion to the query */
-            int64_t z, ll, lr;
-            for (z = 1; z <= ln; ++z)
-                if (y - z < qs || qseq[y + ln - z] != qseq[y - z]) break;
-            lr = z - 1;
-            for (z = 0; z < ln; ++z)
-                if (y + ln + z >= qe || qseq[y + ln + z] != qseq[y + z]) break;
-            ll = z;
-            if (n_off >= off_cap || n + ln + 5 > ds_cap) return -1;
-            off_out[n_off++] = n;
+            int64_t ll = ds_homol_fwd(qseq, y, ln, qe);
+            int64_t lr = ds_homol_bwd(qseq, y, ln, qs);
+            TOKEN(ln + 5);
             ds_out[n++] = '+';
-            n += ds_write_indel(ds_out + n, qseq + y, ln, ll, lr);
+            n += ds_indel(ds_out + n, qseq + y, ln, ll, lr);
             y += ln;
         } else if (op == 2) { /* deletion from the target */
-            int64_t z, ll, lr;
-            for (z = 1; z <= ln; ++z)
-                if (x - z < 0 || tseq[x + ln - z] != tseq[x - z]) break;
-            lr = z - 1;
-            for (z = 0; z < ln; ++z)
-                if (x + ln + z >= aplen || tseq[x + z] != tseq[x + ln + z])
-                    break;
-            ll = z;
-            if (n_off >= off_cap || n + ln + 5 > ds_cap) return -1;
-            off_out[n_off++] = n;
+            int64_t ll = ds_homol_fwd(tseq, x, ln, aplen);
+            int64_t lr = ds_homol_bwd(tseq, x, ln, 0);
+            TOKEN(ln + 5);
             ds_out[n++] = '-';
-            n += ds_write_indel(ds_out + n, tseq + x, ln, ll, lr);
+            n += ds_indel(ds_out + n, tseq + x, ln, ll, lr);
             x += ln;
         }
     }
+#undef TOKEN
     *n_off_out = n_off;
     return n;
 }

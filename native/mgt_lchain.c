@@ -88,26 +88,35 @@ static inline int64_t comput_sc_simple(uint64_t xi, uint64_t yi, uint64_t xj,
 }
 
 /* ----------------------------------------------------------------- */
-/* peak backtrack + compaction (lchain.c:27-112 semantics)            */
+/* peak backtrack + compaction (mg_chain_backtrack / compact_a        */
+/* semantics, lchain.c:27-112), restructured: chain starts are        */
+/* processed best-score-first; each start gets a READ-ONLY probe walk */
+/* down its parent chain to locate the peak cut (the anchor where the */
+/* running score-drop exceeds max_drop, or a previously claimed       */
+/* anchor), then a commit walk claims the anchors.  Parents are       */
+/* strictly decreasing, so a walk can never revisit its own path and  */
+/* a plain claimed[] bitmap replaces the reference's tri-state t[].   */
 /* ----------------------------------------------------------------- */
 
-static int64_t bk_end(int32_t max_drop, const uint64_t *zx, const int64_t *zy,
-                      const int64_t *f, const int64_t *p, int32_t *t,
-                      int64_t k)
+/* probe: walk parents from `start` (whose DP score is `sc_start`),
+ * return the cut anchor (-1 = chain root) maximizing the score of the
+ * suffix chain start..cut, stopping on drop > max_drop or on a
+ * claimed anchor. */
+static int64_t peak_cut(int64_t start, uint64_t sc_start, const int64_t *f,
+                        const int64_t *p, const uint8_t *claimed,
+                        int32_t max_drop)
 {
-    int64_t i = zy[k], end_i = -1, max_i = i;
-    int64_t max_s = 0;
-    if (i < 0 || t[i] != 0) return i;
-    do {
+    int64_t at = start, best_at = start, best_s = 0;
+    for (;;) {
         int64_t s;
-        t[i] = 2;
-        end_i = i = p[i];
-        s = i < 0 ? (int64_t)zx[k] : (int64_t)(int32_t)(uint32_t)zx[k] - f[i];
-        if (s > max_s) max_s = s, max_i = i;
-        else if (max_s - s > max_drop) break;
-    } while (i >= 0 && t[i] == 0);
-    for (i = zy[k]; i >= 0 && i != end_i; i = p[i]) t[i] = 0;
-    return max_i;
+        at = p[at];
+        s = at < 0 ? (int64_t)sc_start
+                   : (int64_t)(int32_t)(uint32_t)sc_start - f[at];
+        if (s > best_s) best_s = s, best_at = at;
+        else if (best_s - s > max_drop) break;
+        if (at < 0 || claimed[at]) break;
+    }
+    return best_at;
 }
 
 /* returns n_v; fills u (score<<32|cnt) and v (anchor indices) */
@@ -116,83 +125,102 @@ static int64_t chain_backtrack(int64_t n, const int64_t *f, const int64_t *p,
                                int32_t max_drop, uint64_t *u, int32_t *n_u_,
                                int64_t *v)
 {
-    int64_t i, k, n_z, n_v;
-    int32_t n_u;
+    int64_t i, k, n_z = 0, n_v = 0;
+    int32_t n_u = 0;
     uint64_t *z;
-    int32_t *t;
+    uint8_t *claimed;
 
     *n_u_ = 0;
-    for (i = 0, n_z = 0; i < n; ++i)
-        if (f[i] >= min_sc) ++n_z;
+    for (i = 0; i < n; ++i) n_z += (f[i] >= min_sc);
     if (n_z == 0) return 0;
+    /* candidate starts keyed by DP score; the radix permutation must
+     * match the reference's, so reuse the same 128-bit sorter */
     z = (uint64_t *)malloc(16 * n_z);
     for (i = 0, k = 0; i < n; ++i)
         if (f[i] >= min_sc) z[2 * k] = (uint64_t)f[i], z[2 * k + 1] = i, ++k;
     mgt_radix_sort_128x(z, n_z);
-    t = (int32_t *)calloc(n, 4);
-    {
-        /* single pass (python-equivalent): collect u and v together */
-        uint64_t *zx = (uint64_t *)malloc(8 * n_z);
-        int64_t *zy = (int64_t *)malloc(8 * n_z);
-        for (k = 0; k < n_z; ++k) zx[k] = z[2 * k], zy[k] = (int64_t)z[2 * k + 1];
-        for (k = n_z - 1, n_v = 0, n_u = 0; k >= 0; --k) {
-            if (t[zy[k]] == 0) {
-                int64_t n_v0 = n_v, end_i, sc;
-                end_i = bk_end(max_drop, zx, zy, f, p, t, k);
-                for (i = zy[k]; i != end_i; i = p[i])
-                    v[n_v++] = i, t[i] = 1;
-                sc = i < 0 ? (int64_t)zx[k]
-                           : (int64_t)(int32_t)(uint32_t)zx[k] - f[i];
-                if (sc >= min_sc && n_v > n_v0 && n_v - n_v0 >= min_cnt)
-                    u[n_u++] = (uint64_t)sc << 32 | (uint64_t)(n_v - n_v0);
-                else n_v = n_v0;
-            }
-        }
-        free(zx); free(zy);
+    claimed = (uint8_t *)calloc(n, 1);
+
+    for (k = n_z - 1; k >= 0; --k) {
+        int64_t start = (int64_t)z[2 * k + 1], cut, sc, n_v0 = n_v;
+        if (claimed[start]) continue;
+        cut = peak_cut(start, z[2 * k], f, p, claimed, max_drop);
+        for (i = start; i != cut; i = p[i]) v[n_v++] = i, claimed[i] = 1;
+        sc = cut < 0 ? (int64_t)z[2 * k]
+                     : (int64_t)(int32_t)(uint32_t)z[2 * k] - f[cut];
+        if (sc >= min_sc && n_v - n_v0 >= min_cnt && n_v > n_v0)
+            u[n_u++] = (uint64_t)sc << 32 | (uint64_t)(n_v - n_v0);
+        else  /* rejected chains keep their claims (lchain.c:63-66) */
+            n_v = n_v0;
     }
-    free(z); free(t);
+    free(z); free(claimed);
     *n_u_ = n_u;
     return n_v;
 }
 
+/* reorder anchors chain-by-chain (each chain's v entries are in
+ * backwards order), then sort whole chains by first-anchor x.  Uses a
+ * per-chain offset table + one gather loop instead of the reference's
+ * staged copies. */
 static void compact_a(int32_t n_u, uint64_t *u, int64_t n_v, const int64_t *v,
                       uint64_t *ax, uint64_t *ay)
 {
+    int64_t *coff = (int64_t *)malloc(8 * ((int64_t)n_u + 1));
+    uint64_t *w = (uint64_t *)malloc(16 * (n_u ? n_u : 1));
     uint64_t *bx = (uint64_t *)malloc(8 * n_v);
     uint64_t *by = (uint64_t *)malloc(8 * n_v);
-    uint64_t *w = (uint64_t *)malloc(16 * (n_u ? n_u : 1));
     uint64_t *u2 = (uint64_t *)malloc(8 * (n_u ? n_u : 1));
-    int64_t i, j, k;
-    for (i = 0, k = 0; i < n_u; ++i) {
-        int64_t k0 = k, ni = (int32_t)u[i];
-        for (j = 0; j < ni; ++j) {
-            int64_t src = v[k0 + (ni - j - 1)];
-            bx[k] = ax[src];
-            by[k] = ay[src];
+    int64_t c, j, k;
+
+    coff[0] = 0;
+    for (c = 0; c < n_u; ++c) coff[c + 1] = coff[c] + (int32_t)u[c];
+    /* chains keyed by their first anchor's x (= the LAST v entry of
+     * the chain's block); payload = chain id + source offset */
+    for (c = 0; c < n_u; ++c) {
+        w[2 * c] = ax[v[coff[c + 1] - 1]];
+        w[2 * c + 1] = (uint64_t)coff[c] << 32 | (uint64_t)c;
+    }
+    mgt_radix_sort_128x(w, n_u);
+    for (c = 0, k = 0; c < n_u; ++c) {
+        int64_t src0 = (int64_t)(w[2 * c + 1] >> 32);
+        int64_t id = (int32_t)w[2 * c + 1], len = (int32_t)u[id];
+        u2[c] = u[id];
+        for (j = len - 1; j >= 0; --j) {   /* reverse: v is backwards */
+            bx[k] = ax[v[src0 + j]];
+            by[k] = ay[v[src0 + j]];
             ++k;
         }
     }
-    for (i = 0, k = 0; i < n_u; ++i) {
-        w[2 * i] = bx[k];
-        w[2 * i + 1] = (uint64_t)k << 32 | (uint64_t)i;
-        k += (int32_t)u[i];
-    }
-    mgt_radix_sort_128x(w, n_u);
-    for (i = 0, k = 0; i < n_u; ++i) {
-        int64_t j2 = (int32_t)w[2 * i + 1], nj = (int32_t)u[j2];
-        int64_t src = (int64_t)(w[2 * i + 1] >> 32);
-        u2[i] = u[j2];
-        memcpy(&ax[k], &bx[src], 8 * nj);
-        memcpy(&ay[k], &by[src], 8 * nj);
-        k += nj;
-    }
     memcpy(u, u2, 8 * n_u);
-    free(bx); free(by); free(w); free(u2);
+    memcpy(ax, bx, 8 * n_v);
+    memcpy(ay, by, 8 * n_v);
+    free(coff); free(w); free(bx); free(by); free(u2);
 }
 
 /* ----------------------------------------------------------------- */
-/* banded DP chaining (mg_lchain_dp semantics)                        */
+/* banded DP chaining (mg_lchain_dp semantics, lchain.c:149-219)      */
+/*                                                                    */
+/* Restructured around this repo's window formulation (see            */
+/* ops/chain_exact.py for the derivation):                            */
+/*   window    the predecessor candidates of anchor i are exactly     */
+/*             [lo, i) where lo is found by BINARY SEARCH for the     */
+/*             first same-vertex anchor within max_dist_x (anchors    */
+/*             are x-sorted so the vertex block is contiguous),       */
+/*             clamped by the iteration cap;                          */
+/*   chunks    candidates are scored into a buffer CHUNK at a time    */
+/*             (vector-friendly), then a replay pass runs the skip    */
+/*             state machine over the chunk and stops the scan at     */
+/*             the reference's early-break point;                     */
+/*   marks     child marks use an epoch array stamped with i — a      */
+/*             candidate only counts as a "skip" if some already-     */
+/*             replayed valid candidate named it as parent;           */
+/*   cache     the long-range candidate cache is, by construction,    */
+/*             always inside the distance window when live (it is     */
+/*             refreshed whenever it falls out), which reduces the    */
+/*             staleness test to an index comparison.                 */
 /* ----------------------------------------------------------------- */
+
+#define LC_CHUNK 32
 
 int64_t mgt_lchain_dp(int32_t max_dist_x, int32_t max_dist_y, int32_t bw,
                       int32_t max_skip, int32_t max_iter, int32_t min_cnt,
@@ -201,9 +229,13 @@ int64_t mgt_lchain_dp(int32_t max_dist_x, int32_t max_dist_y, int32_t bw,
                       uint64_t *ax, uint64_t *ay, uint64_t *u_out,
                       int32_t *n_u_out)
 {
-    int64_t *p, *f, *v_pk, i, j, max_ii, st = 0, n_v;
-    int32_t *t, n_u, max_drop = bw;
-    int64_t *vv;
+    int64_t *p, *f, *vv, i, n_v;
+    int64_t blk = 0;          /* start of the current (rid,rev) block */
+    int64_t cache = -1;       /* argmax-f cache (max_ii analog)       */
+    int64_t sc_buf[LC_CHUNK];
+    int32_t *mark;            /* epoch array: mark[j] == i  <=>  t[j] */
+    int32_t n_u, max_drop = bw;
+    int64_t n_iter = 0, mmax_f = 0;
 
     *n_u_out = 0;
     if (n == 0) return 0;
@@ -212,64 +244,84 @@ int64_t mgt_lchain_dp(int32_t max_dist_x, int32_t max_dist_y, int32_t bw,
     if (is_cdna) max_drop = 0x7fffffff;
     p = (int64_t *)malloc(8 * n);
     f = (int64_t *)malloc(8 * n);
-    v_pk = (int64_t *)malloc(8 * n);
-    t = (int32_t *)calloc(n, 4);
-    for (i = 0; i < n; ++i) t[i] = -1;
+    vv = (int64_t *)malloc(8 * n);
+    mark = (int32_t *)malloc(4 * n);
+    memset(mark, 0xff, 4 * n);
 
-    int64_t n_iter = 0, mmax_f = 0;
-    for (i = 0, max_ii = -1; i < n; ++i) {
-        int64_t max_j = -1, end_j;
-        int64_t max_f = (int64_t)(ay[i] >> 32 & 0xff);
-        int32_t n_skip = 0;
-        while (st < i && (ax[i] >> 32 != ax[st] >> 32
-                          || ax[i] > ax[st] + (uint64_t)max_dist_x))
-            ++st;
-        if (i - st > max_iter) st = i - max_iter;
-        for (j = i - 1; j >= st; --j) {
-            int64_t sc = comput_sc(ax[i], ay[i], ax[j], ay[j], max_dist_x,
-                                   max_dist_y, bw, chn_pen_gap, chn_pen_skip,
-                                   is_cdna, n_seg);
-            ++n_iter;
-            if (sc == I32_MIN) continue;
-            sc += f[j];
-            if (sc > max_f) {
-                max_f = sc, max_j = j;
-                if (n_skip > 0) --n_skip;
-            } else if (t[j] == (int32_t)i) {
-                if (++n_skip > max_skip) break;
+    for (i = 0; i < n; ++i) {
+        int64_t best = (int64_t)(ay[i] >> 32 & 0xff), best_j = -1;
+        int64_t lo_d, lo, stop, j, c0;
+        int32_t pending = 0, broke = 0;
+
+        if (ax[i] >> 32 != ax[blk] >> 32) blk = i;
+        /* first same-vertex anchor with ax[i] - ax[j] <= max_dist_x */
+        {
+            int64_t l = blk, r = i;
+            while (l < r) {
+                int64_t m = (l + r) >> 1;
+                if (ax[i] > ax[m] + (uint64_t)max_dist_x) l = m + 1;
+                else r = m;
             }
-            if (p[j] >= 0) t[p[j]] = (int32_t)i;
+            lo_d = l;
         }
-        end_j = j;
-        if (max_ii < 0 || ax[i] > ax[max_ii] + (uint64_t)max_dist_x) {
-            int64_t max = I32_MIN;
-            max_ii = -1;
-            for (j = i - 1; j >= st; --j)
-                if (max < f[j]) max = f[j], max_ii = j;
+        lo = i - lo_d > max_iter ? i - max_iter : lo_d;
+
+        /* chunked scan, descending from i-1; stop = anchor where the
+         * replay broke (exclusive), or lo when it ran dry */
+        stop = lo - 1;
+        for (c0 = i - 1; c0 >= lo && !broke; c0 -= LC_CHUNK) {
+            int64_t cend = c0 - LC_CHUNK + 1 < lo ? lo : c0 - LC_CHUNK + 1;
+            int64_t m = c0 - cend + 1, z;
+            for (z = 0; z < m; ++z)      /* score pass */
+                sc_buf[z] = comput_sc(ax[i], ay[i], ax[c0 - z], ay[c0 - z],
+                                      max_dist_x, max_dist_y, bw,
+                                      chn_pen_gap, chn_pen_skip,
+                                      is_cdna, n_seg);
+            for (z = 0; z < m; ++z) {    /* replay pass */
+                int64_t tot;
+                j = c0 - z;
+                ++n_iter;
+                if (sc_buf[z] == I32_MIN) continue;
+                tot = sc_buf[z] + f[j];
+                if (tot > best) {
+                    best = tot, best_j = j;
+                    if (pending > 0) --pending;
+                } else if (mark[j] == (int32_t)i) {
+                    if (++pending > max_skip) { stop = j; broke = 1; break; }
+                }
+                if (p[j] >= 0) mark[p[j]] = (int32_t)i;
+            }
         }
-        if (max_ii >= 0 && max_ii < end_j) {
-            int64_t tmp = comput_sc(ax[i], ay[i], ax[max_ii], ay[max_ii],
+
+        /* long-range candidate cache (max_ii, lchain.c:191-204): a
+         * live cache is always >= lo_d, so staleness is an index test */
+        if (cache < lo_d) {
+            int64_t fbest = I32_MIN;
+            cache = -1;
+            /* ascending with >=: ties keep the LARGEST index, matching
+             * the reference's descending strict-< scan */
+            for (j = lo; j < i; ++j)
+                if (f[j] >= fbest) fbest = f[j], cache = j;
+        }
+        if (cache >= 0 && cache < stop) {
+            int64_t tmp = comput_sc(ax[i], ay[i], ax[cache], ay[cache],
                                     max_dist_x, max_dist_y, bw, chn_pen_gap,
                                     chn_pen_skip, is_cdna, n_seg);
-            if (tmp != I32_MIN && max_f < tmp + f[max_ii])
-                max_f = tmp + f[max_ii], max_j = max_ii;
+            if (tmp != I32_MIN && best < tmp + f[cache])
+                best = tmp + f[cache], best_j = cache;
         }
-        f[i] = max_f, p[i] = max_j;
-        v_pk[i] = max_j >= 0 && v_pk[max_j] > max_f ? v_pk[max_j] : max_f;
-        if (max_ii < 0 || (ax[i] <= ax[max_ii] + (uint64_t)max_dist_x
-                           && f[max_ii] < f[i]))
-            max_ii = i;
-        if (mmax_f < max_f) mmax_f = max_f;
+        f[i] = best, p[i] = best_j;
+        if (cache < 0 || f[cache] < best) cache = i;
+        if (mmax_f < best) mmax_f = best;
     }
     mgt_lchain_stats[0] = n_iter;
     mgt_lchain_stats[1] = mmax_f;
     mgt_lchain_stats[2] = mgt_lchain_stats[3] = 0;
 
-    vv = (int64_t *)malloc(8 * n);
     n_v = chain_backtrack(n, f, p, min_cnt, min_sc, max_drop, u_out, &n_u,
                           vv);
     if (n_u > 0) compact_a(n_u, u_out, n_v, vv, ax, ay);
-    free(p); free(f); free(v_pk); free(t); free(vv);
+    free(p); free(f); free(vv); free(mark);
     *n_u_out = n_u;
     return n_u == 0 ? 0 : n_v;
 }

@@ -248,3 +248,46 @@ def test_native_sketch_fuzz_vs_python():
         assert a is not None
         assert np.array_equal(a[0], b[0]) and np.array_equal(a[1], b[1]), \
             (t, L, w, k)
+
+
+def test_native_lchain_dp_fuzz_vs_python():
+    """Rewritten native chaining DP (chunked two-pass scan, binary-
+    search window, epoch marks, probe-walk backtrack) vs the pure
+    Python engine on adversarial anchor sets."""
+    import numpy as np
+    import minigraph_tpu.mapping.lchain as LC
+
+    rng = np.random.default_rng(7)
+    for trial in range(150):
+        n = int(rng.integers(1, 400))
+        n_v = int(rng.integers(1, 4))       # vertices
+        # anchors: clustered diagonals + noise, sorted by x
+        rid = rng.integers(0, n_v, n)
+        rev = rng.integers(0, 2, n)
+        tpos = rng.integers(0, 8000, n)
+        qpos = np.minimum(tpos + rng.integers(-300, 300, n), 1 << 20)
+        qpos = np.maximum(qpos, 0)
+        span = rng.integers(15, 22, n)
+        ax = (rid.astype(np.uint64) << np.uint64(33)) \
+            | (rev.astype(np.uint64) << np.uint64(32)) \
+            | tpos.astype(np.uint64)
+        ay = (span.astype(np.uint64) << np.uint64(32)) \
+            | qpos.astype(np.uint64)
+        perm = np.argsort(ax, kind="stable")
+        ax, ay = ax[perm], ay[perm]
+        max_skip = int(rng.integers(0, 8))  # small: provokes breaks
+        max_iter = int(rng.integers(5, 60))
+        bw = int(rng.integers(50, 1000))
+        args = (5000, 5000, bw, max_skip, max_iter, 3, 40,
+                0.19, 0.009, False, 1)
+        r_nat = LC.lchain_dp(*args, ax.copy(), ay.copy())
+        orig = LC._native_chain
+        LC._native_chain = lambda *a, **k: None
+        try:
+            r_py = LC.lchain_dp(*args, ax.copy(), ay.copy())
+        finally:
+            LC._native_chain = orig
+        assert r_nat[2] == r_py[2], trial
+        assert np.array_equal(r_nat[3], r_py[3]), trial
+        assert np.array_equal(r_nat[0], r_py[0]), trial
+        assert np.array_equal(r_nat[1], r_py[1]), trial
