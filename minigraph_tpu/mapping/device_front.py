@@ -71,7 +71,7 @@ class DeviceFront:
     def __init__(self, gi: MinimizerIndex, opt: MapOptions,
                  buckets: Sequence[Tuple[int, int]] = DEFAULT_BUCKETS,
                  occ_cap: int = 16, b_chunk: int = 32, chain: bool = True,
-                 chain_max_anchors: int = 2048):
+                 chain_window: int = 1024):
         from ..options import MG_M_RMQ, MG_M_SPLICE, MG_M_SR
         from ..ops.anchors_jax import JoinIndex
         from ..utils.hashes import expf
@@ -92,7 +92,7 @@ class DeviceFront:
         self.chain_enabled = (
             chain and not (opt.flag & (MG_M_RMQ | MG_M_SPLICE | MG_M_SR))
             and opt.max_frag_len <= 0)
-        self.chain_max_anchors = chain_max_anchors
+        self.chain_window = chain_window
         tmp = expf(-np.float32(opt.div) * np.float32(gi.k))
         self.chn_pen_gap = float(np.float32(
             np.float32(opt.chn_pen_gap) * np.float32(tmp)))
@@ -111,14 +111,15 @@ class DeviceFront:
             from functools import partial
             from ..ops import u32
             from ..ops.anchors_jax import collect_anchors_exact
-            from ..ops.chain_exact import lchain_dp_exact
+            from ..ops.chain_exact import lchain_dp_exact_win
             from ..ops.sketch_jax4 import sketch_planes
             # caps scale with the bucket: qcap covers ~2L/w emissions,
             # acap covers a few hits per emission; overflow-flagged
             # reads fall back to host, so caps trade throughput only.
             qcap = max(512, pad_len // 2)
             acap = max(1024, pad_len)
-            do_chain = self.chain_enabled and acap <= self.chain_max_anchors
+            do_chain = self.chain_enabled
+            win = min(self.chain_window, acap)
             opt = self.opt
 
             # NB: index tables are runtime args, NOT closure constants —
@@ -136,13 +137,14 @@ class DeviceFront:
                 if do_chain:
                     ax = u32.to_u64(res["axh"], res["axl"])
                     ay = u32.to_u64(res["ayh"], res["ayl"])
-                    f, p, v, sure = lchain_dp_exact(
+                    f, p, v, sure = lchain_dp_exact_win(
                         ax, ay, res["n_a"], jnp.int32(self.mdx_adj),
                         jnp.int32(self.mdy_adj), jnp.int32(opt.bw),
                         jnp.int32(opt.max_lc_skip),
                         jnp.int32(opt.max_lc_iter),
                         jnp.float32(self.chn_pen_gap),
-                        jnp.float32(self.chn_pen_skip))
+                        jnp.float32(self.chn_pen_skip),
+                        window=win, tile=8)
                     res["f"], res["p"], res["sure"] = f, p, sure
                 return res
 
@@ -161,16 +163,15 @@ class DeviceFront:
             return False
         return True
 
-    def run_batch(self, seqs: List[str]) -> List[Optional[FrontResult]]:
-        """Device seed stage for a list of reads (already uppercased).
+    def submit(self, seqs: List[str]):
+        """Dispatch the device seed stage for a list of reads without
+        blocking on results (jax dispatch is asynchronous), so the
+        caller can overlap host work with device compute — the
+        kt_pipeline analog (kthread.c:97-128, gmap.c:177).
 
-        Returns one FrontResult per read, or None where the read must
-        take the host path (overflow).  Reads are grouped into length
-        buckets; each bucket is one device dispatch.
-        """
+        Returns an opaque handle for gather()."""
         from ..ops.sketch_jax import encode_batch
 
-        out: List[Optional[FrontResult]] = [None] * len(seqs)
         by_bucket: Dict[int, List[int]] = {}
         for i, s in enumerate(seqs):
             for pad_len, bsz in self.buckets:
@@ -178,6 +179,7 @@ class DeviceFront:
                     by_bucket.setdefault(pad_len, []).append(i)
                     break
         max_occ = np.int32(self.opt.occ_max1)
+        pending = []
         for pad_len, idxs in by_bucket.items():
             bsz = dict(self.buckets)[pad_len]
             fn = self._fn(pad_len)
@@ -189,47 +191,60 @@ class DeviceFront:
                 codes, lens = encode_batch(reads, pad_to=pad_len)
                 res = fn(self.ji.keymat, self.ji.keyext, codes, lens,
                          max_occ)
-                ovf = np.asarray(res["overflow"])
-                f_dev = np.asarray(res["f"]) if "f" in res else None
-                p_dev = np.asarray(res["p"]) if "p" in res else None
-                sure = np.asarray(res["sure"]) if "sure" in res else None
-                axh = np.asarray(res["axh"])
-                axl = np.asarray(res["axl"])
-                ayh = np.asarray(res["ayh"])
-                ayl = np.asarray(res["ayl"])
-                n_a = np.asarray(res["n_a"])
-                q_cnt = np.asarray(res["q_cnt"])
-                q_meta = np.asarray(res["q_meta"])
-                n_q = np.asarray(res["n_q"])
-                for bi, ri in enumerate(chunk):
-                    if ovf[bi]:
-                        self.n_fallback += 1
-                        continue
-                    n = int(n_a[bi])
-                    ax = (axh[bi, :n].astype(U64) << U64(32)) \
-                        | axl[bi, :n].astype(U64)
-                    # device ayh = occ<<24|tandem<<10|span; host layout is
-                    # occ<<56|seg<<48|tandem<<42|span<<32 in the hi word
-                    ah = ayh[bi, :n].astype(U64)
-                    occ = ah >> U64(24)
-                    tand = (ah >> U64(10)) & U64(1)
-                    span = ah & U64(0x3FF)
-                    ay = (occ << U64(56)) | (tand << U64(42)) \
-                        | (span << U64(32)) | ayl[bi, :n].astype(U64)
-                    rep_len, mini_pos = derive_query_info(
-                        q_cnt[bi], q_meta[bi], int(n_q[bi]),
-                        int(self.opt.occ_max1))
-                    fb = pb = None
-                    if f_dev is not None:
-                        if sure[bi]:
-                            fb, pb = f_dev[bi, :n], p_dev[bi, :n]
-                        else:
-                            self.n_chain_unsure += 1
-                    out[ri] = FrontResult(ax=ax, ay=ay, rep_len=rep_len,
-                                          mini_pos=mini_pos,
-                                          n_mv=int(n_q[bi]), f=fb, p=pb)
-                    self.n_device += 1
+                pending.append((chunk, res))
+        return (len(seqs), pending)
+
+    def gather(self, handle) -> List[Optional[FrontResult]]:
+        """Fetch the results of a submit(); one FrontResult per read,
+        or None where the read must take the host path (overflow)."""
+        n_seqs, pending = handle
+        out: List[Optional[FrontResult]] = [None] * n_seqs
+        for chunk, res in pending:
+            ovf = np.asarray(res["overflow"])
+            f_dev = np.asarray(res["f"]) if "f" in res else None
+            p_dev = np.asarray(res["p"]) if "p" in res else None
+            sure = np.asarray(res["sure"]) if "sure" in res else None
+            axh = np.asarray(res["axh"])
+            axl = np.asarray(res["axl"])
+            ayh = np.asarray(res["ayh"])
+            ayl = np.asarray(res["ayl"])
+            n_a = np.asarray(res["n_a"])
+            q_cnt = np.asarray(res["q_cnt"])
+            q_meta = np.asarray(res["q_meta"])
+            n_q = np.asarray(res["n_q"])
+            for bi, ri in enumerate(chunk):
+                if ovf[bi]:
+                    self.n_fallback += 1
+                    continue
+                n = int(n_a[bi])
+                ax = (axh[bi, :n].astype(U64) << U64(32)) \
+                    | axl[bi, :n].astype(U64)
+                # device ayh = occ<<24|tandem<<10|span; host layout is
+                # occ<<56|seg<<48|tandem<<42|span<<32 in the hi word
+                ah = ayh[bi, :n].astype(U64)
+                occ = ah >> U64(24)
+                tand = (ah >> U64(10)) & U64(1)
+                span = ah & U64(0x3FF)
+                ay = (occ << U64(56)) | (tand << U64(42)) \
+                    | (span << U64(32)) | ayl[bi, :n].astype(U64)
+                rep_len, mini_pos = derive_query_info(
+                    q_cnt[bi], q_meta[bi], int(n_q[bi]),
+                    int(self.opt.occ_max1))
+                fb = pb = None
+                if f_dev is not None:
+                    if sure[bi]:
+                        fb, pb = f_dev[bi, :n], p_dev[bi, :n]
+                    else:
+                        self.n_chain_unsure += 1
+                out[ri] = FrontResult(ax=ax, ay=ay, rep_len=rep_len,
+                                      mini_pos=mini_pos,
+                                      n_mv=int(n_q[bi]), f=fb, p=pb)
+                self.n_device += 1
         return out
+
+    def run_batch(self, seqs: List[str]) -> List[Optional[FrontResult]]:
+        """Synchronous submit + gather."""
+        return self.gather(self.submit(seqs))
 
     def log_stats(self):
         from ..utils.syslog import mlog

@@ -309,6 +309,9 @@ def lchain_dp(max_dist_x: int, max_dist_y: int, bw: int, max_skip: int,
     return ox, oy, n_u, u
 
 
+_native_fin_cfg = False
+
+
 def lchain_dp_from_fp(f: np.ndarray, p: np.ndarray, bw: int, max_skip_unused,
                       min_cnt: int, min_sc: int, is_cdna: bool,
                       ax: np.ndarray, ay: np.ndarray):
@@ -316,8 +319,44 @@ def lchain_dp_from_fp(f: np.ndarray, p: np.ndarray, bw: int, max_skip_unused,
 
     The device chain kernel (ops/chain_exact.py) fills f/p exactly for
     unflagged reads; this runs the shared peak backtrack + chain
-    compaction on the host.  Returns (ax, ay, n_u, u) like lchain_dp."""
+    compaction on the host (native C when available).  Returns
+    (ax, ay, n_u, u) like lchain_dp."""
+    global _native_fin_cfg
     n = len(ax)
+    if n == 0:
+        return (np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.uint64),
+                0, np.empty(0, dtype=np.uint64))
+    import ctypes as ct
+
+    from ..utils.native import get_lib
+    lib = get_lib()
+    if lib is not None and hasattr(lib, "mgt_lchain_finish"):
+        if not _native_fin_cfg:
+            u64p = ct.POINTER(ct.c_uint64)
+            i32p = ct.POINTER(ct.c_int32)
+            lib.mgt_lchain_finish.restype = ct.c_int64
+            lib.mgt_lchain_finish.argtypes = [
+                ct.c_int32, ct.c_int32, ct.c_int32, ct.c_int32, ct.c_int64,
+                i32p, i32p, u64p, u64p, u64p, i32p]
+            _native_fin_cfg = True
+        axc = np.ascontiguousarray(ax, dtype=np.uint64)
+        ayc = np.ascontiguousarray(ay, dtype=np.uint64)
+        f32 = np.ascontiguousarray(f, dtype=np.int32)
+        p32 = np.ascontiguousarray(p, dtype=np.int32)
+        u = np.zeros(n, dtype=np.uint64)
+        n_u = ct.c_int32(0)
+        n_v = lib.mgt_lchain_finish(
+            bw, int(is_cdna), min_cnt, min_sc, n,
+            f32.ctypes.data_as(ct.POINTER(ct.c_int32)),
+            p32.ctypes.data_as(ct.POINTER(ct.c_int32)),
+            axc.ctypes.data_as(ct.POINTER(ct.c_uint64)),
+            ayc.ctypes.data_as(ct.POINTER(ct.c_uint64)),
+            u.ctypes.data_as(ct.POINTER(ct.c_uint64)), ct.byref(n_u))
+        if n_u.value == 0:
+            return (np.empty(0, dtype=np.uint64),
+                    np.empty(0, dtype=np.uint64), 0,
+                    np.empty(0, dtype=np.uint64))
+        return axc[:n_v], ayc[:n_v], n_u.value, u[: n_u.value]
     max_drop = 0x7FFFFFFF if is_cdna else bw
     u, vv, n_u, n_v = chain_backtrack(
         n, f.astype(np.int64), p.astype(np.int64), min_cnt, min_sc,

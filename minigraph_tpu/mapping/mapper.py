@@ -252,7 +252,8 @@ def map_one(gi: MinimizerIndex, seq: str, opt: MapOptions,
 
 def map_files(g: Graph, fns: List[str], ipt: IndexOptions, opt0: MapOptions,
               out=sys.stdout, cov: Optional[tuple] = None,
-              n_threads: int = 1, device: bool = False) -> int:
+              n_threads: int = 1, device: bool = False,
+              front_kwargs: Optional[dict] = None) -> int:
     """Index once, then map each query file (mg_map_files, gmap.c:186-211).
 
     With device=True the batched seed stage (sketch + index probe +
@@ -266,7 +267,7 @@ def map_files(g: Graph, fns: List[str], ipt: IndexOptions, opt0: MapOptions,
     front = None
     if device:
         from .device_front import DeviceFront
-        front = DeviceFront(gi, opt)
+        front = DeviceFront(gi, opt, **(front_kwargs or {}))
     c_seg = c_link = None
     if opt.flag & MG_M_CAL_COV:
         c_seg = np.zeros(g.n_seg, dtype=np.float64)
@@ -349,35 +350,48 @@ def _map_file_frag(gi: MinimizerIndex, fns: List[str], opt: MapOptions,
     frag_mode = len(fns) > 1 or bool(opt.flag & MG_M_FRAG_MODE)
     fps = [BSeqFile(fn) for fn in fns]
     pe_ori = opt.pe_ori
+    def _read_prep():
+        """Read + encode + DISPATCH the next batch (pipeline stage 0).
+
+        The device dispatch in front.submit() is asynchronous, so by
+        submitting batch k+1 before the host finishes the per-read
+        tails of batch k, read/parse and device compute overlap the
+        host tail work — the kt_pipeline analog (gmap.c:66-177)."""
+        if len(fps) > 1:
+            batch = _read_batch_frag(fps, opt.mini_batch_size)
+        else:
+            batch = fps[0].read_batch(opt.mini_batch_size, frag_mode)
+        if not batch:
+            return None
+        for s in batch:
+            s.seq = toupper(s.seq)
+        # group into fragments by query name
+        frags = []
+        j = 0
+        for i in range(1, len(batch) + 1):
+            if i == len(batch) or not frag_mode \
+                    or not qname_same(batch[i - 1].name, batch[i].name):
+                frags.append((j, i - j))
+                j = i
+        handle = front_idx = None
+        if front is not None:
+            # device seed stage for every eligible single-seg frag
+            front_idx = [fi for fi, (off, n_seg) in enumerate(frags)
+                         if front.eligible(opt, n_seg, batch[off].l_seq)]
+            if front_idx:
+                handle = front.submit(
+                    [batch[frags[fi][0]].seq for fi in front_idx])
+        return batch, frags, handle, front_idx
+
     try:
-        while True:
-            if len(fps) > 1:
-                batch = _read_batch_frag(fps, opt.mini_batch_size)
-            else:
-                batch = fps[0].read_batch(opt.mini_batch_size, frag_mode)
-            if not batch:
-                break
-            for s in batch:
-                s.seq = toupper(s.seq)
-            # group into fragments by query name
-            frags = []
-            j = 0
-            for i in range(1, len(batch) + 1):
-                if i == len(batch) or not frag_mode \
-                        or not qname_same(batch[i - 1].name, batch[i].name):
-                    frags.append((j, i - j))
-                    j = i
+        cur = _read_prep()
+        while cur is not None:
+            batch, frags, handle, front_idx = cur
+            cur = _read_prep()  # device + I/O run ahead of the tails
             pre = None
             front_res = None
-            if front is not None:
-                # device seed stage for every eligible single-seg frag
-                front_idx = [fi for fi, (off, n_seg) in enumerate(frags)
-                             if front.eligible(opt, n_seg,
-                                               batch[off].l_seq)]
-                if front_idx:
-                    res = front.run_batch(
-                        [batch[frags[fi][0]].seq for fi in front_idx])
-                    front_res = dict(zip(front_idx, res))
+            if handle is not None:
+                front_res = dict(zip(front_idx, front.gather(handle)))
             import os
             eff_threads = min(n_threads, os.cpu_count() or 1)
             if front is not None:

@@ -203,3 +203,137 @@ def lchain_dp_exact(ax, ay, n_a, max_dist_x, max_dist_y, bw, max_skip,
     (f, p, cnt, v, max_ii, f_mii, uncertain), _ = jax.lax.scan(
         step, init, jnp.arange(N, dtype=I32))
     return f, p, v, ~uncertain
+
+
+@partial(jax.jit, static_argnames=("window", "tile"))
+def lchain_dp_exact_win(ax, ay, n_a, max_dist_x, max_dist_y, bw, max_skip,
+                        max_iter, chn_pen_gap, chn_pen_skip,
+                        window: int = 1024, tile: int = 8):
+    """Windowed lchain_dp_exact for long reads.
+
+    Identical semantics with two changes that keep per-step work
+    O(B * window) instead of O(B * N):
+      * only the `window` most recent anchors are candidates; a read
+        where the reference's scan window [st, i) reaches further back
+        (dense anchors within max_dist_x) is flagged uncertain and
+        takes the host path — rare outside repeat pileups, and those
+        reads usually already trip the occurrence caps;
+      * `tile` anchors are processed per lax.scan step (the step body
+        is unrolled), amortizing the ~10 us TPU scan-step overhead.
+
+    Arrays are left-padded with `window` dummy columns internally so
+    every slice offset is static.
+    """
+    B, N = ax.shape
+    W, T = window, tile
+    assert N % T == 0
+    U64MAX = jnp.uint64(0xFFFFFFFFFFFFFFFF)
+    pad = jnp.full((B, W), U64MAX, dtype=ax.dtype)
+    axp = jnp.concatenate([pad, ax], axis=1)
+    ayp = jnp.concatenate([pad, ay], axis=1)
+    xhp = (axp >> jnp.uint64(32)).astype(jnp.uint32)
+
+    def step(carry, i0):
+        # padded arrays: anchor i lives at column W + i
+        f, p, cnt, v, max_ii, f_mii, uncertain = carry
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, i0, W + T, axis=1)
+        fw, pw, cw, vw = sl(f), sl(p), sl(cnt), sl(v)
+        axw, ayw, xhw = sl(axp), sl(ayp), sl(xhp)
+        for t in range(T):
+            i = i0 + t                    # global anchor index
+            col = W + t                   # its column inside the slice
+            xi, yi, xhi = axw[:, col], ayw[:, col], xhw[:, col]
+            active = i < n_a
+            # global anchor index of slice column c is i0 + c - W
+            jg = i0 + jnp.arange(W + T, dtype=I32)[None, :] - W
+            before = jnp.arange(W + T, dtype=I32)[None, :] < col
+            same_vx = xhw == xhi[:, None]
+            xdist_ok = (xi[:, None] - axw).astype(jnp.uint64) \
+                <= jnp.uint64(1) * max_dist_x.astype(jnp.uint64)
+            mask_dist = same_vx & xdist_ok & before
+            win = mask_dist & (jg >= i - max_iter)
+            st_dist = i - jnp.sum(mask_dist, axis=1).astype(I32)
+            st_win = i - jnp.sum(win, axis=1).astype(I32)
+            # the reference window may reach below our slice: flag
+            overflow = mask_dist[:, 0]
+
+            sc, valid0 = _sc_valid(xi[:, None], yi[:, None], axw, ayw,
+                                   max_dist_x, max_dist_y, bw,
+                                   chn_pen_gap, chn_pen_skip)
+            valid = valid0 & win
+            sc_tot = jnp.where(valid, sc + fw, NEG_BIG)
+            q_span_i = ((yi >> jnp.uint64(32))
+                        & jnp.uint64(0xFF)).astype(I32)
+
+            M = jnp.max(sc_tot, axis=1)
+            idx = jnp.max(jnp.where((sc_tot == M[:, None]) & valid, jg,
+                                    I32(-1)), axis=1)
+            best = M > q_span_i
+
+            suf = jax.lax.cummax(sc_tot, axis=1, reverse=True)
+            excl = jnp.concatenate(
+                [suf[:, 1:], jnp.full((B, 1), NEG_BIG, I32)], axis=1)
+            run_before = jnp.maximum(q_span_i[:, None], excl)
+            new = valid & (sc_tot > run_before)
+            marked = cw > 0
+            d = jnp.where(new, I32(-1),
+                          jnp.where(valid & marked & ~new, I32(1), I32(0)))
+            S = jax.lax.cumsum(d, axis=1, reverse=True)
+            Smin = jax.lax.cummin(S, axis=1, reverse=True)
+            n_after = S - jnp.minimum(0, Smin)
+            brk = (d == 1) & (n_after > max_skip)
+            jb = jnp.max(jnp.where(brk, jg, I32(-1)), axis=1)
+            has_break = jb >= 0
+
+            max_f = jnp.where(best, M, q_span_i)
+            max_j = jnp.where(best, idx, I32(-1))
+            step_unc = (has_break & best & (idx < jb)) | overflow
+
+            stale = (max_ii < 0) | (max_ii < st_dist)
+            fmsk = jnp.where(win, fw, NEG_BIG)
+            Mf = jnp.max(fmsk, axis=1)
+            idx_f = jnp.max(jnp.where((fmsk == Mf[:, None]) & win, jg,
+                                      I32(-1)), axis=1)
+            any_win = jnp.any(win, axis=1)
+            max_ii = jnp.where(stale, jnp.where(any_win, idx_f, I32(-1)),
+                               max_ii)
+            f_mii = jnp.where(stale, jnp.where(any_win, Mf, I32(0)), f_mii)
+
+            has_mii = max_ii >= 0
+            mii_col = jg == max_ii[:, None]
+            tmp = jnp.max(jnp.where(mii_col & valid, sc, NEG_BIG), axis=1)
+            cand_ok = has_mii & (tmp > NEG_BIG)
+            delta = cand_ok & (max_f < tmp + f_mii)
+            fire_sure = has_mii & (max_ii < st_win - 1)
+            fire_maybe = has_mii & ~fire_sure & has_break & (max_ii < jb)
+            apply = fire_sure & delta
+            step_unc |= fire_maybe & delta
+            f_i = jnp.where(apply, tmp + f_mii, max_f)
+            p_i = jnp.where(apply, max_ii, max_j)
+
+            pcol = jg == jnp.maximum(p_i, 0)[:, None]
+            v_pi = jnp.max(jnp.where(pcol, vw, NEG_BIG), axis=1)
+            v_i = jnp.where((p_i >= 0) & (v_pi > f_i), v_pi, f_i)
+
+            upd = (max_ii < 0) | (f_mii < f_i)
+            max_ii = jnp.where(active & upd, i, max_ii)
+            f_mii = jnp.where(active & upd, f_i, f_mii)
+            uncertain = uncertain | (step_unc & active)
+
+            fw = fw.at[:, col].set(jnp.where(active, f_i, fw[:, col]))
+            pw = pw.at[:, col].set(jnp.where(active, p_i, pw[:, col]))
+            vw = vw.at[:, col].set(jnp.where(active, v_i, vw[:, col]))
+            cw = cw + (pcol & (p_i >= 0)[:, None]
+                       & active[:, None]).astype(I32)
+        upd_sl = lambda a, w: jax.lax.dynamic_update_slice_in_dim(
+            a, w, i0, axis=1)
+        return (upd_sl(f, fw), upd_sl(p, pw), upd_sl(cnt, cw),
+                upd_sl(v, vw), max_ii, f_mii, uncertain), None
+
+    init = (jnp.zeros((B, W + N), I32), jnp.full((B, W + N), -1, I32),
+            jnp.zeros((B, W + N), I32), jnp.zeros((B, W + N), I32),
+            jnp.full((B,), -1, I32), jnp.zeros((B,), I32),
+            jnp.zeros((B,), bool))
+    (f, p, cnt, v, max_ii, f_mii, uncertain), _ = jax.lax.scan(
+        step, init, jnp.arange(0, N, T, dtype=I32))
+    return (f[:, W:], p[:, W:], v[:, W:], ~uncertain)

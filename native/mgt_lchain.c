@@ -728,3 +728,28 @@ int64_t mgt_lchain_rmq(int32_t max_dist, int32_t max_dist_inner, int32_t bw,
     *n_u_out = n_u;
     return n_u == 0 ? 0 : n_v;
 }
+
+/* Finish the DP from device-computed f/p arrays (ops/chain_exact.py):
+ * peak backtrack + chain compaction only.  Same contract as
+ * mgt_lchain_dp's tail; f/p are int32 from the device. */
+int64_t mgt_lchain_finish(int32_t bw, int32_t is_cdna, int32_t min_cnt,
+                          int32_t min_sc, int64_t n, const int32_t *f32v,
+                          const int32_t *p32, uint64_t *ax, uint64_t *ay,
+                          uint64_t *u_out, int32_t *n_u_out)
+{
+    int64_t *f, *p, *vv, i, n_v;
+    int32_t n_u, max_drop = is_cdna ? 0x7fffffff : bw;
+
+    *n_u_out = 0;
+    if (n == 0) return 0;
+    f = (int64_t *)malloc(8 * n);
+    p = (int64_t *)malloc(8 * n);
+    vv = (int64_t *)malloc(8 * n);
+    for (i = 0; i < n; ++i) f[i] = f32v[i], p[i] = p32[i];
+    n_v = chain_backtrack(n, f, p, min_cnt, min_sc, max_drop, u_out, &n_u,
+                          vv);
+    if (n_u > 0) compact_a(n_u, u_out, n_v, vv, ax, ay);
+    free(f); free(p); free(vv);
+    *n_u_out = n_u;
+    return n_u == 0 ? 0 : n_v;
+}
