@@ -79,7 +79,16 @@ class DeviceFront:
         self.opt = opt
         self.occ_cap = occ_cap
         self.b_chunk = b_chunk
-        self.ji = JoinIndex.from_host(gi, occ_cap=occ_cap)
+        # probe backend: the MXU equality join scans O(K) key columns
+        # per query — ideal below ~1e5 distinct minimizers; above that
+        # the K-independent cuckoo-hash gathers win (ops/anchors_hash)
+        if len(gi.keys) > 100_000:
+            from ..ops.anchors_hash import HashJoinIndex
+            self.ji = HashJoinIndex.from_host(gi, occ_cap=occ_cap)
+            self.hashed = True
+        else:
+            self.ji = JoinIndex.from_host(gi, occ_cap=occ_cap)
+            self.hashed = False
         self.buckets = sorted(buckets)
         self.max_len = self.buckets[-1][0]
         self._fns: Dict[int, object] = {}
@@ -125,26 +134,59 @@ class DeviceFront:
             # NB: index tables are runtime args, NOT closure constants —
             # baking MB-sized tables into the jit can wedge the axon
             # remote compiler for ~30 min (see .claude/skills/verify).
+            # The collect and chain stages are SEPARATE jits: the axon
+            # remote compiler is slow on big programs, and two smaller
+            # compiles finish far sooner than one fused one (the extra
+            # dispatch costs ~13 ms per batch).
+            if self.hashed:
+                from ..ops.anchors_hash import collect_anchors_exact_hash
+
+                @jax.jit
+                def collect(t1, t2, t3, t4, codes, lens, max_occ):
+                    sp = sketch_planes(codes, lens, self.gi.w, self.gi.k)
+                    res = collect_anchors_exact_hash(
+                        t1, t2, t3, t4, sp.hh, sp.hl, sp.meta,
+                        sp.t_hh, sp.t_hl, sp.t_meta, max_occ,
+                        hbits=self.ji.hbits, occ_cap=self.occ_cap,
+                        qcap=qcap, acap=acap, b_chunk=self.b_chunk)
+                    res["overflow"] = res["overflow"] | sp.overflow
+                    return res
+
+                tables = (self.ji.tag, self.ji.pay, self.ji.p_rid,
+                          self.ji.p_sel)
+            else:
+                @jax.jit
+                def collect(t1, t2, codes, lens, max_occ):
+                    sp = sketch_planes(codes, lens, self.gi.w, self.gi.k)
+                    res = collect_anchors_exact(
+                        t1, t2, sp.hh, sp.hl, sp.meta,
+                        sp.t_hh, sp.t_hl, sp.t_meta, max_occ,
+                        occ_cap=self.occ_cap, qcap=qcap, acap=acap,
+                        b_chunk=self.b_chunk)
+                    res["overflow"] = res["overflow"] | sp.overflow
+                    return res
+
+                tables = (self.ji.keymat, self.ji.keyext)
+
             @jax.jit
-            def step(keymat, keyext, codes, lens, max_occ):
-                sp = sketch_planes(codes, lens, self.gi.w, self.gi.k)
-                res = collect_anchors_exact(
-                    keymat, keyext, sp.hh, sp.hl, sp.meta,
-                    sp.t_hh, sp.t_hl, sp.t_meta, max_occ,
-                    occ_cap=self.occ_cap, qcap=qcap, acap=acap,
-                    b_chunk=self.b_chunk)
-                res["overflow"] = res["overflow"] | sp.overflow
+            def chain(axh, axl, ayh, ayl, n_a):
+                ax = u32.to_u64(axh, axl)
+                ay = u32.to_u64(ayh, ayl)
+                return lchain_dp_exact_win(
+                    ax, ay, n_a, jnp.int32(self.mdx_adj),
+                    jnp.int32(self.mdy_adj), jnp.int32(opt.bw),
+                    jnp.int32(opt.max_lc_skip),
+                    jnp.int32(opt.max_lc_iter),
+                    jnp.float32(self.chn_pen_gap),
+                    jnp.float32(self.chn_pen_skip),
+                    window=win, tile=8)
+
+            def step(codes, lens, max_occ):
+                res = collect(*tables, codes, lens, max_occ)
                 if do_chain:
-                    ax = u32.to_u64(res["axh"], res["axl"])
-                    ay = u32.to_u64(res["ayh"], res["ayl"])
-                    f, p, v, sure = lchain_dp_exact_win(
-                        ax, ay, res["n_a"], jnp.int32(self.mdx_adj),
-                        jnp.int32(self.mdy_adj), jnp.int32(opt.bw),
-                        jnp.int32(opt.max_lc_skip),
-                        jnp.int32(opt.max_lc_iter),
-                        jnp.float32(self.chn_pen_gap),
-                        jnp.float32(self.chn_pen_skip),
-                        window=win, tile=8)
+                    f, p, v, sure = chain(res["axh"], res["axl"],
+                                          res["ayh"], res["ayl"],
+                                          res["n_a"])
                     res["f"], res["p"], res["sure"] = f, p, sure
                 return res
 
@@ -189,8 +231,7 @@ class DeviceFront:
                 # pad the batch to the compiled size
                 reads += [""] * (bsz - len(reads))
                 codes, lens = encode_batch(reads, pad_to=pad_len)
-                res = fn(self.ji.keymat, self.ji.keyext, codes, lens,
-                         max_occ)
+                res = fn(codes, lens, max_occ)
                 pending.append((chunk, res))
         return (len(seqs), pending)
 

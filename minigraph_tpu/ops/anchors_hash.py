@@ -11,8 +11,11 @@ K exceeds ~1e6 and is the only viable route to human-scale graphs
 
 Layout: every gather plane is uint32.
   tag[slot]  = low 32 bits of the minimizer hash
-  pay[slot]  = start<<8 | cnt_capped<<2 | hash_hi2   (exact key check:
-               tag + the 2 high hash bits; minimizers are < 2^34)
+  pay[slot]  = start<<10 | cnt_capped8<<2 | hash_hi2  (exact key check:
+               tag + the 2 high hash bits; minimizers are < 2^34;
+               cnt caps at 255 so the reference occurrence tests
+               — t < max_occ with max_occ <= 250 and the occ byte
+               min(t,255) — stay exactly decidable)
   pos planes = (rid<<1|strand, rpos, base=seg_len-rpos-2) per hit
 
 Expansion reuses the band-matmul trick; only the probe and the
@@ -82,13 +85,13 @@ class HashJoinIndex:
         table size across shards)."""
         K = len(keys)
         assert keys.max(initial=0) < 1 << 34
-        assert start.max(initial=0) < 1 << 24, \
-            "position array too large for 24-bit start; shard the index"
+        assert start.max(initial=0) < 1 << 22, \
+            "position array too large for 22-bit start; shard the index"
 
         hh = (keys >> np.uint64(32)).astype(np.uint32)
         hl = keys.astype(np.uint32)
-        cnt_c = np.minimum(cnt, 63)
-        pay = (start.astype(np.uint32) << np.uint32(8)) \
+        cnt_c = np.minimum(cnt, 255)
+        pay = (start.astype(np.uint32) << np.uint32(10)) \
             | (cnt_c.astype(np.uint32) << np.uint32(2)) \
             | hh
         hbits = max(4, hbits_min,
@@ -180,12 +183,12 @@ def collect_anchors_hash(tag, pay, p_rid, p_sel, hh, hl, meta,
     hit2 = (t2 == qhl) & ((y2 & U32(3)) == qhh) & (y2 != U32MAX)
     payv = jnp.where(hit1, y1, y2)
     found = (hit1 | hit2) & qvalid
-    cnt = jnp.where(found, (payv >> U32(2)) & U32(0x3F), 0) \
+    cnt = jnp.where(found, (payv >> U32(2)) & U32(0xFF), 0) \
         .astype(jnp.int32)
-    start = jnp.where(found, payv >> U32(8), 0).astype(jnp.int32)
+    start = jnp.where(found, payv >> U32(10), 0).astype(jnp.int32)
 
-    # cnt in the table caps at 63; max_occ above that can't be checked
-    keep = found & (cnt < jnp.minimum(max_occ, 63))
+    # cnt in the table caps at 255; max_occ above that can't be checked
+    keep = found & (cnt < jnp.minimum(max_occ, 255))
     occ = jnp.where(keep, jnp.minimum(cnt, occ_cap), 0)
     occ_byte = jnp.where(keep, cnt, 0)  # capped at 63 by the table
 
@@ -261,3 +264,130 @@ def collect_anchors_hash(tag, pay, p_rid, p_sel, hh, hl, meta,
     if return_planes:
         return axh, axl, ayh, ayl, n_a, q_overflow
     return (u32.to_u64(axh, axl), u32.to_u64(ayh, ayl), n_a, q_overflow)
+
+
+@partial(jax.jit, static_argnames=("hbits", "occ_cap", "qcap", "acap",
+                                   "b_chunk"))
+def collect_anchors_exact_hash(tag, pay, p_rid, p_sel, hh, hl, meta,
+                               t_hh, t_hl, t_meta, max_occ, hbits: int,
+                               occ_cap: int, qcap: int = 512,
+                               acap: int = 2048, b_chunk: int = 32):
+    """Byte-parity anchor collection with the cuckoo-hash probe.
+
+    The K-independent sibling of anchors_jax.collect_anchors_exact for
+    MHC-to-human scale indexes: same contract (emission-order merged
+    planes, exact tandem flags, occurrence-cap truncation + duplicate-x
+    flags, per-emission query info), with the O(Q*K) matmul probe
+    replaced by two-choice cuckoo gathers.  Reads probing a saturated
+    count field (cnt == 255 with max_occ > 255) are flagged."""
+    from .anchors_jax import merge_planes
+
+    B, S_in = hh.shape
+    b_chunk = min(b_chunk, B)
+    pad_b = (-B) % b_chunk
+
+    chh, chl, cmeta, cemit = merge_planes(hh, hl, meta, t_hh, t_hl, t_meta)
+
+    n_q = jnp.sum(cemit, axis=1).astype(jnp.int32)
+    q_overflow = n_q > qcap
+    _, qhh, qhl, qmeta = jax.lax.sort(
+        (jnp.logical_not(cemit), chh, chl, cmeta), dimension=1,
+        num_keys=1, is_stable=True)
+    qhh, qhl, qmeta = qhh[:, :qcap], qhl[:, :qcap], qmeta[:, :qcap]
+    qvalid = jnp.arange(qcap)[None, :] < jnp.minimum(n_q, qcap)[:, None]
+
+    # ---- probe: two cuckoo choices, 4 gathers ----
+    s1, s2 = _slot_hashes(qhh, qhl, hbits)
+    t1 = jnp.take(tag, s1.astype(jnp.int32))
+    y1 = jnp.take(pay, s1.astype(jnp.int32))
+    t2 = jnp.take(tag, s2.astype(jnp.int32))
+    y2 = jnp.take(pay, s2.astype(jnp.int32))
+    hit1 = (t1 == qhl) & ((y1 & U32(3)) == qhh) & (y1 != U32MAX)
+    hit2 = (t2 == qhl) & ((y2 & U32(3)) == qhh) & (y2 != U32MAX)
+    payv = jnp.where(hit1, y1, y2)
+    found = (hit1 | hit2) & qvalid
+    cnt = jnp.where(found, (payv >> U32(2)) & U32(0xFF), 0) \
+        .astype(jnp.int32)
+    start = jnp.where(found, payv >> U32(10), 0).astype(jnp.int32)
+
+    keep = found & (cnt < max_occ)
+    occ = jnp.where(keep, jnp.minimum(cnt, occ_cap), 0)
+    occ_byte = jnp.where(keep, cnt, 0)  # table caps at 255 == min(,255)
+
+    offs = jnp.cumsum(occ, axis=1) - occ
+    n_tot = jnp.sum(occ, axis=1)
+    n_a = jnp.minimum(n_tot, acap).astype(jnp.int32)
+    a_overflow = n_tot > acap
+    # silent anchor loss / saturated count field
+    trunc = jnp.any(keep & (cnt > occ_cap), axis=1)
+    trunc = trunc | ((max_occ > 255)
+                     & jnp.any(found & (cnt == 255), axis=1))
+
+    # ---- band expansion extracting [offs, occ_byte, m_lo, m_hi, start]
+    qext = jnp.stack([offs.astype(F32), occ_byte.astype(F32),
+                      (qmeta & U32(0xFFF)).astype(F32),
+                      (qmeta >> U32(12)).astype(F32),
+                      start.astype(F32)], -1)
+    offs_f = offs.astype(F32)
+    ends_f = (offs + occ).astype(F32)
+    a_iota = jnp.arange(acap, dtype=F32)
+
+    def band_chunk(_, args):
+        of, en, qe = args
+        oh = ((a_iota[None, :, None] >= of[:, None, :])
+              & (a_iota[None, :, None] < en[:, None, :])).astype(F32)
+        return _, jax.lax.dot_general(
+            oh, qe, (((2,), (1,)), ((0,), (0,))), precision=PREC)
+
+    def padb(a):
+        if not pad_b:
+            return a
+        return jnp.pad(a, ((0, pad_b),) + ((0, 0),) * (a.ndim - 1))
+
+    nbc = (B + pad_b) // b_chunk
+    _, aext = jax.lax.scan(
+        band_chunk, 0,
+        (padb(offs_f).reshape(nbc, b_chunk, qcap),
+         padb(ends_f).reshape(nbc, b_chunk, qcap),
+         padb(qext).reshape(nbc, b_chunk, qcap, 5)))
+    aext = aext.reshape(B + pad_b, acap, 5)[:B]
+
+    a_valid = jnp.arange(acap)[None, :] < n_a[:, None]
+    rank = (jnp.arange(acap, dtype=F32)[None, :] - aext[..., 0]) \
+        .astype(jnp.int32)
+    occ_b = aext[..., 1].astype(U32)
+    qmeta_a = (aext[..., 3].astype(U32) << U32(12)) \
+        | aext[..., 2].astype(U32)
+    idx = jnp.where(a_valid, aext[..., 4].astype(jnp.int32) + rank, 0)
+
+    rid_strand = jnp.take(p_rid, idx)
+    z = qmeta_a & U32(1)
+    qpos = (qmeta_a >> U32(1)) & U32((1 << META_Q_BITS) - 1)
+    span = (qmeta_a >> U32(META_Q_BITS + 1)) & U32(0x1F)
+    tandem = qmeta_a >> U32(31)
+    strand = rid_strand & U32(1)
+    rid = rid_strand >> U32(1)
+    rev = strand ^ z
+    val = jnp.take(p_sel, ((idx.astype(U32) << U32(1)) | rev)
+                   .astype(jnp.int32)).astype(jnp.int32)
+    tpos = jnp.where(rev == 0, val, val + span.astype(jnp.int32))
+
+    axh = (rid << U32(1)) | rev
+    axl = tpos.astype(U32)
+    ayh = (occ_b << U32(24)) | (tandem << U32(10)) | span
+    ayl = qpos
+    axh = jnp.where(a_valid, axh, U32MAX)
+    axl = jnp.where(a_valid, axl, U32MAX)
+    ayh = jnp.where(a_valid, ayh, U32MAX)
+    ayl = jnp.where(a_valid, ayl, U32MAX)
+
+    axh, axl, ayh, ayl = jax.lax.sort(
+        (axh, axl, ayh, ayl), dimension=1, num_keys=2, is_stable=True)
+    dup = jnp.any((axh[:, 1:] == axh[:, :-1])
+                  & (axl[:, 1:] == axl[:, :-1])
+                  & (axh[:, 1:] != U32MAX), axis=1)
+    return {"axh": axh, "axl": axl, "ayh": ayh, "ayl": ayl, "n_a": n_a,
+            "overflow": q_overflow | a_overflow | trunc | dup,
+            "q_cnt": jnp.where(qvalid, cnt, 0),
+            "q_meta": jnp.where(qvalid, qmeta, U32MAX),
+            "n_q": n_q}
