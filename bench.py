@@ -138,7 +138,43 @@ def bench_ours(gfa, reads_fa):
     front.log_stats()
     log(f"our map: warm(incl compile) {t_warm:.1f}s, steady {t_meas:.1f}s "
         f"-> {N_READS / t_meas:.0f} reads/s")
-    return N_READS / t_meas, gaf
+    return N_READS / t_meas, gaf, gi, mo, front
+
+
+def bench_ours_cigar(gi, mo, front, reads_fa):
+    """Secondary: -cx lr (the metric of record includes -c).  Reuses
+    the compiled front; only the gap-WFA buckets compile here."""
+    import copy
+    import io
+
+    from minigraph_tpu.mapping.mapper import _map_file_frag
+    from minigraph_tpu.options import MG_M_CIGAR
+
+    mo2 = copy.copy(mo)
+    mo2.flag |= MG_M_CIGAR
+    front.opt = mo2
+
+    def run_once():
+        sink = io.StringIO()
+        t0 = time.time()
+        _map_file_frag(gi, [str(reads_fa)], mo2, sink, None, None, 1, front)
+        return time.time() - t0, sink.getvalue()
+
+    t_warm, gaf = run_once()
+    t_meas, _ = run_once()
+    front.log_stats()
+    log(f"our -c map: warm {t_warm:.1f}s, steady {t_meas:.1f}s "
+        f"-> {N_READS / t_meas:.0f} reads/s")
+    want = subprocess.run([str(ORACLE), "-c", "-t", "1",
+                           str(gi_gfa_path[0]), str(reads_fa)],
+                          capture_output=True, text=True, check=True,
+                          timeout=900).stdout
+    log("PARITY OK: -c device GAF == oracle" if gaf == want
+        else "WARNING: -c GAF parity MISMATCH")
+    return N_READS / t_meas
+
+
+gi_gfa_path = [None]
 
 
 def bench_oracle(gfa, reads_fa):
@@ -174,7 +210,9 @@ def bench_stage(gfa, reads_fa):
     gi = build_index(g, io_.k, io_.w, mo)
     hi = HashJoinIndex.from_host(gi, occ_cap=16)
     fp = BSeqFile(str(reads_fa))
-    reads = [s.seq for s in fp.read_batch(1 << 30, False)]
+    # indel mutation can push a read past PAD_LEN; clamp for the
+    # fixed-shape stage metric (the e2e path buckets by true length)
+    reads = [s.seq[:PAD_LEN] for s in fp.read_batch(1 << 30, False)]
     fp.close()
     B = 512
     reads = (reads * ((B // len(reads)) + 1))[:B]
@@ -195,8 +233,10 @@ def bench_stage(gfa, reads_fa):
 def main():
     import jax
     log(f"devices: {jax.devices()}")
+    t_start = time.time()
     gfa, reads_fa = ensure_workload()
-    rps, gaf = bench_ours(gfa, reads_fa)
+    gi_gfa_path[0] = gfa
+    rps, gaf, gi, mo, front = bench_ours(gfa, reads_fa)
     base = None
     if ensure_oracle():
         base, gaf_ref = bench_oracle(gfa, reads_fa)
@@ -205,6 +245,13 @@ def main():
                 f"({len(gaf.splitlines())} records)")
         else:
             log("WARNING: GAF parity MISMATCH on the bench workload")
+    if time.time() - t_start < 900:
+        try:
+            bench_ours_cigar(gi, mo, front, reads_fa)
+        except Exception as e:
+            log(f"-c bench skipped: {type(e).__name__} {e}")
+    else:
+        log("-c bench skipped: compile budget spent")
     try:
         bench_stage(gfa, reads_fa)
     except Exception as e:

@@ -38,12 +38,24 @@ def _ggen_map(gi, opt: MapOptions, fn: str, n_threads: int = 1):
 def ggen_aug(g: Graph, fns: List[str], ipt: IndexOptions, opt0: MapOptions,
              go: GGOptions, n_threads: int = 1) -> int:
     """Incremental construction: for each sample, re-index the current
-    graph, map all contigs, then augment (mg_ggen_aug, ggen.c:84-102)."""
+    graph, map all contigs, then augment (mg_ggen_aug, ggen.c:84-102).
+
+    The per-sample re-index is a DELTA build: augmentation only splits
+    segments and adds new ones, so unchanged segments reuse their
+    cached sketch records and edseqs (IndexCache) — the dominant
+    re-index cost drops from O(graph) to O(changed) per sample."""
+    from ..index.midx import IndexCache
+    from ..utils.syslog import mlog
+    cache = IndexCache()
     for fn in fns:
         opt = copy.copy(opt0)
-        gi = build_index(g, ipt.k, ipt.w, opt)
+        cache.hits = cache.misses = 0
+        gi = build_index(g, ipt.k, ipt.w, opt, cache=cache)
         if gi is None:
             return -1
+        if cache.hits:
+            mlog("ggen_aug", f"delta re-index: {cache.hits} segments "
+                 f"cached, {cache.misses} re-sketched")
         seqs, gcs = _ggen_map(gi, opt, fn, n_threads)
         ggsimple(g, go, len(seqs), seqs, gcs,
                  use_cigar=bool(opt0.flag & MG_M_CIGAR))

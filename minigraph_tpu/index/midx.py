@@ -83,23 +83,63 @@ def gfa_overlap(g: Graph) -> bool:
     return any(a.ov != 0 or a.ow != 0 for a in g.arc)
 
 
-def build_index(g: Graph, k: int, w: int, mo=None) -> Optional[MinimizerIndex]:
+class IndexCache:
+    """Per-segment sketch + edseq cache for DELTA re-indexing.
+
+    The -cxggs loop re-indexes the whole graph after every sample
+    (ggen.c:92), but augmentation only SPLITS segments and adds new
+    ones — it never edits sequence (gfa-aug.c:93-175).  Keyed by the
+    segment sequence itself, unchanged segments reuse their sketch
+    records (the y records are rebased to the new segment id) and
+    their forward/rc byte strings; only new or split segments are
+    re-sketched.  The rebuilt flat tables are byte-identical to a
+    from-scratch build because the per-segment sketch is a pure
+    function of (seq, w, k)."""
+
+    def __init__(self):
+        self.sk = {}   # (len, hash) -> (x, y_low32)
+        self.es = {}   # (len, hash) -> EdSeq
+        self.hits = self.misses = 0
+
+    @staticmethod
+    def key(seq: str):
+        return (len(seq), hash(seq))
+
+
+def build_index(g: Graph, k: int, w: int, mo=None,
+                cache: Optional[IndexCache] = None
+                ) -> Optional[MinimizerIndex]:
     """Index the graph (mg_index, index.c:186-230): uppercases segment
     sequences in place, sketches every segment, builds the flat table,
-    and updates dynamic occurrence options."""
+    and updates dynamic occurrence options.  With `cache`, unchanged
+    segments reuse cached sketches (delta re-index)."""
     if gfa_overlap(g):
         raise ValueError("graphs with overlapping segments are not supported")
     for s in g.seg:
         if s.seq is not None:
             s.seq = s.seq.upper()
 
+    new_sk = {} if cache is not None else None
     xs_all, ys_all = [], []
     for i, s in enumerate(g.seg):
         if s.seq is None or s.len == 0:
             continue
-        x, y = sketch(s.seq, w, k, i)
+        ck = IndexCache.key(s.seq) if cache is not None else None
+        hit = cache.sk.get(ck) if cache is not None else None
+        if hit is not None:
+            x, y_low = hit
+            y = y_low.astype(np.uint64) | (np.uint64(i) << np.uint64(32))
+            cache.hits += 1
+        else:
+            x, y = sketch(s.seq, w, k, i)
+            if cache is not None:
+                cache.misses += 1
+        if cache is not None:
+            new_sk[ck] = (x, (y & np.uint64(0xFFFFFFFF)).astype(np.uint64))
         xs_all.append(x)
         ys_all.append(y)
+    if cache is not None:
+        cache.sk = new_sk  # drop entries for segments that disappeared
     gi = MinimizerIndex(g, k, w)
     if xs_all:
         x = np.concatenate(xs_all)
@@ -114,10 +154,20 @@ def build_index(g: Graph, k: int, w: int, mo=None) -> Optional[MinimizerIndex]:
         gi.key_cnt = cnt.astype(np.int64)
 
     gi.es = []
+    new_es = {} if cache is not None else None
     for s in g.seg:
-        fwd = (s.seq or "").encode("latin-1")
-        gi.es.append(EdSeq(fwd=fwd, rc=revcomp(s.seq or "").encode("latin-1"),
-                           len=s.len))
+        ck = IndexCache.key(s.seq or "") if cache is not None else None
+        es = cache.es.get(ck) if cache is not None else None
+        if es is None:
+            fwd = (s.seq or "").encode("latin-1")
+            es = EdSeq(fwd=fwd,
+                       rc=revcomp(s.seq or "").encode("latin-1"),
+                       len=s.len)
+        if cache is not None:
+            new_es[ck] = es
+        gi.es.append(es)
+    if cache is not None:
+        cache.es = new_es
     from ..utils.syslog import mlog
     mlog("mg_index", "indexed the graph")
     if mo is not None:

@@ -84,6 +84,11 @@ class DeviceFront:
         # the K-independent cuckoo-hash gathers win (ops/anchors_hash)
         if len(gi.keys) > 100_000:
             from ..ops.anchors_hash import HashJoinIndex
+            # per-anchor positions come from idx gathers, so occ_cap
+            # is free here: cover max_occ and the truncation flag
+            # (occ_cap < cnt < max_occ) never fires
+            self.occ_cap = occ_cap = max(occ_cap,
+                                         min(256, opt.occ_max1 + 1))
             self.ji = HashJoinIndex.from_host(gi, occ_cap=occ_cap)
             self.hashed = True
         else:
@@ -92,6 +97,7 @@ class DeviceFront:
         self.buckets = sorted(buckets)
         self.max_len = self.buckets[-1][0]
         self._fns: Dict[int, object] = {}
+        self._wfa_pool = None     # device -c gap pool (driver-lazy)
         self.n_device = 0
         self.n_fallback = 0
         self.n_chain_unsure = 0
@@ -122,11 +128,14 @@ class DeviceFront:
             from ..ops.anchors_jax import collect_anchors_exact
             from ..ops.chain_exact import lchain_dp_exact_win
             from ..ops.sketch_jax4 import sketch_planes
-            # caps scale with the bucket: qcap covers ~2L/w emissions,
-            # acap covers a few hits per emission; overflow-flagged
-            # reads fall back to host, so caps trade throughput only.
-            qcap = max(512, pad_len // 2)
-            acap = max(1024, pad_len)
+            # caps scale with the bucket: qcap covers ~2L/w emissions
+            # (~L/6 at w=11), acap a few hits per emission; overflow-
+            # flagged reads fall back to host, so caps trade only
+            # throughput — and smaller caps cut BOTH the chain-scan
+            # length and the device->host fetch, which dominates on a
+            # tunneled chip.
+            qcap = max(256, pad_len // 4)
+            acap = max(512, pad_len // 2)
             do_chain = self.chain_enabled
             win = min(self.chain_window, acap)
             opt = self.opt
@@ -238,36 +247,37 @@ class DeviceFront:
     def gather(self, handle) -> List[Optional[FrontResult]]:
         """Fetch the results of a submit(); one FrontResult per read,
         or None where the read must take the host path (overflow)."""
+        import jax
+
         n_seqs, pending = handle
         out: List[Optional[FrontResult]] = [None] * n_seqs
         for chunk, res in pending:
-            ovf = np.asarray(res["overflow"])
-            f_dev = np.asarray(res["f"]) if "f" in res else None
-            p_dev = np.asarray(res["p"]) if "p" in res else None
-            sure = np.asarray(res["sure"]) if "sure" in res else None
-            axh = np.asarray(res["axh"])
-            axl = np.asarray(res["axl"])
-            ayh = np.asarray(res["ayh"])
-            ayl = np.asarray(res["ayl"])
-            n_a = np.asarray(res["n_a"])
-            q_cnt = np.asarray(res["q_cnt"])
-            q_meta = np.asarray(res["q_meta"])
-            n_q = np.asarray(res["n_q"])
+            res = jax.device_get(res)  # one bulk fetch, not per-array
+            ovf = res["overflow"]
+            f_dev = res.get("f")
+            p_dev = res.get("p")
+            sure = res.get("sure")
+            n_a = res["n_a"]
+            q_cnt = res["q_cnt"]
+            q_meta = res["q_meta"]
+            n_q = res["n_q"]
+            # whole-batch decode (per-read python math was ~40% of
+            # gather); device ayh = occ<<24|tandem<<10|span, host
+            # layout = occ<<56|seg<<48|tandem<<42|span<<32 | qpos
+            AX = (res["axh"].astype(U64) << U64(32)) \
+                | res["axl"].astype(U64)
+            AH = res["ayh"].astype(U64)
+            AY = ((AH >> U64(24)) << U64(56)) \
+                | (((AH >> U64(10)) & U64(1)) << U64(42)) \
+                | ((AH & U64(0x3FF)) << U64(32)) \
+                | res["ayl"].astype(U64)
             for bi, ri in enumerate(chunk):
                 if ovf[bi]:
                     self.n_fallback += 1
                     continue
                 n = int(n_a[bi])
-                ax = (axh[bi, :n].astype(U64) << U64(32)) \
-                    | axl[bi, :n].astype(U64)
-                # device ayh = occ<<24|tandem<<10|span; host layout is
-                # occ<<56|seg<<48|tandem<<42|span<<32 in the hi word
-                ah = ayh[bi, :n].astype(U64)
-                occ = ah >> U64(24)
-                tand = (ah >> U64(10)) & U64(1)
-                span = ah & U64(0x3FF)
-                ay = (occ << U64(56)) | (tand << U64(42)) \
-                    | (span << U64(32)) | ayl[bi, :n].astype(U64)
+                ax = AX[bi, :n]
+                ay = AY[bi, :n]
                 rep_len, mini_pos = derive_query_info(
                     q_cnt[bi], q_meta[bi], int(n_q[bi]),
                     int(self.opt.occ_max1))
@@ -295,3 +305,7 @@ class DeviceFront:
                  f"device seed stage: {self.n_device}/{tot} reads on "
                  f"device, {self.n_fallback} host fallbacks, "
                  f"{self.n_chain_unsure} chain-DP host reruns")
+        if self._wfa_pool is not None:
+            mlog("device_front",
+                 f"device -c gap WFA: {self._wfa_pool.n_device} on "
+                 f"device, {self._wfa_pool.n_host} host")

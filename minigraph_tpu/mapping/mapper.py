@@ -64,7 +64,7 @@ def map_frag_tail(gi: MinimizerIndex, qlens: List[int], seqs: List[str],
                   opt: MapOptions, qname: Optional[str],
                   ax: np.ndarray, ay: np.ndarray, rep_len: int,
                   mini_pos: np.ndarray, n_mv: int,
-                  chain_fp=None) -> Optional[GChains]:
+                  chain_fp=None, cigar_sink=None) -> Optional[GChains]:
     """Per-read pipeline after seed collection (map-algo.c:377-495).
 
     Split out so the device front-end (mapping/device_front.py) can
@@ -196,9 +196,16 @@ def map_frag_tail(gi: MinimizerIndex, qlens: List[int], seqs: List[str],
     gchain_drop_flt(gcs)
     gchain_set_mapq(gcs, qlen_sum, n_mv, opt.min_gc_score)
     if (opt.flag & MG_M_CIGAR) and n_segs == 1:
-        from ..align.cigar import gchain_cigar, gchain_gen_ds
-        gchain_cigar(gi.g, gi.es, seq_cat, gcs, qname)
-        gchain_gen_ds(gi.g, gi.es, seq_cat, gcs)
+        if cigar_sink is not None:
+            # device -c mode: defer the per-gap WFAs into the batch
+            # pool (align/cigar_device.py); the driver finalizes
+            from ..align.cigar_device import harvest_read
+            cigar_sink.pending.append(harvest_read(
+                gi.g, gi.es, seq_cat, gcs, qname, cigar_sink.jobs))
+        else:
+            from ..align.cigar import gchain_cigar, gchain_gen_ds
+            gchain_cigar(gi.g, gi.es, seq_cat, gcs, qname)
+            gchain_gen_ds(gi.g, gi.es, seq_cat, gcs)
     if dbg_q:
         _qt = _ptime(_qt, 5)
         # QM memory-stat line (map-algo.c:485); no kalloc arenas here
@@ -409,7 +416,20 @@ def _map_file_frag(gi: MinimizerIndex, fns: List[str], opt: MapOptions,
                                   batch[off].name,
                                   [batch[off + k].seq for k in range(n_seg)]))
                 pre = _map_fragments_parallel(gi, opt, items, eff_threads)
-            for fi, (off, n_seg) in enumerate(frags):
+            # device -c mode: defer per-gap WFAs of device-front reads
+            # into one batch pool, align on device, then finalize
+            cigar_sink = None
+            if front is not None and front_res and (opt.flag & MG_M_CIGAR):
+                from ..align.cigar_device import DeviceWfaPool
+
+                class _Sink:
+                    jobs = []
+                    pending = []
+                cigar_sink = _Sink()
+                cigar_sink.jobs = []
+                cigar_sink.pending = []
+
+            def compute_frag(fi, off, n_seg):
                 # paired-end orientation flip (gmap.c:38-43)
                 if pre is None and n_seg == 2:
                     if pe_ori >> 1 & 1:
@@ -420,13 +440,16 @@ def _map_file_frag(gi: MinimizerIndex, fns: List[str], opt: MapOptions,
                 qlens = [len(s) for s in seqs]
                 if pre is not None:
                     gcs_list = [pre[fi]]
-                elif front_res is not None and front_res.get(fi) is not None:
+                elif front_res is not None \
+                        and front_res.get(fi) is not None:
                     fr = front_res[fi]
                     fp = (fr.f, fr.p) if fr.f is not None else None
                     gcs_list = [map_frag_tail(gi, qlens, seqs, opt,
-                                              batch[off].name, fr.ax, fr.ay,
-                                              fr.rep_len, fr.mini_pos,
-                                              fr.n_mv, chain_fp=fp)]
+                                              batch[off].name, fr.ax,
+                                              fr.ay, fr.rep_len,
+                                              fr.mini_pos, fr.n_mv,
+                                              chain_fp=fp,
+                                              cigar_sink=cigar_sink)]
                 elif opt.flag & MG_M_INDEPEND_SEG:
                     gcs_list = [map_frag(gi, [qlens[k]], [seqs[k]], opt,
                                          batch[off + k].name)
@@ -434,6 +457,9 @@ def _map_file_frag(gi: MinimizerIndex, fns: List[str], opt: MapOptions,
                 else:
                     gcs_list = [map_frag(gi, qlens, seqs, opt,
                                          batch[off].name)]
+                return qlens, gcs_list
+
+            def emit_frag(off, n_seg, qlens, gcs_list):
                 gcs = gcs_list[0]
                 if (opt.flag & MG_M_FRAG_MODE) and (opt.flag & MG_M_FRAG_MERGE):
                     if opt.flag & MG_M_CAL_COV:
@@ -459,6 +485,22 @@ def _map_file_frag(gi: MinimizerIndex, fns: List[str], opt: MapOptions,
                                             t.name, opt.flag)
                             if txt:
                                 out.write(txt)
+
+            if cigar_sink is not None:
+                computed = [compute_frag(fi, off, n_seg)
+                            for fi, (off, n_seg) in enumerate(frags)]
+                from ..align.cigar_device import finalize_read
+                if front._wfa_pool is None:
+                    front._wfa_pool = DeviceWfaPool()
+                res = front._wfa_pool.run(cigar_sink.jobs)
+                for pr in cigar_sink.pending:
+                    finalize_read(pr, res)
+                for (off, n_seg), (qlens, gcs_list) in zip(frags, computed):
+                    emit_frag(off, n_seg, qlens, gcs_list)
+            else:
+                for fi, (off, n_seg) in enumerate(frags):
+                    qlens, gcs_list = compute_frag(fi, off, n_seg)
+                    emit_frag(off, n_seg, qlens, gcs_list)
     finally:
         for fp in fps:
             fp.close()

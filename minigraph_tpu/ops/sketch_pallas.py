@@ -193,13 +193,16 @@ def _make_kernel(L, TL, RB, w, k):
         tie_l = jnp.full((W2, RB), UMAX, jnp.uint32)
         tie_m = jnp.full((W2, RB), UMAX, jnp.uint32)
         tie_n = jnp.zeros((W2, RB), jnp.int32)
+        tie_fw = jnp.zeros((W2, RB), jnp.bool_)
         for j in range(w):
             wxh_j, wxl_j = win(exh, j, UMAX), win(exl, j, UMAX)
             wym_j = win(emeta, j, UMAX)
             conds = []
             if j < w - 1:
-                conds.append(fw & (wxh_j == pmh) & (wxl_j == pml)
-                             & (wym_j != pmym))
+                ftc = fw & (wxh_j == pmh) & (wxl_j == pml) \
+                    & (wym_j != pmym)
+                conds.append(ftc)
+                tie_fw = tie_fw | ftc
             conds.append(b_base & (wxh_j == mh) & (wxl_j == ml)
                          & (wym_j != mym))
             for cond in conds:
@@ -210,6 +213,11 @@ def _make_kernel(L, TL, RB, w, k):
                 tie_n = tie_n + cond.astype(jnp.int32)
 
         main_emit = emitA | emitB
+        # a first-window tie sharing its trigger with a main emission
+        # is ordered tie-BEFORE-main by the reference (sketch.c:84-87);
+        # the planes encode main-then-tie, so force the overflow flag
+        # (mirrors sketch_jax4)
+        tie_n = jnp.where(tie_fw & main_emit, 2, tie_n)
         out_h = jnp.where(main_emit, pmh, UMAX)
         out_l = jnp.where(main_emit, pml, UMAX)
         out_m = jnp.where(main_emit, pmym, UMAX)
