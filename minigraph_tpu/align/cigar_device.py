@@ -29,10 +29,15 @@ from ..mapping.gchain import Cigar, GChains
 from .cigar import _append1, _append_many, _es_seq, _i32
 from .wfa import wfa_auto
 
-# (max gap length, score budget, batch) size classes; larger gaps and
-# over-budget jobs go to the host engine
+# (max gap length, score budget, batch) size classes.  Jobs SMALLER
+# than MIN_DEV_LEN run on the host: the native wavefront engine
+# finishes a 20 bp gap in microseconds, while a device job pays ~1 ms
+# of dispatch/fetch/decode overhead — batching only wins once the
+# host cost crosses that line.  Larger gaps and over-budget jobs also
+# go to the host engine (incl. its chain heuristic).
 BUCKETS: Tuple[Tuple[int, int, int], ...] = (
-    (48, 96, 512), (192, 288, 128), (768, 1024, 32))
+    (768, 1024, 64), (2048, 3072, 16))
+MIN_DEV_LEN = 256
 MAX_DEV_LEN = BUCKETS[-1][0]
 
 
@@ -171,6 +176,9 @@ class DeviceWfaPool:
         host_jobs: List[int] = []
         for i, (t, q) in enumerate(jobs):
             ln = max(len(t), len(q))
+            if ln < MIN_DEV_LEN:
+                host_jobs.append(i)
+                continue
             for bi, (lmax, s_cap, bsz) in enumerate(self.buckets):
                 if ln <= lmax:
                     by_bucket.setdefault(bi, []).append(i)

@@ -241,6 +241,14 @@ class DeviceFront:
                 reads += [""] * (bsz - len(reads))
                 codes, lens = encode_batch(reads, pad_to=pad_len)
                 res = fn(codes, lens, max_occ)
+                # start the device->host transfer now so it overlaps
+                # the host tail work of the PREVIOUS batch (the fetch
+                # is the largest serial cost on a tunneled chip)
+                for a in res.values():
+                    try:
+                        a.copy_to_host_async()
+                    except AttributeError:
+                        break
                 pending.append((chunk, res))
         return (len(seqs), pending)
 
