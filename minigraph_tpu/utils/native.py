@@ -36,7 +36,9 @@ def _needs_build() -> bool:
 
 
 def build() -> bool:
-    srcs = sorted(str(p) for p in _NATIVE_DIR.glob("*.c"))
+    # *_selftest.c is the standalone ASan harness, not library code
+    srcs = sorted(str(p) for p in _NATIVE_DIR.glob("*.c")
+                  if not p.name.endswith("_selftest.c"))
     if not srcs:
         return False
     cmd = ["gcc", "-O3", "-march=native", "-funroll-loops", "-ffp-contract=off", "-shared", "-fPIC", "-o", str(_SO_PATH), *srcs, "-lm"]

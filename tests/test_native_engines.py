@@ -291,3 +291,27 @@ def test_native_lchain_dp_fuzz_vs_python():
         assert np.array_equal(r_nat[3], r_py[3]), trial
         assert np.array_equal(r_nat[0], r_py[0]), trial
         assert np.array_equal(r_nat[1], r_py[1]), trial
+
+
+def test_asan_selftest():
+    """Memory-safety harness for the native engines: the fuzz driver
+    (native/mgt_selftest.c) built with AddressSanitizer must run
+    clean — the analog of the reference's `make asan=1`."""
+    import subprocess
+    import tempfile
+    from pathlib import Path
+
+    nat = Path(__file__).resolve().parents[1] / "native"
+    srcs = sorted(str(p) for p in nat.glob("*.c"))
+    with tempfile.TemporaryDirectory() as td:
+        exe = str(Path(td) / "mgt_selftest")
+        r = subprocess.run(
+            ["gcc", "-O1", "-g", "-fsanitize=address,undefined",
+             "-fno-sanitize-recover=all", "-ffp-contract=off",
+             "-o", exe, *srcs, "-lm"],
+            capture_output=True, text=True)
+        assert r.returncode == 0, r.stderr[-2000:]
+        r = subprocess.run([exe], capture_output=True, text=True,
+                           timeout=300)
+        assert r.returncode == 0, (r.stdout[-500:], r.stderr[-3000:])
+        assert "selftest ok" in r.stdout
