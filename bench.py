@@ -98,8 +98,9 @@ def ensure_workload():
         gfa.write_text(out.stdout)
         log(f"built MHC-class graph in {time.time()-t0:.1f}s")
     # reads off the haplotype mix
-    recs = simulate_reads(haps, N_READS, seed=7, mean_len=1700,
-                          min_len=800, max_len=PAD_LEN - 8)
+    # leave 1%-indel growth margin below the device bucket size
+    recs = simulate_reads(haps, N_READS, seed=7, mean_len=1600,
+                          min_len=800, max_len=PAD_LEN - 160)
     write_fasta(reads_fa, recs)
     return gfa, reads_fa
 

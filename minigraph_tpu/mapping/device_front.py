@@ -133,9 +133,10 @@ class DeviceFront:
             # flagged reads fall back to host, so caps trade only
             # throughput — and smaller caps cut BOTH the chain-scan
             # length and the device->host fetch, which dominates on a
-            # tunneled chip.
+            # tunneled chip (measured n_a ~= L/9 on MHC-class reads,
+            # so L/4 leaves ~2x headroom on the long buckets).
             qcap = max(256, pad_len // 4)
-            acap = max(512, pad_len // 2)
+            acap = pad_len // 2 if pad_len <= 4096 else pad_len // 4
             do_chain = self.chain_enabled
             win = min(self.chain_window, acap)
             opt = self.opt

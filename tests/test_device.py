@@ -43,8 +43,10 @@ def test_entry_compiles_and_runs():
     fn, args = ge.entry()
     out = jax.jit(fn)(*args)
     jax.block_until_ready(out)
-    assert out["best"].shape[0] == args[0].shape[0]
-    assert int(jax.numpy.max(out["n_anchors"])) > 0
+    assert out["f"].shape[0] == args[0].shape[0]
+    assert int(jax.numpy.max(out["n_a"])) > 0
+    assert int(jax.numpy.max(out["f"])) > 300  # clean reads chain high
+    assert bool(jax.numpy.all(out["sure"]))
 
 
 @pytest.mark.skipif(len(jax.devices("cpu")) < 8 and len(jax.devices()) < 8,

@@ -111,3 +111,39 @@ def test_cli_tpu_parity_configs12(tmp_path, oracle):
             capture_output=True, text=True, check=True)
         assert got.stdout == want, f"--tpu output differs for {tgt}"
         assert "device seed stage" in got.stderr
+
+
+@pytest.mark.slow
+def test_front_long_reads_16k_bucket():
+    """15 kb-class reads through the 16384 bucket: anchors, rep_len,
+    mini_pos and device-chain results must match the host exactly
+    (copies are taken because the native finisher compacts anchors in
+    place)."""
+    rng = np.random.default_rng(31)
+    io_, mo, go = _opts()
+    g = read_gfa(MT_GFA)
+    ref = "".join((s.seq or "") for s in g.seg if s.rank == 0)
+    reads = []
+    for _ in range(8):
+        L = int(rng.integers(9000, 16000))
+        st = int(rng.integers(0, len(ref) - L))
+        s = list(ref[st:st + L])
+        for p in rng.integers(0, len(s), len(s) // 25):
+            s[p] = "ACGT"[int(rng.integers(0, 4))]
+        reads.append("".join(s))
+    gi = build_index(g, io_.k, io_.w, mo)
+    front = DeviceFront(gi, mo, buckets=((16384, 8),))
+    res = front.run_batch(reads)
+    n_dev = 0
+    for r, fr in zip(reads, res):
+        if fr is None:
+            continue
+        n_dev += 1
+        mv_x, mv_y = collect_minimizers(gi, [len(r)], [r])
+        hax, hay, hrep, hmini = collect_seed_hits(
+            gi, mo, mo.occ_max1, mv_x, mv_y, None)
+        assert np.array_equal(fr.ax, hax)
+        assert np.array_equal(fr.ay, hay)
+        assert fr.rep_len == hrep
+        assert np.array_equal(fr.mini_pos, np.asarray(hmini, np.int32))
+    assert n_dev >= 6
