@@ -169,7 +169,8 @@ class DeviceWfaPool:
 
     def run(self, jobs: List[Tuple[bytes, bytes]]) -> Dict[int, List[int]]:
         import jax
-        from ..ops.wfa_jax import encode_pairs, traceback_host, wfa_device
+        from ..ops.wfa_jax import (decode_walk, encode_pairs, wfa_device,
+                                   wfa_tb_walk)
 
         results: Dict[int, List[int]] = {}
         by_bucket: Dict[int, List[int]] = {}
@@ -194,17 +195,21 @@ class DeviceWfaPool:
                 ts, tl, qs, ql = encode_pairs(pairs, L=lmax)
                 score, tb, done, end_d, no_ext = wfa_device(
                     ts, tl, qs, ql, self.pens, d_cap=lmax, s_cap=s_cap)
+                # traceback ON DEVICE: the (s_cap, B, D) tb planes
+                # never cross the link; only a (2L, B) op trace does
+                ops, fi, fk = wfa_tb_walk(
+                    ts, tl, qs, ql, tb, score, end_d, no_ext,
+                    self.pens, d_cap=lmax, t_cap=2 * lmax + 4)
                 score = np.asarray(score)
-                tb = np.asarray(tb)
-                end_d = np.asarray(end_d)
-                no_ext = np.asarray(no_ext)
+                ops = np.asarray(ops)
+                fi = np.asarray(fi)
+                fk = np.asarray(fk)
                 for k, i in enumerate(chunk):
                     if score[k] < 0:   # over budget: host (incl. chain)
                         host_jobs.append(i)
                         continue
-                    results[i] = traceback_host(
-                        jobs[i], int(score[k]), tb[:, k, :], lmax,
-                        int(end_d[k]), bool(no_ext[k]), self.pens)
+                    results[i] = decode_walk(ops[:, k], int(fi[k]),
+                                             int(fk[k]))
                     self.n_device += 1
         for i in host_jobs:
             t, q = jobs[i]

@@ -215,3 +215,122 @@ def traceback_host(pair: Tuple[bytes, bytes], s: int, tb_col: np.ndarray,
     if s > 0 and no_ext:
         last = int(tb_col[s - 1][end_d]) & 7
     return _traceback(opt, tb, len(ts) - 1, pts, len(qs) - 1, pqs, last)
+
+
+@partial(jax.jit, static_argnames=("pens", "d_cap", "t_cap"))
+def wfa_tb_walk(ts, tl, qs, ql, tb, score, end_d, no_ext, pens,
+                d_cap: int, t_cap: int):
+    """On-device traceback walk over the recorded tb bits.
+
+    Mirrors the reference walk (miniwfa.c:330-377 / align/wfa.py
+    _traceback) one base-consuming action per step, vectorized over
+    the batch, so the (s_cap, B, D) tb planes never leave the device —
+    only a (t_cap, B) op trace does (every step consumes >= 1 of
+    i+k, so t_cap = tl + ql + 2 bounds the walk).
+
+    Returns (ops, fin_i, fin_k): per-step op codes (7 match, 8
+    mismatch, 1 ins, 2 del, 0 inactive) emitted END-first, and the
+    final (i, k) for the host's leading-indel cleanup.
+    """
+    px, po1, pe1, po2, pe2 = pens
+    S, B, D = tb.shape
+    tb_flat = tb.reshape(-1)
+    bidx = jnp.arange(B, dtype=jnp.int32)
+
+    i0 = ql - 1
+    k0 = tl - 1
+    active0 = score >= 0
+    # state 1/3 -> I (consumes i), 2/4 -> D (consumes k), 0 -> X
+    pen_open = jnp.array([px, po1 + pe1, po1 + pe1, po2 + pe2, po2 + pe2],
+                         jnp.int32)
+    pen_ext = jnp.array([px, pe1, pe1, pe2, pe2], jnp.int32)
+
+    def body(carry):
+        t, i, k, sx, last, active, ops, fi, fk = carry
+        inb = (i >= 0) & (k >= 0) & active
+        tch = ts[bidx, jnp.clip(k, 0, ts.shape[1] - 1)]
+        qch = qs[bidx, jnp.clip(i, 0, qs.shape[1] - 1)]
+        m = inb & (last == 0) & (tch == qch)
+
+        # tb read for the non-match lanes
+        d = jnp.clip(i - k + d_cap, 0, D - 1)
+        srow = jnp.clip(sx, 0, S - 1)
+        x = tb_flat[(srow * B + bidx) * D + d]
+        state = jnp.where(last == 0, (x & 7).astype(jnp.int32), last)
+        ext = jnp.where(state > 0,
+                        (x >> (state + 2).astype(jnp.uint8)) & 1, 0) \
+            .astype(jnp.int32)
+
+        op = jnp.where(m, 7,
+             jnp.where(state == 0, 8,
+             jnp.where((state == 1) | (state == 3), 1, 2))).astype(jnp.uint8)
+        op = jnp.where(inb, op, 0)
+        ops = jax.lax.dynamic_update_index_in_dim(ops, op, t, 0)
+
+        di = jnp.where(m | (state == 0) | (state == 1) | (state == 3), 1, 0)
+        dk = jnp.where(m | (state == 0) | (state == 2) | (state == 4), 1, 0)
+        pen = jnp.where(ext == 1, pen_ext[state], pen_open[state])
+        i2 = jnp.where(inb, i - di, i)
+        k2 = jnp.where(inb, k - dk, k)
+        sx2 = jnp.where(inb & ~m, sx - pen, sx)
+        last2 = jnp.where(inb & ~m & (state > 0) & (ext == 1), state, 0)
+        last2 = jnp.where(m, 0, jnp.where(inb, last2, last))
+        now_out = active & ((i2 < 0) | (k2 < 0))
+        fi = jnp.where(now_out & active, i2, fi)
+        fk = jnp.where(now_out & active, k2, fk)
+        active2 = active & ~now_out
+        return (t + 1, i2, k2, sx2, last2, active2, ops, fi, fk)
+
+    def cond(carry):
+        t = carry[0]
+        active = carry[5]
+        return (t < t_cap) & jnp.any(active)
+
+    ops = jnp.zeros((t_cap, B), dtype=jnp.uint8)
+    init = (jnp.int32(0), i0, k0, score - 1,
+            no_ext_state(no_ext, tb, score, end_d),
+            active0, ops, i0, k0)
+    out = jax.lax.while_loop(cond, body, init)
+    return out[6], out[7], out[8]
+
+
+def no_ext_state(no_ext, tb, score, end_d):
+    """Initial `last` state: when the final cell was reached without a
+    fresh extension, the walk continues in the recorded state of the
+    final score's strip (mwf_wfa_core, miniwfa.c:404-406)."""
+    S, B, D = tb.shape
+    bidx = jnp.arange(B, dtype=jnp.int32)
+    x = tb[jnp.clip(score - 1, 0, S - 1), bidx,
+           jnp.clip(end_d, 0, D - 1)]
+    return jnp.where(no_ext & (score > 0), (x & 7).astype(jnp.int32), 0)
+
+
+def decode_walk(ops_col: np.ndarray, fin_i: int, fin_k: int) -> List[int]:
+    """Host RLE of one alignment's op trace -> reference cigar u32s."""
+    n = int(np.argmin(ops_col)) if ops_col[-1] == 0 else len(ops_col)
+    if ops_col[0] == 0:
+        n = 0
+    seq = ops_col[:n]
+    cig: List[int] = []
+    if n:
+        # run-length encode (emitted end-first)
+        change = np.nonzero(np.diff(seq))[0]
+        starts = np.concatenate([[0], change + 1])
+        ends = np.concatenate([change + 1, [n]])
+        for s0, e0 in zip(starts.tolist(), ends.tolist()):
+            op = int(seq[s0])
+            op = 7 if op == 7 else (8 if op == 8 else op)
+            cig.append((e0 - s0) << 4 | op)
+    if fin_i >= 0:
+        cig.append((fin_i + 1) << 4 | 1)
+    elif fin_k >= 0:
+        cig.append((fin_k + 1) << 4 | 2)
+    # walk emits from the alignment end: reverse, then merge the seam
+    cig.reverse()
+    out: List[int] = []
+    for c in cig:
+        if out and (out[-1] & 0xF) == (c & 0xF):
+            out[-1] += (c >> 4) << 4
+        else:
+            out.append(c)
+    return out

@@ -114,3 +114,46 @@ def test_banded_pallas_matches_exact_wfa():
     got3 = banded_score([(rnd(100), rnd(20)), pairs2[0]], wa=32,
                         interpret=True)
     assert got3[0] == -1 and got3[1] == want2[0]
+
+
+def test_device_tb_walk_matches_host():
+    """The on-device traceback walk must decode to the exact host
+    CIGARs (the (s_cap, B, D) tb planes never leave the device)."""
+    from minigraph_tpu.align.wfa import WfOpt, wfa_exact
+    from minigraph_tpu.ops.wfa_jax import (decode_walk, encode_pairs,
+                                           wfa_device, wfa_tb_walk)
+
+    rng = np.random.default_rng(8)
+    pairs = []
+    for t in range(20):
+        n1 = int(rng.integers(5, 160))
+        n2 = max(1, n1 + int(rng.integers(-12, 12)))
+        base = rng.choice(list(b"ACGT"),
+                          size=max(n1, n2) + 4).astype(np.uint8)
+        s1 = base[:n1].tobytes()
+        s2 = bytearray(base[:n2].tobytes())
+        div = rng.choice([0.05, 0.2, 0.5])
+        for p in rng.integers(0, max(n2, 1), size=max(1, int(n2 * div))):
+            s2[p] = b"ACGT"[int(rng.integers(0, 4))]
+        pairs.append((s1, bytes(s2)))
+    pairs.append((b"ACGT", b"ACGT"))
+    pairs.append((b"A", b"TTTTTTTT"))
+
+    D_CAP, S_CAP = 192, 400
+    ts, tl, qs, ql = encode_pairs(pairs, L=D_CAP)
+    score, tb, done, end_d, no_ext = wfa_device(
+        ts, tl, qs, ql, (4, 4, 2, 15, 1), d_cap=D_CAP, s_cap=S_CAP)
+    ops, fi, fk = wfa_tb_walk(ts, tl, qs, ql, tb, score, end_d, no_ext,
+                              (4, 4, 2, 15, 1), d_cap=D_CAP,
+                              t_cap=2 * D_CAP + 4)
+    ops, fi, fk = map(np.asarray, (ops, fi, fk))
+    score = np.asarray(score)
+    checked = 0
+    for i, (s1, s2) in enumerate(pairs):
+        host = wfa_exact(WfOpt(cigar=True), s1, s2)
+        if host.s >= S_CAP or score[i] < 0:
+            continue
+        checked += 1
+        assert decode_walk(ops[:, i], int(fi[i]), int(fk[i])) \
+            == host.cigar, i
+    assert checked >= 18
