@@ -203,3 +203,42 @@ def filter_bad_seeds_alt(as1: int, cnt1: int, ax, ay, min_gap: int,
                 ay[as1 + j] = U64(int(ay[as1 + j]) | MG_SEED_IGNORE)
             ay[as1 + end] = U64(int(ay[as1 + end]) | MG_SEED_FIXED)
         k = l
+
+
+_native_flt_cfg = False
+
+
+def apply_chain_filters(ax, ay, off: int, cnt: int, score: int,
+                        opt) -> Tuple[int, int]:
+    """The whole per-chain filter block (mapper tail order): occurrence
+    end trim, score end shrink, unbalanced-indel and compensating-gap
+    seed masking.  Native C (native/mgt_filters.c) when available."""
+    global _native_flt_cfg
+    import ctypes as ct
+
+    from ..utils.native import get_lib
+    lib = get_lib()
+    if lib is not None and hasattr(lib, "mgt_chain_filters"):
+        if not _native_flt_cfg:
+            u64p = ct.POINTER(ct.c_uint64)
+            i64p = ct.POINTER(ct.c_int64)
+            lib.mgt_chain_filters.restype = None
+            lib.mgt_chain_filters.argtypes = [
+                u64p, u64p, ct.c_int32, ct.c_int32, ct.c_int32,
+                ct.c_int32, ct.c_int32, ct.c_int32, i64p, i64p]
+            _native_flt_cfg = True
+        assert ax.flags["C_CONTIGUOUS"] and ay.flags["C_CONTIGUOUS"]
+        off_c = ct.c_int64(off)
+        cnt_c = ct.c_int64(cnt)
+        lib.mgt_chain_filters(
+            ax.ctypes.data_as(ct.POINTER(ct.c_uint64)),
+            ay.ctypes.data_as(ct.POINTER(ct.c_uint64)),
+            opt.lc_max_occ, opt.lc_max_trim, score, opt.bw, 100,
+            opt.max_gap >> 1, ct.byref(off_c), ct.byref(cnt_c))
+        return off_c.value, cnt_c.value
+    off, cnt = fix_bad_ends(ax, ay, opt.lc_max_occ, opt.lc_max_trim,
+                            off, cnt)
+    off, cnt = fix_bad_ends_alt(ax, ay, score, opt.bw, 100, off, cnt)
+    filter_bad_seeds(off, cnt, ax, ay, 10, 40, opt.max_gap >> 1, 10)
+    filter_bad_seeds_alt(off, cnt, ax, ay, 30, opt.max_gap >> 1)
+    return off, cnt

@@ -151,15 +151,11 @@ def map_frag_tail(gi: MinimizerIndex, qlens: List[int], seqs: List[str],
     if n_lc:
         lc = lchain_gen(qlen_sum, n_lc, u, ax, ay)
         if n_lc > 1:
+            from .filters import apply_chain_filters
             kept = []
             for p in lc:
-                off, cnt = p.off, p.cnt
-                off, cnt = fix_bad_ends(ax, ay, opt.lc_max_occ,
-                                        opt.lc_max_trim, off, cnt)
-                off, cnt = fix_bad_ends_alt(ax, ay, p.score, opt.bw, 100,
-                                            off, cnt)
-                filter_bad_seeds(off, cnt, ax, ay, 10, 40, opt.max_gap >> 1, 10)
-                filter_bad_seeds_alt(off, cnt, ax, ay, 30, opt.max_gap >> 1)
+                off, cnt = apply_chain_filters(ax, ay, p.off, p.cnt,
+                                               p.score, opt)
                 p.off, p.cnt = off, cnt
                 if cnt >= opt.min_lc_cnt:
                     q_span = (int(ay[p.off]) >> 32) & 0xFF

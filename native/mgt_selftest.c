@@ -33,6 +33,11 @@ int32_t mgt_wfa_exact2(const char *ts0, int32_t tl, const char *qs0,
                        uint32_t **cigar_out, int32_t *n_cigar_out,
                        int64_t *n_iter_out);
 void mgt_wfa_free(uint32_t *p);
+void mgt_chain_filters(const uint64_t *ax, uint64_t *ay,
+                       int32_t lc_max_occ, int32_t lc_max_trim,
+                       int32_t score, int32_t bw, int32_t min_match,
+                       int32_t max_gap_half,
+                       int64_t *off_io, int64_t *cnt_io);
 int64_t mgt_gen_ds(const uint32_t *cigar, int64_t n_cigar,
                    const uint8_t *tseq, int64_t aplen,
                    const uint8_t *qseq, int64_t qs, int64_t qe,
@@ -116,6 +121,25 @@ int main(void)
         }
         mgt_lchain_finish(500, 0, 3, 40, n, f, p, ax, ay, u, &n_u);
         free(ax); free(ay); free(u); free(f); free(p);
+    }
+
+
+    /* chain filters */
+    for (int t = 0; t < 150; ++t) {
+        int64_t n = 1 + rnd() % 250, i, off = 0, cnt;
+        uint64_t *ax = malloc(8 * n), *ay = malloc(8 * n);
+        int64_t tp = 0;
+        for (i = 0; i < n; ++i) {
+            tp += 1 + rnd() % 120;
+            ax[i] = (uint64_t)tp;
+            ay[i] = (uint64_t)(1 + rnd() % 20) << 56
+                | (uint64_t)(15 + rnd() % 7) << 32
+                | (uint32_t)(tp + (int64_t)(rnd() % 800) - 400);
+        }
+        cnt = n;
+        mgt_chain_filters(ax, ay, 8, 12, (int32_t)(40 + rnd() % 2000),
+                          500, 100, 2500, &off, &cnt);
+        free(ax); free(ay);
     }
 
     /* WFA exact + segmented + ds generation */

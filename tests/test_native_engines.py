@@ -315,3 +315,46 @@ def test_asan_selftest():
                            timeout=300)
         assert r.returncode == 0, (r.stdout[-500:], r.stderr[-3000:])
         assert "selftest ok" in r.stdout
+
+
+def test_native_chain_filters_fuzz_vs_python():
+    """native/mgt_filters.c vs the Python filter block on random
+    chains (trim offsets, counts, and the IGNORE/FIXED flag pattern
+    must be identical)."""
+    import numpy as np
+    import minigraph_tpu.mapping.filters as F
+
+    class Opt:
+        lc_max_occ = 8
+        lc_max_trim = 12
+        bw = 500
+        max_gap = 5000
+
+    rng = np.random.default_rng(77)
+    for trial in range(300):
+        n = int(rng.integers(1, 200))
+        tp = np.cumsum(rng.integers(1, 120, n))
+        qp = tp + rng.integers(-400, 400, n)
+        occ = rng.integers(1, 20, n)
+        span = rng.integers(15, 22, n)
+        ax = tp.astype(np.uint64)
+        ay = (occ.astype(np.uint64) << np.uint64(56)) \
+            | (span.astype(np.uint64) << np.uint64(32)) \
+            | (qp & 0xFFFFFFFF).astype(np.uint64)
+        score = int(rng.integers(40, 2000))
+        ay1 = np.ascontiguousarray(ay)
+        ay2 = np.ascontiguousarray(ay.copy())
+        axc = np.ascontiguousarray(ax)
+        o1, c1 = F.apply_chain_filters(axc, ay1, 0, n, score, Opt)
+        # force the python path
+        orig = F.apply_chain_filters.__globals__["get_lib"] \
+            if "get_lib" in F.apply_chain_filters.__globals__ else None
+        off, cnt = F.fix_bad_ends(axc, ay2, Opt.lc_max_occ,
+                                  Opt.lc_max_trim, 0, n)
+        off, cnt = F.fix_bad_ends_alt(axc, ay2, score, Opt.bw, 100,
+                                      off, cnt)
+        F.filter_bad_seeds(off, cnt, axc, ay2, 10, 40,
+                           Opt.max_gap >> 1, 10)
+        F.filter_bad_seeds_alt(off, cnt, axc, ay2, 30, Opt.max_gap >> 1)
+        assert (o1, c1) == (off, cnt), trial
+        assert np.array_equal(ay1, ay2), trial
