@@ -62,10 +62,19 @@ class PendingRead:
 def harvest_read(g, es, qseq: str, gt: GChains, qname: Optional[str],
                  jobs: List[Tuple[bytes, bytes]]) -> PendingRead:
     """The anchor walk of gchain_cigar, with WFA gaps deferred into
-    `jobs` (indices are global across the batch)."""
+    `jobs` (indices are global across the batch).
+
+    Chains whose gaps the one-call native walk (native/mgt_cigar.c)
+    can resolve are finished right here — per-gap Python dispatch
+    costs ~0.35 ms while the C walk does a whole typical read in ~1 ms
+    — so only chains with over-budget/oversized gaps take the
+    harvest + device-pool route."""
+    from .cigar import _gchain_cigar_native
     qbytes = qseq.encode("latin-1")
     pr = PendingRead(gt=gt, g=g, es=es, qseq=qseq, qname=qname)
     for gc in gt.gc:
+        if _gchain_cigar_native(es, qbytes, gt, gc):
+            continue
         l0 = gc.off
         off_a0 = gt.lc[l0].off
         pc = PendingCigar(gc=gc, off_a0=off_a0)
