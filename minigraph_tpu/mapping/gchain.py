@@ -515,8 +515,65 @@ def gchain_gen(g, es, n_u: int, u: np.ndarray, lc: List[LChain],
     return gcs
 
 
+_native_ext_cfg = False
+
+
+def _gchain_extra_native(g, gcs: GChains) -> bool:
+    """Native scalar accumulation (native/mgt_filters.c); the float
+    divergence stays here for f32 formatting parity."""
+    global _native_ext_cfg
+    import ctypes as ct
+
+    from ..utils.native import get_lib
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "mgt_gchain_extra"):
+        return False
+    if not _native_ext_cfg:
+        lib.mgt_gchain_extra.restype = ct.c_int64
+        _native_ext_cfg = True
+    lct = getattr(gcs, "_lc_tables", None)
+    if lct is None:
+        lct = (np.asarray([r.v for r in gcs.lc], dtype=np.int64),
+               np.asarray([r.off for r in gcs.lc], dtype=np.int64),
+               np.asarray([r.cnt for r in gcs.lc], dtype=np.int64))
+        gcs._lc_tables = lct
+    lc_v, lc_off, lc_cnt = lct
+    seg_len = getattr(g, "_seg_len_arr", None)
+    if seg_len is None or len(seg_len) != g.n_seg:
+        seg_len = np.asarray([s.len for s in g.seg], dtype=np.int64)
+        g._seg_len_arr = seg_len
+    out = np.empty(7, dtype=np.int64)
+
+    def P(a):
+        return a.ctypes.data_as(ct.c_void_p)
+
+    ax = gcs.ax if gcs.ax.flags["C_CONTIGUOUS"] \
+        else np.ascontiguousarray(gcs.ax)
+    ay = gcs.ay if gcs.ay.flags["C_CONTIGUOUS"] \
+        else np.ascontiguousarray(gcs.ay)
+    for p in gcs.gc:
+        p.qs = p.qe = p.ps = p.pe = -1
+        p.plen = p.blen = p.mlen = 0
+        p.div = -1.0
+        if p.cnt == 0:
+            continue
+        n_mini = lib.mgt_gchain_extra(
+            P(ax), P(ay), P(lc_v), P(lc_off), P(lc_cnt), P(seg_len),
+            ct.c_int64(p.off), ct.c_int64(p.cnt), P(out))
+        p.qs, p.qe, p.ps, p.pe, p.plen, p.blen, p.mlen = \
+            (int(v) for v in out)
+        q_span = (int(gcs.ay[gcs.lc[p.off].off]) >> 32) & 0xFF
+        if n_mini >= p.n_anchor:
+            p.div = float(F32(math.log(n_mini / p.n_anchor) / q_span))
+        else:
+            p.div = float(F32(math.log(p.n_anchor / n_mini) / q_span))
+    return True
+
+
 def gchain_extra(g, gcs: GChains) -> None:
     """Compute qs/qe/ps/pe/plen/blen/mlen/divergence (gchain1.c:242-297)."""
+    if _gchain_extra_native(g, gcs):
+        return
     for p in gcs.gc:
         p.qs = p.qe = p.ps = p.pe = -1
         p.plen = p.blen = p.mlen = 0

@@ -131,6 +131,8 @@ def gchain_drop_flt(gcs: GChains) -> None:
     gcs.lc = new_lc
     gcs.ax = np.concatenate(ax_parts) if ax_parts else np.empty(0, np.uint64)
     gcs.ay = np.concatenate(ay_parts) if ay_parts else np.empty(0, np.uint64)
+    if hasattr(gcs, "_lc_tables"):
+        del gcs._lc_tables   # native-engine cache is layout-bound
     n_lc = 0
     for gc in gcs.gc:
         gc.off = n_lc

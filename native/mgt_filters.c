@@ -212,3 +212,69 @@ void mgt_chain_filters(const uint64_t *ax, uint64_t *ay,
     mask_unbalanced(*off_io, *cnt_io, ax, ay, 10, 40, max_gap_half, 10);
     mask_compensating(*off_io, *cnt_io, ax, ay, 30, max_gap_half);
 }
+
+/* gchain extras: qs/qe/ps/pe/plen/blen/mlen/n_mini accumulation over
+ * one graph chain's lchains (gchain1.c:242-297 semantics, following
+ * mapping/gchain.py's formulation).  div stays in Python (float
+ * formatting parity).  Returns n_mini; scalars via out[]:
+ * [qs, qe, ps, pe, plen, blen, mlen]. */
+int64_t mgt_gchain_extra(const uint64_t *ax, const uint64_t *ay,
+                         const int64_t *lc_v, const int64_t *lc_off,
+                         const int64_t *lc_cnt, const int64_t *seg_len,
+                         int64_t gc_off, int64_t gc_cnt,
+                         int64_t *out)
+{
+    int64_t qs, qe, ps, pe, plen = 0, blen = 0, mlen = 0;
+    int64_t j, first = lc_off[gc_off], q_span, n_mini, rest_pl = 0;
+    int64_t last_x, last_y, tmp;
+    const int64_t le = gc_off + gc_cnt - 1;
+    int64_t last_off = lc_off[le] + lc_cnt[le] - 1;
+
+    q_span = (int64_t)(ay[first] >> 32 & 0xff);
+    qs = (int32_t)(uint32_t)ay[first] + 1 - q_span;
+    ps = (int32_t)(uint32_t)ax[first] + 1 - q_span;
+    tmp = (int64_t)(ax[first] >> 32);
+    qe = (int32_t)(uint32_t)ay[last_off] + 1;
+    pe = seg_len[lc_v[le] >> 1] - (int32_t)(uint32_t)ax[last_off] - 1;
+    n_mini = (int64_t)(ax[last_off] >> 32) - tmp + 1;
+
+    last_x = (int64_t)ax[first];
+    last_y = (int64_t)ay[first];
+    for (j = 0; j < gc_cnt; ++j) {
+        const int64_t l = gc_off + j, vlen = seg_len[lc_v[l] >> 1];
+        int64_t i;
+        plen += vlen;
+        if (lc_cnt[l] > 0) {
+            for (i = 0; i < lc_cnt[l]; ++i) {
+                const int64_t o = lc_off[l] + i;
+                int64_t rx32 = (int32_t)(uint32_t)ax[o];
+                int64_t ry32 = (int32_t)(uint32_t)ay[o];
+                int64_t rxm = (int64_t)(ax[o] >> 32);
+                int64_t span = (int64_t)(ay[o] >> 32 & 0xff);
+                int64_t ql = ry32 - (int32_t)(uint32_t)last_y;
+                int64_t pl = rx32 - (int32_t)(uint32_t)last_x;
+                if (i == 0) {
+                    if (j == 0) pl = ql = span;
+                    else pl = rx32 + 1 + rest_pl;
+                }
+                if (ql < 0) {
+                    n_mini += (int64_t)(last_x >> 32) - rxm;
+                    ql = -ql;
+                }
+                blen += pl > ql ? pl : ql;
+                mlen += (pl > span && ql > span) ? span
+                    : (pl < ql ? pl : ql);
+                last_x = (int64_t)ax[o];
+                last_y = (int64_t)ay[o];
+            }
+            rest_pl = vlen
+                - (int32_t)(uint32_t)ax[lc_off[l] + lc_cnt[l] - 1] - 1;
+        } else {
+            rest_pl += vlen;
+        }
+    }
+    pe = plen - pe;
+    out[0] = qs; out[1] = qe; out[2] = ps; out[3] = pe;
+    out[4] = plen; out[5] = blen; out[6] = mlen;
+    return n_mini;
+}
