@@ -147,3 +147,17 @@ def test_front_long_reads_16k_bucket():
         assert fr.rep_len == hrep
         assert np.array_equal(fr.mini_pos, np.asarray(hmini, np.int32))
     assert n_dev >= 6
+
+
+@pytest.mark.slow
+def test_cli_tpu_cov_parity(oracle):
+    """--cov through the device path: dc:f coverage tags on the output
+    graph must equal the oracle's byte-for-byte."""
+    ref = "/root/reference/test"
+    args = ["--cov", f"{ref}/MT.gfa", f"{ref}/MT-orangA.fa"]
+    want = subprocess.run([str(oracle), *args], capture_output=True,
+                          text=True, check=True).stdout
+    got = subprocess.run(
+        [sys.executable, "-m", "minigraph_tpu", "--tpu", *args],
+        capture_output=True, text=True, check=True)
+    assert got.stdout == want
