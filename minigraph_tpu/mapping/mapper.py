@@ -17,8 +17,6 @@ from ..utils.hashes import expf, kh_hash_str, kh_hash_uint32
 from ..utils.ksort import radix_argsort
 from ..seqio.bseq import BSeqFile, qname_same, toupper
 from ..seqio.gaf import write_gaf
-from .filters import (filter_bad_seeds, filter_bad_seeds_alt, fix_bad_ends,
-                      fix_bad_ends_alt)
 from .gchain import GChains, gchain_gen, gchain1_dp
 from .lchain import lchain_dp, lchain_gen, lchain_rmq, update_anchors
 from .seeds import collect_minimizers, collect_seed_hits
