@@ -245,9 +245,18 @@ def main(argv: Optional[List[str]] = None) -> int:
     mapper_mod.map_files = patched
     import minigraph_tpu.cli as cli_mod
     cli_mod.map_files = patched
+    import jax
+    devnull = None
+    if jax.process_index() != 0:
+        # only rank 0 emits output (GAF merge / cov-annotated graph)
+        import io as _io
+        devnull = sys.stdout
+        sys.stdout = _io.StringIO()
     try:
         return cli_main(rest)
     finally:
+        if devnull is not None:
+            sys.stdout = devnull
         mapper_mod.map_files = orig
         cli_mod.map_files = orig
 
