@@ -182,7 +182,7 @@ class DeviceFront:
             def chain(axh, axl, ayh, ayl, n_a):
                 ax = u32.to_u64(axh, axl)
                 ay = u32.to_u64(ayh, ayl)
-                return lchain_dp_exact_win(
+                f, p, v, sure = lchain_dp_exact_win(
                     ax, ay, n_a, jnp.int32(self.mdx_adj),
                     jnp.int32(self.mdy_adj), jnp.int32(opt.bw),
                     jnp.int32(opt.max_lc_skip),
@@ -190,14 +190,22 @@ class DeviceFront:
                     jnp.float32(self.chn_pen_gap),
                     jnp.float32(self.chn_pen_skip),
                     window=win, tile=8)
+                # pack (f, p) into one u32 plane: halves the largest
+                # chain fetch (f < 2^17 for <=128 kb reads, p+1 <= acap)
+                fp = (f.astype(jnp.uint32) << jnp.uint32(14)) \
+                    | (p + 1).astype(jnp.uint32)
+                return fp, sure
 
             def step(codes, lens, max_occ):
                 res = collect(*tables, codes, lens, max_occ)
+                # cnt <= 255 decides every occurrence test (max_occ
+                # caps at 250); u8 shrinks the fetch
+                res["q_cnt"] = jnp.clip(res["q_cnt"], 0, 255) \
+                    .astype(jnp.uint8)
                 if do_chain:
-                    f, p, v, sure = chain(res["axh"], res["axl"],
-                                          res["ayh"], res["ayl"],
-                                          res["n_a"])
-                    res["f"], res["p"], res["sure"] = f, p, sure
+                    fp, sure = chain(res["axh"], res["axl"],
+                                     res["ayh"], res["ayl"], res["n_a"])
+                    res["fp"], res["sure"] = fp, sure
                 return res
 
             self._fns[pad_len] = fn = step
@@ -263,8 +271,11 @@ class DeviceFront:
         for chunk, res in pending:
             res = jax.device_get(res)  # one bulk fetch, not per-array
             ovf = res["overflow"]
-            f_dev = res.get("f")
-            p_dev = res.get("p")
+            fp_dev = res.get("fp")
+            f_dev = p_dev = None
+            if fp_dev is not None:
+                f_dev = (fp_dev >> 14).astype(np.int32)
+                p_dev = (fp_dev & 0x3FFF).astype(np.int32) - 1
             sure = res.get("sure")
             n_a = res["n_a"]
             q_cnt = res["q_cnt"]
