@@ -127,6 +127,132 @@ def _cal_sc(dj: PathDst, li: LChain, lc: List[LChain], ay: np.ndarray,
     return sc
 
 
+_native_gdp_cfg = False
+
+
+def _gdp_core(g, arrs, n_lc, qlen, max_dist_g, max_dist_q, bw, max_skip,
+              ref_bonus, chn_pen_gap, mask_level, ay):
+    """Shared native call (native/mgt_gchain.c mgt_gchain1_dp).
+
+    arrs = (v, off, cnt, score, qs, qe, rs, re) int64 arrays.  Returns
+    (n_u, u, order, dist_pre, hash_pre, inner_pre) or None on fallback
+    (lib missing, debug dumps requested, or engine overflow)."""
+    global _native_gdp_cfg
+    import ctypes as ct
+
+    from ..options import DBG, MG_DBG_GC1
+    from ..utils.native import get_lib
+    if DBG["flag"] & MG_DBG_GC1:
+        return None
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "mgt_gchain1_dp"):
+        return None
+    if not _native_gdp_cfg:
+        lib.mgt_gchain1_dp.restype = ct.c_int64
+        lib.mgt_gchain1_dp.argtypes = \
+            [ct.c_void_p] * 4 + [ct.c_int64, ct.c_void_p, ct.c_int64] \
+            + [ct.c_void_p] * 9 \
+            + [ct.c_int64] * 6 + [ct.c_double] * 2 + [ct.c_int64] \
+            + [ct.c_void_p] * 5
+        _native_gdp_cfg = True
+    lv, loff, lcnt, lscore, lqs, lqe, lrs, lre = arrs
+    seg_len = getattr(g, "_seg_len_arr", None)
+    if seg_len is None or len(seg_len) != g.n_seg:
+        seg_len = np.asarray([s.len for s in g.seg], dtype=np.int64)
+        g._seg_len_arr = seg_len
+    idx = g.idx
+    if idx.dtype != np.int64 or not idx.flags["C_CONTIGUOUS"]:
+        idx = np.ascontiguousarray(idx, dtype=np.int64)
+        g.idx = idx
+    ay = ay if ay.flags["C_CONTIGUOUS"] else np.ascontiguousarray(ay)
+    u = np.empty(n_lc, dtype=np.uint64)
+    order = np.empty(n_lc, dtype=np.int64)
+    dist_pre = np.empty(n_lc, dtype=np.int64)
+    hash_pre = np.empty(n_lc, dtype=np.uint32)
+    inner_pre = np.empty(n_lc, dtype=np.int64)
+    n_u = lib.mgt_gchain1_dp(
+        idx.ctypes.data, g.arc_w.ctypes.data, g.arc_lv.ctypes.data,
+        g.arc_rank.ctypes.data, len(idx), seg_len.ctypes.data,
+        n_lc, lv.ctypes.data, loff.ctypes.data, lcnt.ctypes.data,
+        lscore.ctypes.data, lqs.ctypes.data, lqe.ctypes.data,
+        lrs.ctypes.data, lre.ctypes.data, ay.ctypes.data,
+        qlen, max_dist_g, max_dist_q, bw, max_skip, ref_bonus,
+        chn_pen_gap, mask_level, MG_MAX_SHORT_K,
+        u.ctypes.data, order.ctypes.data, dist_pre.ctypes.data,
+        hash_pre.ctypes.data, inner_pre.ctypes.data)
+    if n_u < 0:
+        return None
+    return n_u, u, order, dist_pre, hash_pre, inner_pre
+
+
+def _gchain1_dp_native(g, lc: List[LChain], qlen: int, max_dist_g: int,
+                       max_dist_q: int, bw: int, max_skip: int,
+                       ref_bonus: int, chn_pen_gap: float, mask_level: float,
+                       ay: np.ndarray):
+    """Native DP over an LChain object list; returns None on fallback."""
+    n_lc = len(lc)
+    it = np.int64
+    arrs = (np.fromiter((r.v for r in lc), it, n_lc),
+            np.fromiter((r.off for r in lc), it, n_lc),
+            np.fromiter((r.cnt for r in lc), it, n_lc),
+            np.fromiter((r.score for r in lc), it, n_lc),
+            np.fromiter((r.qs for r in lc), it, n_lc),
+            np.fromiter((r.qe for r in lc), it, n_lc),
+            np.fromiter((r.rs for r in lc), it, n_lc),
+            np.fromiter((r.re for r in lc), it, n_lc))
+    res = _gdp_core(g, arrs, n_lc, qlen, max_dist_g, max_dist_q, bw,
+                    max_skip, ref_bonus, chn_pen_gap, mask_level, ay)
+    if res is None:
+        return None
+    n_u, u, order, dist_pre, hash_pre, inner_pre = res
+    for i, r in enumerate(lc):
+        r.dist_pre = int(dist_pre[i])
+        r.hash_pre = int(hash_pre[i])
+        r.inner_pre = int(inner_pre[i])
+    n_slots = int((u[:n_u] & np.uint64(U32M)).sum())
+    swap = [lc[i] for i in order[:n_slots]]
+    return n_u, u[:n_u].copy(), swap
+
+
+def gchain1_dp_tab(g, tab, qlen: int, max_dist_g: int, max_dist_q: int,
+                   bw: int, max_skip: int, ref_bonus: int,
+                   chn_pen_gap: float, chn_pen_skip: float,
+                   mask_level: float, ay: np.ndarray):
+    """Graph-chaining DP over a native lchain TABLE (lchain_tail_tab)
+    instead of LChain objects — the fused tail path.  Returns
+    (n_u, u, swap) like gchain1_dp; LChain objects are only built for
+    the slots that survive into graph chains."""
+    n_lc = tab["n"]
+    if n_lc == 0:
+        return 0, np.empty(0, dtype=np.uint64), []
+    arrs = (tab["v"], tab["off"], tab["cnt"], tab["score"],
+            tab["qs"], tab["qe"], tab["rs"], tab["re"])
+    res = _gdp_core(g, arrs, n_lc, qlen, max_dist_g, max_dist_q, bw,
+                    max_skip, ref_bonus, chn_pen_gap, mask_level, ay)
+    if res is None:
+        # fallback: materialize objects and run the Python DP
+        lc = [LChain(off=int(tab["off"][i]), cnt=int(tab["cnt"][i]),
+                     v=int(tab["v"][i]), rs=int(tab["rs"][i]),
+                     re=int(tab["re"][i]), qs=int(tab["qs"][i]),
+                     qe=int(tab["qe"][i]), score=int(tab["score"][i]))
+              for i in range(n_lc)]
+        return gchain1_dp(g, lc, qlen, max_dist_g, max_dist_q, bw,
+                          max_skip, ref_bonus, chn_pen_gap, chn_pen_skip,
+                          mask_level, ay)
+    n_u, u, order, dist_pre, hash_pre, inner_pre = res
+    n_slots = int((u[:n_u] & np.uint64(U32M)).sum())
+    t_off, t_cnt, t_v = tab["off"], tab["cnt"], tab["v"]
+    t_rs, t_re, t_qs, t_qe = tab["rs"], tab["re"], tab["qs"], tab["qe"]
+    t_sc = tab["score"]
+    swap = [LChain(off=int(t_off[i]), cnt=int(t_cnt[i]), v=int(t_v[i]),
+                   rs=int(t_rs[i]), re=int(t_re[i]), qs=int(t_qs[i]),
+                   qe=int(t_qe[i]), score=int(t_sc[i]),
+                   dist_pre=int(dist_pre[i]), hash_pre=int(hash_pre[i]),
+                   inner_pre=int(inner_pre[i]))
+             for i in order[:n_slots]]
+    return n_u, u[:n_u].copy(), swap
+
+
 def gchain1_dp(g, lc: List[LChain], qlen: int, max_dist_g: int,
                max_dist_q: int, bw: int, max_skip: int, ref_bonus: int,
                chn_pen_gap: float, chn_pen_skip: float, mask_level: float,
@@ -136,6 +262,11 @@ def gchain1_dp(g, lc: List[LChain], qlen: int, max_dist_g: int,
     n_lc = len(lc)
     if n_lc == 0:
         return 0, np.empty(0, dtype=np.uint64), lc
+    nat = _gchain1_dp_native(g, lc, qlen, max_dist_g, max_dist_q, bw,
+                             max_skip, ref_bonus, chn_pen_gap, mask_level,
+                             ay)
+    if nat is not None:
+        return nat
 
     srt = np.empty(n_lc, dtype=np.uint64)
     a_i = np.empty(n_lc, dtype=np.int64)
@@ -526,10 +657,14 @@ def _gchain_extra_native(g, gcs: GChains) -> bool:
 
     from ..utils.native import get_lib
     lib = get_lib()
-    if lib is None or not hasattr(lib, "mgt_gchain_extra"):
+    if lib is None or not hasattr(lib, "mgt_gchain_extra_all"):
         return False
     if not _native_ext_cfg:
-        lib.mgt_gchain_extra.restype = ct.c_int64
+        # raw-int pointers (arr.ctypes.data) need explicit c_void_p
+        # argtypes: the ctypes default converts ints to 32-bit
+        lib.mgt_gchain_extra_all.restype = None
+        lib.mgt_gchain_extra_all.argtypes = \
+            [ct.c_void_p] * 8 + [ct.c_int64, ct.c_void_p]
         _native_ext_cfg = True
     lct = getattr(gcs, "_lc_tables", None)
     if lct is None:
@@ -542,26 +677,30 @@ def _gchain_extra_native(g, gcs: GChains) -> bool:
     if seg_len is None or len(seg_len) != g.n_seg:
         seg_len = np.asarray([s.len for s in g.seg], dtype=np.int64)
         g._seg_len_arr = seg_len
-    out = np.empty(7, dtype=np.int64)
-
-    def P(a):
-        return a.ctypes.data_as(ct.c_void_p)
 
     ax = gcs.ax if gcs.ax.flags["C_CONTIGUOUS"] \
         else np.ascontiguousarray(gcs.ax)
     ay = gcs.ay if gcs.ay.flags["C_CONTIGUOUS"] \
         else np.ascontiguousarray(gcs.ay)
-    for p in gcs.gc:
+    n_gc = len(gcs.gc)
+    gc_off = np.fromiter((p.off for p in gcs.gc), np.int64, n_gc)
+    gc_cnt = np.fromiter((p.cnt for p in gcs.gc), np.int64, n_gc)
+    out = np.empty((n_gc, 8), dtype=np.int64)
+    lib.mgt_gchain_extra_all(
+        ax.ctypes.data, ay.ctypes.data, lc_v.ctypes.data,
+        lc_off.ctypes.data, lc_cnt.ctypes.data, seg_len.ctypes.data,
+        gc_off.ctypes.data, gc_cnt.ctypes.data, ct.c_int64(n_gc),
+        out.ctypes.data)
+    for i, p in enumerate(gcs.gc):
         p.qs = p.qe = p.ps = p.pe = -1
         p.plen = p.blen = p.mlen = 0
         p.div = -1.0
         if p.cnt == 0:
             continue
-        n_mini = lib.mgt_gchain_extra(
-            P(ax), P(ay), P(lc_v), P(lc_off), P(lc_cnt), P(seg_len),
-            ct.c_int64(p.off), ct.c_int64(p.cnt), P(out))
+        row = out[i]
         p.qs, p.qe, p.ps, p.pe, p.plen, p.blen, p.mlen = \
-            (int(v) for v in out)
+            (int(v) for v in row[:7])
+        n_mini = int(row[7])
         q_span = (int(gcs.ay[gcs.lc[p.off].off]) >> 32) & 0xFF
         if n_mini >= p.n_anchor:
             p.div = float(F32(math.log(n_mini / p.n_anchor) / q_span))

@@ -446,3 +446,44 @@ def update_anchors(lc: LChain, ax: np.ndarray, ay: np.ndarray,
     assert (mini_pos[j_idx] == qpos).all()
     ax[off: off + n_a] = (j_idx.astype(np.uint64) << np.uint64(32)) \
         | (ax[off: off + n_a] & np.uint64(0xFFFFFFFF))
+
+
+_native_tail_cfg = False
+
+
+def lchain_tail_tab(qlen: int, n_u: int, u: np.ndarray, ax: np.ndarray,
+                    ay: np.ndarray, mini_pos: np.ndarray, opt):
+    """Fused native linear-chain tail (native/mgt_gchain.c
+    mgt_lchain_tail): mg_lchain_gen + the per-chain filter block +
+    mg_update_anchors in ONE call per read.  Mutates ax/ay in place.
+
+    Returns a dict of kept-chain table arrays (off/cnt/v/rs/re/qs/qe/
+    score, all int64, sorted by query start) or None when the native
+    library is unavailable (caller runs the legacy object path)."""
+    global _native_tail_cfg
+    import ctypes as ct
+
+    from ..utils.native import get_lib
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "mgt_lchain_tail"):
+        return None
+    if not _native_tail_cfg:
+        lib.mgt_lchain_tail.restype = ct.c_int64
+        lib.mgt_lchain_tail.argtypes = \
+            [ct.c_int64, ct.c_int64] + [ct.c_void_p] * 4 \
+            + [ct.c_int64] * 6 + [ct.c_void_p] * 8
+        _native_tail_cfg = True
+    assert ax.flags["C_CONTIGUOUS"] and ay.flags["C_CONTIGUOUS"]
+    mini_pos = np.ascontiguousarray(mini_pos, dtype=np.int64)
+    tabs = np.empty((8, n_u), dtype=np.int64)
+    n_out = lib.mgt_lchain_tail(
+        qlen, n_u, u.ctypes.data, ax.ctypes.data, ay.ctypes.data,
+        mini_pos.ctypes.data, len(mini_pos),
+        opt.lc_max_occ, opt.lc_max_trim, opt.bw, opt.max_gap >> 1,
+        opt.min_lc_cnt,
+        *(tabs[i].ctypes.data for i in range(8)))
+    if n_out < 0:
+        return None
+    t = tabs[:, :n_out]
+    return {"off": t[0], "cnt": t[1], "v": t[2], "rs": t[3], "re": t[4],
+            "qs": t[5], "qe": t[6], "score": t[7], "n": int(n_out)}

@@ -146,36 +146,52 @@ def map_frag_tail(gi: MinimizerIndex, qlens: List[int], seqs: List[str],
 
     if dbg_q:
         _qt = _ptime(_qt, 1)
-    if n_lc:
-        lc = lchain_gen(qlen_sum, n_lc, u, ax, ay)
-        if n_lc > 1:
-            from .filters import apply_chain_filters
-            kept = []
+    # fused native tail (native/mgt_gchain.c): lchain_gen + filter
+    # block + update_anchors in one call, chains kept as a table
+    tab = None
+    if n_lc and not (DBG["flag"] & MG_DBG_LCHAIN):
+        from .lchain import lchain_tail_tab
+        tab = lchain_tail_tab(qlen_sum, n_lc, u, ax, ay, mini_pos, opt)
+    if tab is None:
+        if n_lc:
+            lc = lchain_gen(qlen_sum, n_lc, u, ax, ay)
+            if n_lc > 1:
+                from .filters import apply_chain_filters
+                kept = []
+                for p in lc:
+                    off, cnt = apply_chain_filters(ax, ay, p.off, p.cnt,
+                                                   p.score, opt)
+                    p.off, p.cnt = off, cnt
+                    if cnt >= opt.min_lc_cnt:
+                        q_span = (int(ay[p.off]) >> 32) & 0xFF
+                        p.rs = _i32(int(ax[p.off])) + 1 - q_span
+                        p.qs = _i32(int(ay[p.off])) + 1 - q_span
+                        p.re = _i32(int(ax[p.off + p.cnt - 1])) + 1
+                        p.qe = _i32(int(ay[p.off + p.cnt - 1])) + 1
+                        kept.append(p)
+                lc = kept
             for p in lc:
-                off, cnt = apply_chain_filters(ax, ay, p.off, p.cnt,
-                                               p.score, opt)
-                p.off, p.cnt = off, cnt
-                if cnt >= opt.min_lc_cnt:
-                    q_span = (int(ay[p.off]) >> 32) & 0xFF
-                    p.rs = _i32(int(ax[p.off])) + 1 - q_span
-                    p.qs = _i32(int(ay[p.off])) + 1 - q_span
-                    p.re = _i32(int(ax[p.off + p.cnt - 1])) + 1
-                    p.qe = _i32(int(ay[p.off + p.cnt - 1])) + 1
-                    kept.append(p)
-            lc = kept
-        for p in lc:
-            update_anchors(p, ax, ay, mini_pos)
-    else:
-        lc = []
-    if DBG["flag"] & MG_DBG_LCHAIN:
-        _dump_lchain(gi, lc, ax, ay, qname)
+                update_anchors(p, ax, ay, mini_pos)
+        else:
+            lc = []
+        if DBG["flag"] & MG_DBG_LCHAIN:
+            _dump_lchain(gi, lc, ax, ay, qname)
     if dbg_q:
         _qt = _ptime(_qt, 2)
 
     seq_cat = "".join(seqs)
-    n_gc, u, lc = gchain1_dp(gi.g, lc, qlen_sum, opt.bw_long, opt.bw_long,
-                             opt.bw_long, opt.max_gc_skip, opt.ref_bonus,
-                             chn_pen_gap, chn_pen_skip, opt.mask_level, ay)
+    if tab is not None:
+        from .gchain import gchain1_dp_tab
+        n_gc, u, lc = gchain1_dp_tab(gi.g, tab, qlen_sum, opt.bw_long,
+                                     opt.bw_long, opt.bw_long,
+                                     opt.max_gc_skip, opt.ref_bonus,
+                                     chn_pen_gap, chn_pen_skip,
+                                     opt.mask_level, ay)
+    else:
+        n_gc, u, lc = gchain1_dp(gi.g, lc, qlen_sum, opt.bw_long,
+                                 opt.bw_long, opt.bw_long, opt.max_gc_skip,
+                                 opt.ref_bonus, chn_pen_gap, chn_pen_skip,
+                                 opt.mask_level, ay)
     if dbg_q:
         _qt = _ptime(_qt, 3)
     gcs = gchain_gen(gi.g, gi.es, n_gc, u, lc, ax, ay, hash_,

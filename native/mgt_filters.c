@@ -278,3 +278,24 @@ int64_t mgt_gchain_extra(const uint64_t *ax, const uint64_t *ay,
     out[4] = plen; out[5] = blen; out[6] = mlen;
     return n_mini;
 }
+
+/* Batched mg_gchain_extra (gchain1.c:242-297): one call per read.
+ * out is (n_gc, 8): qs qe ps pe plen blen mlen n_mini; chains with
+ * cnt == 0 get row[0] = INT64_MIN as a skip marker. */
+void mgt_gchain_extra_all(const uint64_t *ax, const uint64_t *ay,
+                          const int64_t *lc_v, const int64_t *lc_off,
+                          const int64_t *lc_cnt, const int64_t *seg_len,
+                          const int64_t *gc_off, const int64_t *gc_cnt,
+                          int64_t n_gc, int64_t *out)
+{
+    int64_t i;
+    for (i = 0; i < n_gc; ++i) {
+        int64_t *row = out + i * 8;
+        if (gc_cnt[i] == 0) {
+            row[0] = INT64_MIN;
+            continue;
+        }
+        row[7] = mgt_gchain_extra(ax, ay, lc_v, lc_off, lc_cnt, seg_len,
+                                  gc_off[i], gc_cnt[i], row);
+    }
+}

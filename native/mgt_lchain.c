@@ -120,7 +120,7 @@ static int64_t peak_cut(int64_t start, uint64_t sc_start, const int64_t *f,
 }
 
 /* returns n_v; fills u (score<<32|cnt) and v (anchor indices) */
-static int64_t chain_backtrack(int64_t n, const int64_t *f, const int64_t *p,
+int64_t mgt_chain_backtrack_core(int64_t n, const int64_t *f, const int64_t *p,
                                int32_t min_cnt, int32_t min_sc,
                                int32_t max_drop, uint64_t *u, int32_t *n_u_,
                                int64_t *v)
@@ -318,7 +318,7 @@ int64_t mgt_lchain_dp(int32_t max_dist_x, int32_t max_dist_y, int32_t bw,
     mgt_lchain_stats[1] = mmax_f;
     mgt_lchain_stats[2] = mgt_lchain_stats[3] = 0;
 
-    n_v = chain_backtrack(n, f, p, min_cnt, min_sc, max_drop, u_out, &n_u,
+    n_v = mgt_chain_backtrack_core(n, f, p, min_cnt, min_sc, max_drop, u_out, &n_u,
                           vv);
     if (n_u > 0) compact_a(n_u, u_out, n_v, vv, ax, ay);
     free(p); free(f); free(vv); free(mark);
@@ -722,7 +722,7 @@ int64_t mgt_lchain_rmq(int32_t max_dist, int32_t max_dist_inner, int32_t bw,
     mgt_lchain_stats[3] = max_live;
 
     vv = (int64_t *)malloc(8 * n);
-    n_v = chain_backtrack(n, f, p, min_cnt, min_sc, bw, u_out, &n_u, vv);
+    n_v = mgt_chain_backtrack_core(n, f, p, min_cnt, min_sc, bw, u_out, &n_u, vv);
     if (n_u > 0) compact_a(n_u, u_out, n_v, vv, ax, ay);
     free(p); free(f); free(t); free(vv); free(pool); free(freelist);
     *n_u_out = n_u;
@@ -746,7 +746,7 @@ int64_t mgt_lchain_finish(int32_t bw, int32_t is_cdna, int32_t min_cnt,
     p = (int64_t *)malloc(8 * n);
     vv = (int64_t *)malloc(8 * n);
     for (i = 0; i < n; ++i) f[i] = f32v[i], p[i] = p32[i];
-    n_v = chain_backtrack(n, f, p, min_cnt, min_sc, max_drop, u_out, &n_u,
+    n_v = mgt_chain_backtrack_core(n, f, p, min_cnt, min_sc, max_drop, u_out, &n_u,
                           vv);
     if (n_u > 0) compact_a(n_u, u_out, n_v, vv, ax, ay);
     free(f); free(p); free(vv);
