@@ -241,16 +241,14 @@ def gchain1_dp_tab(g, tab, qlen: int, max_dist_g: int, max_dist_q: int,
                           mask_level, ay)
     n_u, u, order, dist_pre, hash_pre, inner_pre = res
     n_slots = int((u[:n_u] & np.uint64(U32M)).sum())
-    t_off, t_cnt, t_v = tab["off"], tab["cnt"], tab["v"]
-    t_rs, t_re, t_qs, t_qe = tab["rs"], tab["re"], tab["qs"], tab["qe"]
-    t_sc = tab["score"]
-    swap = [LChain(off=int(t_off[i]), cnt=int(t_cnt[i]), v=int(t_v[i]),
-                   rs=int(t_rs[i]), re=int(t_re[i]), qs=int(t_qs[i]),
-                   qe=int(t_qe[i]), score=int(t_sc[i]),
-                   dist_pre=int(dist_pre[i]), hash_pre=int(hash_pre[i]),
-                   inner_pre=int(inner_pre[i]))
-             for i in order[:n_slots]]
-    return n_u, u[:n_u].copy(), swap
+    sel = order[:n_slots]
+    slots = {k: tab[k][sel] for k in
+             ("v", "off", "cnt", "score", "qs", "qe", "rs", "re")}
+    slots["dist_pre"] = dist_pre[sel]
+    slots["hash_pre"] = hash_pre[sel]
+    slots["inner_pre"] = inner_pre[sel]
+    slots["n"] = n_slots
+    return n_u, u[:n_u].copy(), slots
 
 
 def gchain1_dp(g, lc: List[LChain], qlen: int, max_dist_g: int,
@@ -643,6 +641,255 @@ def gchain_gen(g, es, n_u: int, u: np.ndarray, lc: List[LChain],
         gcs.ay = np.concatenate(aux.a_out_y)
     gchain_extra(g, gcs)
     gchain_sort_by_score(gcs)
+    return gcs
+
+
+def _slots_to_objects(slots) -> List[LChain]:
+    """Materialize LChain objects from a gchain-layout slot table."""
+    return [LChain(off=int(slots["off"][i]), cnt=int(slots["cnt"][i]),
+                   v=int(slots["v"][i]), rs=int(slots["rs"][i]),
+                   re=int(slots["re"][i]), qs=int(slots["qs"][i]),
+                   qe=int(slots["qe"][i]), score=int(slots["score"][i]),
+                   dist_pre=int(slots["dist_pre"][i]),
+                   hash_pre=int(slots["hash_pre"][i]),
+                   inner_pre=int(slots["inner_pre"][i]))
+            for i in range(slots["n"])]
+
+
+_native_gen_cfg = False
+_gen_scratch = None
+
+
+def gchain_gen_tab(g, es, n_u: int, u: np.ndarray, lc, ax: np.ndarray,
+                   ay: np.ndarray, hash_: int, min_gc_cnt: int,
+                   min_gc_score: int, gdp_max_ed: int, n_seg: int,
+                   qseq: str) -> GChains:
+    """mg_gchain_gen through the native engine (native/mgt_gchain.c
+    mgt_gchain_gen) when `lc` is a slot table from gchain1_dp_tab;
+    falls back to the Python path (object list or engine bailout)."""
+    global _native_gen_cfg
+    import ctypes as ct
+
+    from ..utils.native import get_lib
+
+    if isinstance(lc, list):
+        return gchain_gen(g, es, n_u, u, lc, ax, ay, hash_, min_gc_cnt,
+                          min_gc_score, gdp_max_ed, n_seg, qseq)
+    slots = lc
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "mgt_gchain_gen") or n_u == 0 \
+            or slots["n"] == 0:
+        if n_u == 0 or slots["n"] == 0:
+            gcs = GChains()
+            return gcs
+        return gchain_gen(g, es, n_u, u, _slots_to_objects(slots), ax, ay,
+                          hash_, min_gc_cnt, min_gc_score, gdp_max_ed,
+                          n_seg, qseq)
+    if not _native_gen_cfg:
+        lib.mgt_gchain_gen.restype = ct.c_int64
+        lib.mgt_gchain_gen.argtypes = \
+            [ct.c_void_p] * 4 + [ct.c_int64, ct.c_void_p] \
+            + [ct.c_void_p] * 6 + [ct.c_char_p] \
+            + [ct.c_int64] + [ct.c_void_p] * 11 \
+            + [ct.c_void_p] * 2 + [ct.c_int64, ct.c_char_p, ct.c_int64] \
+            + [ct.c_uint32] + [ct.c_int64] * 5 \
+            + [ct.c_int64] * 3 + [ct.c_void_p] * 13
+        _native_gen_cfg = True
+    from ..align.gwfa import _flat_graph
+    gw = _flat_graph(g, es)
+    seg_len = getattr(g, "_seg_len_arr", None)
+    if seg_len is None or len(seg_len) != g.n_seg:
+        seg_len = np.asarray([s.len for s in g.seg], dtype=np.int64)
+        g._seg_len_arr = seg_len
+    idx = g.idx
+    if idx.dtype != np.int64 or not idx.flags["C_CONTIGUOUS"]:
+        idx = np.ascontiguousarray(idx, dtype=np.int64)
+        g.idx = idx
+    qb = qseq.encode("latin-1")
+    n_slots = slots["n"]
+    n_a_total = len(ax)
+    llc_cap = n_slots + 1024
+    gc_cap = max(n_u, 1)
+    # per-read scratch reused across calls (sized to the max seen)
+    sc = _gen_scratch
+    if sc is None or sc[0].shape[1] < llc_cap or len(sc[1]) < n_a_total \
+            or sc[3].shape[1] < gc_cap:
+        sc = (np.empty((5, max(llc_cap, 4096)), dtype=np.int64),
+              np.empty(max(n_a_total, 1 << 14), dtype=np.uint64),
+              np.empty(max(n_a_total, 1 << 14), dtype=np.uint64),
+              np.empty((4, max(gc_cap, 64)), dtype=np.int64),
+              np.empty(max(gc_cap, 64), dtype=np.uint32),
+              np.empty((max(gc_cap, 64), 8), dtype=np.int64))
+        globals()["_gen_scratch"] = sc
+    o_llc, o_ax, o_ay, g_tab, g_hash, g_extra = sc
+    llc_cap = o_llc.shape[1]
+    n_gc = lib.mgt_gchain_gen(
+        idx.ctypes.data, g.arc_w.ctypes.data, g.arc_lv.ctypes.data,
+        g.arc_rank.ctypes.data, len(idx), seg_len.ctypes.data,
+        gw[0].ctypes.data, gw[1].ctypes.data, gw[2].ctypes.data,
+        gw[3].ctypes.data, gw[4].ctypes.data, gw[5].ctypes.data, gw[6],
+        n_u, u.ctypes.data,
+        slots["v"].ctypes.data, slots["off"].ctypes.data,
+        slots["cnt"].ctypes.data, slots["score"].ctypes.data,
+        slots["qs"].ctypes.data, slots["qe"].ctypes.data,
+        slots["rs"].ctypes.data, slots["re"].ctypes.data,
+        slots["dist_pre"].ctypes.data,
+        np.ascontiguousarray(slots["hash_pre"],
+                             dtype=np.uint32).ctypes.data,
+        ax.ctypes.data, ay.ctypes.data, n_a_total, qb, len(qb),
+        hash_, min_gc_cnt, min_gc_score, gdp_max_ed, n_seg,
+        MG_MAX_SHORT_K,
+        llc_cap, len(o_ax), g_tab.shape[1],
+        o_llc[0].ctypes.data, o_llc[1].ctypes.data, o_llc[2].ctypes.data,
+        o_llc[3].ctypes.data, o_llc[4].ctypes.data,
+        o_ax.ctypes.data, o_ay.ctypes.data,
+        g_tab[0].ctypes.data, g_tab[1].ctypes.data, g_tab[2].ctypes.data,
+        g_tab[3].ctypes.data, g_hash.ctypes.data, g_extra.ctypes.data)
+    if n_gc < 0:
+        # alloc/cap overflow or bridge-failure warning: Python path
+        return gchain_gen(g, es, n_u, u, _slots_to_objects(slots), ax, ay,
+                          hash_, min_gc_cnt, min_gc_score, gdp_max_ed,
+                          n_seg, qseq)
+    gcs = GChains()
+    if n_gc == 0:
+        return gcs
+    lv, loff, lcnt, lsc, led = (o_llc[i] for i in range(5))
+    n_llc = int(g_tab[1][:n_gc].sum())
+    n_a = int(lcnt[:n_llc].sum())
+    gcs.lc = [LLChain(off=int(loff[i]), cnt=int(lcnt[i]), v=int(lv[i]),
+                      score=int(lsc[i]), ed=int(led[i]))
+              for i in range(n_llc)]
+    gcs.ax = o_ax[:n_a].copy()   # scratch is reused next read
+    gcs.ay = o_ay[:n_a].copy()
+    gcs._lc_tables = (lv[:n_llc].copy(), loff[:n_llc].copy(),
+                      lcnt[:n_llc].copy())
+    for c in range(n_gc):
+        p = GChain(score=int(g_tab[3][c]), off=int(g_tab[0][c]),
+                   cnt=int(g_tab[1][c]), n_anchor=int(g_tab[2][c]),
+                   hash=int(g_hash[c]))
+        row = g_extra[c]
+        p.qs, p.qe, p.ps, p.pe, p.plen, p.blen, p.mlen = \
+            (int(v) for v in row[:7])
+        n_mini = int(row[7])
+        q_span = (int(gcs.ay[gcs.lc[p.off].off]) >> 32) & 0xFF
+        if n_mini >= p.n_anchor:
+            p.div = float(F32(math.log(n_mini / p.n_anchor) / q_span))
+        else:
+            p.div = float(F32(math.log(p.n_anchor / n_mini) / q_span))
+        gcs.gc.append(p)
+    return gcs
+
+
+_native_full_cfg = False
+
+
+def gchain_full_tab(g, es, tab, qlen: int, max_dist_g: int,
+                    max_dist_q: int, bw: int, max_skip: int,
+                    ref_bonus: int, chn_pen_gap: float, mask_level: float,
+                    ay_full: np.ndarray, ax_full: np.ndarray, hash_: int,
+                    min_gc_cnt: int, min_gc_score: int, gdp_max_ed: int,
+                    n_seg: int, qseq: str):
+    """The whole graph-chain stage (DP + materialization + extras +
+    score sort) in ONE native call (mgt_gchain_full).  Returns a
+    GChains or None (caller falls back to the two-step path)."""
+    global _native_full_cfg
+    import ctypes as ct
+
+    from ..options import DBG, MG_DBG_GC1
+    from ..utils.native import get_lib
+    if DBG["flag"] & MG_DBG_GC1:
+        return None
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "mgt_gchain_full"):
+        return None
+    if not _native_full_cfg:
+        lib.mgt_gchain_full.restype = ct.c_int64
+        lib.mgt_gchain_full.argtypes = \
+            [ct.c_void_p] * 4 + [ct.c_int64, ct.c_void_p] \
+            + [ct.c_void_p] * 6 + [ct.c_char_p] \
+            + [ct.c_int64] + [ct.c_void_p] * 8 \
+            + [ct.c_void_p] * 2 + [ct.c_int64, ct.c_char_p, ct.c_int64] \
+            + [ct.c_int64] * 6 + [ct.c_double] * 2 \
+            + [ct.c_int64, ct.c_uint32] + [ct.c_int64] * 4 \
+            + [ct.c_int64] * 3 + [ct.c_void_p] * 13
+        _native_full_cfg = True
+    from ..align.gwfa import _flat_graph
+    gw = _flat_graph(g, es)
+    seg_len = getattr(g, "_seg_len_arr", None)
+    if seg_len is None or len(seg_len) != g.n_seg:
+        seg_len = np.asarray([s.len for s in g.seg], dtype=np.int64)
+        g._seg_len_arr = seg_len
+    idx = g.idx
+    if idx.dtype != np.int64 or not idx.flags["C_CONTIGUOUS"]:
+        idx = np.ascontiguousarray(idx, dtype=np.int64)
+        g.idx = idx
+    n_lc = tab["n"]
+    if n_lc == 0:
+        return GChains()
+    qb = qseq.encode("latin-1")
+    n_a_total = len(ax_full)
+    llc_cap = n_lc + 1024
+    gc_cap = max(n_lc, 64)
+    sc = _gen_scratch
+    if sc is None or sc[0].shape[1] < llc_cap or len(sc[1]) < n_a_total \
+            or sc[3].shape[1] < gc_cap:
+        sc = (np.empty((5, max(llc_cap, 4096)), dtype=np.int64),
+              np.empty(max(n_a_total, 1 << 14), dtype=np.uint64),
+              np.empty(max(n_a_total, 1 << 14), dtype=np.uint64),
+              np.empty((4, max(gc_cap, 64)), dtype=np.int64),
+              np.empty(max(gc_cap, 64), dtype=np.uint32),
+              np.empty((max(gc_cap, 64), 8), dtype=np.int64))
+        globals()["_gen_scratch"] = sc
+    o_llc, o_ax, o_ay, g_tab, g_hash, g_extra = sc
+    n_gc = lib.mgt_gchain_full(
+        idx.ctypes.data, g.arc_w.ctypes.data, g.arc_lv.ctypes.data,
+        g.arc_rank.ctypes.data, len(idx), seg_len.ctypes.data,
+        gw[0].ctypes.data, gw[1].ctypes.data, gw[2].ctypes.data,
+        gw[3].ctypes.data, gw[4].ctypes.data, gw[5].ctypes.data, gw[6],
+        n_lc,
+        tab["v"].ctypes.data, tab["off"].ctypes.data,
+        tab["cnt"].ctypes.data, tab["score"].ctypes.data,
+        tab["qs"].ctypes.data, tab["qe"].ctypes.data,
+        tab["rs"].ctypes.data, tab["re"].ctypes.data,
+        ax_full.ctypes.data, ay_full.ctypes.data, n_a_total, qb, len(qb),
+        qlen, max_dist_g, max_dist_q, bw, max_skip, ref_bonus,
+        chn_pen_gap, mask_level, MG_MAX_SHORT_K, hash_,
+        min_gc_cnt, min_gc_score, gdp_max_ed, n_seg,
+        o_llc.shape[1], len(o_ax), g_tab.shape[1],
+        o_llc[0].ctypes.data, o_llc[1].ctypes.data, o_llc[2].ctypes.data,
+        o_llc[3].ctypes.data, o_llc[4].ctypes.data,
+        o_ax.ctypes.data, o_ay.ctypes.data,
+        g_tab[0].ctypes.data, g_tab[1].ctypes.data, g_tab[2].ctypes.data,
+        g_tab[3].ctypes.data, g_hash.ctypes.data, g_extra.ctypes.data)
+    if n_gc < 0:
+        return None
+    gcs = GChains()
+    if n_gc == 0:
+        return gcs
+    lv, loff, lcnt, lsc, led = (o_llc[i] for i in range(5))
+    n_llc = int(g_tab[1][:n_gc].sum())
+    n_a = int(lcnt[:n_llc].sum())
+    gcs.lc = [LLChain(off=int(loff[i]), cnt=int(lcnt[i]), v=int(lv[i]),
+                      score=int(lsc[i]), ed=int(led[i]))
+              for i in range(n_llc)]
+    gcs.ax = o_ax[:n_a].copy()   # scratch is reused next read
+    gcs.ay = o_ay[:n_a].copy()
+    gcs._lc_tables = (lv[:n_llc].copy(), loff[:n_llc].copy(),
+                      lcnt[:n_llc].copy())
+    for c in range(n_gc):
+        p = GChain(score=int(g_tab[3][c]), off=int(g_tab[0][c]),
+                   cnt=int(g_tab[1][c]), n_anchor=int(g_tab[2][c]),
+                   hash=int(g_hash[c]))
+        row = g_extra[c]
+        p.qs, p.qe, p.ps, p.pe, p.plen, p.blen, p.mlen = \
+            (int(v) for v in row[:7])
+        n_mini = int(row[7])
+        q_span = (int(gcs.ay[gcs.lc[p.off].off]) >> 32) & 0xFF
+        if n_mini >= p.n_anchor:
+            p.div = float(F32(math.log(n_mini / p.n_anchor) / q_span))
+        else:
+            p.div = float(F32(math.log(p.n_anchor / n_mini) / q_span))
+        gcs.gc.append(p)
     return gcs
 
 

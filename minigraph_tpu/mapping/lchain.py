@@ -179,17 +179,17 @@ def _native_chain(fn_name: str, args_pre, ax: np.ndarray, ay: np.ndarray):
     if lib is None or not hasattr(lib, fn_name):
         return None
     if not _native_cfg:
-        u64p = ctypes.POINTER(ctypes.c_uint64)
+        vp = ctypes.c_void_p
         i32p = ctypes.POINTER(ctypes.c_int32)
         lib.mgt_lchain_dp.restype = ctypes.c_int64
         lib.mgt_lchain_dp.argtypes = [
             ctypes.c_int32] * 7 + [ctypes.c_float, ctypes.c_float,
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int64,
-            u64p, u64p, u64p, i32p]
+            vp, vp, vp, i32p]
         lib.mgt_lchain_rmq.restype = ctypes.c_int64
         lib.mgt_lchain_rmq.argtypes = [
             ctypes.c_int32] * 7 + [ctypes.c_float, ctypes.c_float,
-            ctypes.c_int64, u64p, u64p, u64p, i32p]
+            ctypes.c_int64, vp, vp, vp, i32p]
         _native_cfg = True
     import ctypes as ct
     n = len(ax)
@@ -198,10 +198,8 @@ def _native_chain(fn_name: str, args_pre, ax: np.ndarray, ay: np.ndarray):
     u = np.zeros(max(n, 1), dtype=np.uint64)
     n_u = ct.c_int32(0)
     fn = getattr(lib, fn_name)
-    n_v = fn(*args_pre, n,
-             ax.ctypes.data_as(ct.POINTER(ct.c_uint64)),
-             ay.ctypes.data_as(ct.POINTER(ct.c_uint64)),
-             u.ctypes.data_as(ct.POINTER(ct.c_uint64)), ct.byref(n_u))
+    n_v = fn(*args_pre, n, ax.ctypes.data, ay.ctypes.data,
+             u.ctypes.data, ct.byref(n_u))
     from ..options import DBG, MG_DBG_LC_PROF
     if DBG["flag"] & MG_DBG_LC_PROF:
         import sys as _sys
@@ -332,12 +330,12 @@ def lchain_dp_from_fp(f: np.ndarray, p: np.ndarray, bw: int, max_skip_unused,
     lib = get_lib()
     if lib is not None and hasattr(lib, "mgt_lchain_finish"):
         if not _native_fin_cfg:
-            u64p = ct.POINTER(ct.c_uint64)
+            vp = ct.c_void_p
             i32p = ct.POINTER(ct.c_int32)
             lib.mgt_lchain_finish.restype = ct.c_int64
             lib.mgt_lchain_finish.argtypes = [
                 ct.c_int32, ct.c_int32, ct.c_int32, ct.c_int32, ct.c_int64,
-                i32p, i32p, u64p, u64p, u64p, i32p]
+                vp, vp, vp, vp, vp, i32p]
             _native_fin_cfg = True
         axc = np.ascontiguousarray(ax, dtype=np.uint64)
         ayc = np.ascontiguousarray(ay, dtype=np.uint64)
@@ -347,11 +345,8 @@ def lchain_dp_from_fp(f: np.ndarray, p: np.ndarray, bw: int, max_skip_unused,
         n_u = ct.c_int32(0)
         n_v = lib.mgt_lchain_finish(
             bw, int(is_cdna), min_cnt, min_sc, n,
-            f32.ctypes.data_as(ct.POINTER(ct.c_int32)),
-            p32.ctypes.data_as(ct.POINTER(ct.c_int32)),
-            axc.ctypes.data_as(ct.POINTER(ct.c_uint64)),
-            ayc.ctypes.data_as(ct.POINTER(ct.c_uint64)),
-            u.ctypes.data_as(ct.POINTER(ct.c_uint64)), ct.byref(n_u))
+            f32.ctypes.data, p32.ctypes.data, axc.ctypes.data,
+            ayc.ctypes.data, u.ctypes.data, ct.byref(n_u))
         if n_u.value == 0:
             return (np.empty(0, dtype=np.uint64),
                     np.empty(0, dtype=np.uint64), 0,

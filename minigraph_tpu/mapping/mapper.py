@@ -180,23 +180,36 @@ def map_frag_tail(gi: MinimizerIndex, qlens: List[int], seqs: List[str],
         _qt = _ptime(_qt, 2)
 
     seq_cat = "".join(seqs)
-    if tab is not None:
-        from .gchain import gchain1_dp_tab
-        n_gc, u, lc = gchain1_dp_tab(gi.g, tab, qlen_sum, opt.bw_long,
+    gcs = None
+    if tab is not None and not dbg_q:
+        # whole graph-chain stage in one native call
+        from .gchain import gchain_full_tab
+        gcs = gchain_full_tab(gi.g, gi.es, tab, qlen_sum, opt.bw_long,
+                              opt.bw_long, opt.bw_long, opt.max_gc_skip,
+                              opt.ref_bonus, chn_pen_gap, opt.mask_level,
+                              ay, ax, hash_, opt.min_gc_cnt,
+                              opt.min_gc_score, opt.gdp_max_ed, n_segs,
+                              seq_cat)
+    if gcs is None:
+        if tab is not None:
+            from .gchain import gchain1_dp_tab
+            n_gc, u, lc = gchain1_dp_tab(gi.g, tab, qlen_sum, opt.bw_long,
+                                         opt.bw_long, opt.bw_long,
+                                         opt.max_gc_skip, opt.ref_bonus,
+                                         chn_pen_gap, chn_pen_skip,
+                                         opt.mask_level, ay)
+        else:
+            n_gc, u, lc = gchain1_dp(gi.g, lc, qlen_sum, opt.bw_long,
                                      opt.bw_long, opt.bw_long,
                                      opt.max_gc_skip, opt.ref_bonus,
                                      chn_pen_gap, chn_pen_skip,
                                      opt.mask_level, ay)
-    else:
-        n_gc, u, lc = gchain1_dp(gi.g, lc, qlen_sum, opt.bw_long,
-                                 opt.bw_long, opt.bw_long, opt.max_gc_skip,
-                                 opt.ref_bonus, chn_pen_gap, chn_pen_skip,
-                                 opt.mask_level, ay)
-    if dbg_q:
-        _qt = _ptime(_qt, 3)
-    gcs = gchain_gen(gi.g, gi.es, n_gc, u, lc, ax, ay, hash_,
-                     opt.min_gc_cnt, opt.min_gc_score, opt.gdp_max_ed,
-                     n_segs, seq_cat)
+        if dbg_q:
+            _qt = _ptime(_qt, 3)
+        from .gchain import gchain_gen_tab
+        gcs = gchain_gen_tab(gi.g, gi.es, n_gc, u, lc, ax, ay, hash_,
+                             opt.min_gc_cnt, opt.min_gc_score,
+                             opt.gdp_max_ed, n_segs, seq_cat)
     gcs.rep_len = rep_len
     if dbg_q:
         _qt = _ptime(_qt, 4)

@@ -356,3 +356,439 @@ int64_t mgt_lchain_tail(
     }
     return n_out;
 }
+
+/* ------------------------------------------------------------------ */
+/* graph-chain materialization (mg_gchain_gen, gchain1.c:443-520)      */
+/* ------------------------------------------------------------------ */
+
+extern int32_t mgt_gwfa_ed(
+    int64_t *arc_start, int32_t *arc_cnt, uint32_t *arc_w, int32_t *arc_ow,
+    int64_t *seq_off, int32_t *seq_len, const char *seq,
+    int32_t ql, const char *q, uint32_t v0, int32_t off0, uint32_t v1,
+    int32_t off1, int32_t s_term, int32_t traceback, int32_t max_chk,
+    int32_t bw_dyn, int32_t max_lag, int64_t i_term,
+    int32_t *walk, int32_t *n_walk);
+
+extern int64_t mgt_gchain_extra(const uint64_t *ax, const uint64_t *ay,
+                                const int64_t *lc_v, const int64_t *lc_off,
+                                const int64_t *lc_cnt,
+                                const int64_t *seg_len, int64_t gc_off,
+                                int64_t gc_cnt, int64_t *out);
+
+static inline uint32_t gg_hash32(uint32_t key)
+{
+    key += ~(key << 15);
+    key ^= key >> 10;
+    key += key << 3;
+    key ^= key >> 6;
+    key += ~(key << 11);
+    key ^= key >> 16;
+    return key;
+}
+
+#define I32A(a, i) ((int64_t)(int32_t)(uint32_t)(a)[i])
+
+/* scratch state for one read's materialization */
+typedef struct {
+    int64_t n_llc, llc_cap, n_a, a_cap, n_a_total;
+    int64_t *lv, *loff, *lcnt, *lsc, *led;
+    uint64_t *bx, *by;
+    const uint64_t *ax, *ay;
+} ggen_t;
+
+static int gg_push_llc(ggen_t *z, int64_t v, int64_t off, int64_t cnt,
+                       int64_t sc, int64_t ed)
+{
+    if (z->n_llc >= z->llc_cap) return -2;
+    z->lv[z->n_llc] = v, z->loff[z->n_llc] = off, z->lcnt[z->n_llc] = cnt;
+    z->lsc[z->n_llc] = sc, z->led[z->n_llc] = ed;
+    ++z->n_llc;
+    return 0;
+}
+
+static int gg_copy_anchors(ggen_t *z, int64_t src, int64_t cnt)
+{
+    if (z->n_a + cnt > z->a_cap) return -2;
+    memcpy(z->bx + z->n_a, z->ax + src, 8 * (size_t)cnt);
+    memcpy(z->by + z->n_a, z->ay + src, 8 * (size_t)cnt);
+    z->n_a += cnt;
+    return 0;
+}
+
+/* copy one lchain into the output (copy_lchain, gchain1.c:300-312) */
+static int gg_copy_lchain(ggen_t *z, const int64_t *sv, const int64_t *soff,
+                          const int64_t *scnt, const int64_t *ssc,
+                          int64_t l, int64_t ed)
+{
+    int r = gg_push_llc(z, sv[l], z->n_a, scnt[l], ssc[l], ed);
+    if (r) return r;
+    return gg_copy_anchors(z, soff[l], scnt[l]);
+}
+
+/* resolve_overlap (gchain1.c:409-441); -3 signals the reference
+ * assert (caller falls back to Python, which raises it the same). */
+static int gg_resolve_overlap(int64_t *sv, int64_t *soff, int64_t *scnt,
+                              int64_t *sqs, int64_t *sqe, int64_t *srs,
+                              int64_t *sre, const uint64_t *ax,
+                              const uint64_t *ay, int64_t n_a_total,
+                              int64_t l0, int64_t l1)
+{
+    int64_t x, y, j, shift0, shift1, i0;
+    x = I32A(ax, soff[l1]);
+    y = I32A(ay, soff[l1]);
+    for (j = scnt[l0] - 1; j >= 0; --j)
+        if (I32A(ay, soff[l0] + j) <= y
+            && (sv[l0] != sv[l1] || I32A(ax, soff[l0] + j) <= x))
+            break;
+    shift0 = scnt[l0] - 1 - j;
+    i0 = soff[l0] + scnt[l0] - 1;
+    if (i0 < 0) i0 += n_a_total;    /* Python negative-index wrap */
+    x = I32A(ax, i0);
+    y = I32A(ay, i0);
+    for (j = 0; j < scnt[l1]; ++j)
+        if (I32A(ay, soff[l1] + j) >= y
+            && (sv[l0] != sv[l1] || I32A(ax, soff[l1] + j) >= x))
+            break;
+    shift1 = j;
+    if (shift1 >= scnt[l1]) return -3;   /* assert(shift1 < l1->cnt) */
+    if (shift0 > 0) {
+        scnt[l0] -= shift0;
+        if (scnt[l0]) {
+            sqe[l0] = I32A(ay, soff[l0] + scnt[l0] - 1) + 1;
+            sre[l0] = I32A(ax, soff[l0] + scnt[l0] - 1) + 1;
+        }
+    }
+    if (shift1 > 0) {
+        int64_t span;
+        soff[l1] += shift1;
+        scnt[l1] -= shift1;
+        span = (int64_t)(ay[soff[l1]] >> 32 & 0xff);
+        sqs[l1] = I32A(ay, soff[l1]) + 1 - span;
+        srs[l1] = I32A(ax, soff[l1]) + 1 - span;
+    }
+    if (scnt[l0] == 0) {
+        sqs[l0] = sqe[l0] = sqs[l1];
+        srs[l0] = sre[l0] = srs[l1];
+    }
+    return 0;
+}
+
+/* Returns n_gc; -1 alloc failure, -2 output cap exceeded, -3 needs
+ * the Python path (bridge failure warning / reference assert). */
+int64_t mgt_gchain_gen(
+    /* shortest-k graph */
+    const int64_t *gidx, const int64_t *arc_w, const int64_t *arc_lv,
+    const int64_t *arc_rank, int64_t n_vtx, const int64_t *seg_len,
+    /* gwfa graph */
+    int64_t *gw_arc_start, int32_t *gw_arc_cnt, uint32_t *gw_arc_w,
+    int32_t *gw_arc_ow, int64_t *gw_seq_off, int32_t *gw_seq_len,
+    const char *gw_seq,
+    /* linear chains in gchain layout (slots; mutated in place) */
+    int64_t n_u, const uint64_t *u, int64_t *sv, int64_t *soff,
+    int64_t *scnt, int64_t *ssc, int64_t *sqs, int64_t *sqe, int64_t *srs,
+    int64_t *sre, const int64_t *sdist_pre, const uint32_t *shash_pre,
+    /* anchors + query */
+    const uint64_t *ax, const uint64_t *ay, int64_t n_a_total,
+    const char *qseq, int64_t qseq_len,
+    /* params */
+    uint32_t hash0, int64_t min_gc_cnt, int64_t min_gc_score,
+    int64_t gdp_max_ed, int64_t n_seg, int64_t max_sk,
+    /* out (sorted by (score, hash) desc, restore_order applied) */
+    int64_t llc_cap, int64_t a_cap, int64_t gc_cap,
+    int64_t *o_lv, int64_t *o_loff, int64_t *o_lcnt, int64_t *o_lsc,
+    int64_t *o_led, uint64_t *o_ax, uint64_t *o_ay,
+    int64_t *g_off, int64_t *g_cnt, int64_t *g_na, int64_t *g_sc,
+    uint32_t *g_hash, int64_t *g_extra)
+{
+    ggen_t z;
+    int64_t i, j, k, st, n_gc = 0, kmer, ret = -1;
+    int64_t *gc_off0 = 0, *gc_na0 = 0;
+    int32_t *walk = 0;
+    uint64_t *w = 0;
+    int64_t pv_cap = 1 << 16;
+    int64_t *pv_v = 0, *pv_d = 0, *pv_p = 0;
+
+    if (n_u == 0) return 0;
+    memset(&z, 0, sizeof(z));
+    z.llc_cap = llc_cap, z.a_cap = a_cap, z.n_a_total = n_a_total;
+    z.ax = ax, z.ay = ay;
+    z.lv = (int64_t *)malloc(8 * (size_t)llc_cap);
+    z.loff = (int64_t *)malloc(8 * (size_t)llc_cap);
+    z.lcnt = (int64_t *)malloc(8 * (size_t)llc_cap);
+    z.lsc = (int64_t *)malloc(8 * (size_t)llc_cap);
+    z.led = (int64_t *)malloc(8 * (size_t)llc_cap);
+    z.bx = (uint64_t *)malloc(8 * (size_t)a_cap);
+    z.by = (uint64_t *)malloc(8 * (size_t)a_cap);
+    gc_off0 = (int64_t *)malloc(8 * (size_t)gc_cap);
+    gc_na0 = (int64_t *)malloc(8 * (size_t)gc_cap);
+    walk = (int32_t *)malloc(4 * ((size_t)qseq_len + 64));
+    pv_v = (int64_t *)malloc(8 * (size_t)pv_cap);
+    pv_d = (int64_t *)malloc(8 * (size_t)pv_cap);
+    pv_p = (int64_t *)malloc(8 * (size_t)pv_cap);
+    if (!z.lv || !z.loff || !z.lcnt || !z.lsc || !z.led || !z.bx || !z.by
+        || !gc_off0 || !gc_na0 || !walk || !pv_v || !pv_d || !pv_p)
+        goto done;
+    kmer = (int64_t)(ay[0] >> 32 & 0xff);
+
+    for (i = 0, st = 0; i < n_u; st += (int64_t)(uint32_t)u[i], ++i) {
+        int64_t nui = (int64_t)(uint32_t)u[i], m = 0, n_a0, n_llc0, j0;
+        uint32_t h = hash0;
+        int r;
+        for (j = 0; j < nui; ++j) m += scnt[st + j];
+        if (m < min_gc_cnt || (int64_t)(u[i] >> 32) < min_gc_score)
+            continue;
+        if (n_gc >= gc_cap) { ret = -2; goto done; }
+        n_a0 = z.n_a, n_llc0 = z.n_llc;
+        for (j = 0; j < nui; ++j) {
+            h += gg_hash32((uint32_t)sqs[st + j]);
+            h += gg_hash32((uint32_t)sre[st + j]);
+            h += gg_hash32((uint32_t)sv[st + j]);
+        }
+        g_hash[n_gc] = gg_hash32(h);
+        for (j = 1; j < nui; ++j) {
+            r = gg_resolve_overlap(sv, soff, scnt, sqs, sqe, srs, sre,
+                                   ax, ay, n_a_total, st + j - 1, st + j);
+            if (r) { ret = r; goto done; }
+        }
+        r = gg_copy_lchain(&z, sv, soff, scnt, ssc, st, -1);
+        if (r) { ret = r; goto done; }
+        for (j = 1, j0 = 0; j < nui; ++j) {
+            int64_t l0 = st + j0, l1 = st + j;
+            if (scnt[l1] <= 0) continue;
+            if (sv[l1] != sv[l0]) {
+                int64_t ed = -1, bridged = 0;
+                if (n_seg == 1) {
+                    /* bridge_gwfa (gchain1.c:349-381) */
+                    int64_t qs = sqe[l0] - kmer, qe = sqs[l1] + kmer;
+                    int32_t n_walk = 0, s;
+                    s = mgt_gwfa_ed(gw_arc_start, gw_arc_cnt, gw_arc_w,
+                                    gw_arc_ow, gw_seq_off, gw_seq_len,
+                                    gw_seq, (int32_t)(qe - qs), qseq + qs,
+                                    (uint32_t)sv[l0],
+                                    (int32_t)(sre[l0] - kmer),
+                                    (uint32_t)sv[l1],
+                                    (int32_t)(srs[l1] + kmer - 1),
+                                    (int32_t)gdp_max_ed, 1, 1000, 1000,
+                                    (int32_t)(gdp_max_ed / 2), 500000000,
+                                    walk, &n_walk);
+                    if (s >= 0) {
+                        int64_t q2;
+                        for (q2 = 1; q2 < (int64_t)n_walk - 1; ++q2) {
+                            r = gg_push_llc(&z, walk[q2], 0, 0, 0, -1);
+                            if (r) { ret = r; goto done; }
+                        }
+                        ed = s, bridged = 1;
+                    }
+                }
+                if (!bridged) {
+                    /* bridge_shortk (gchain1.c:314-347) */
+                    int64_t dv1 = sv[l0] ^ 1, dtd1 = sdist_pre[l1];
+                    int64_t dch1 = 1, din1 = 0;
+                    uint32_t dth1 = shash_pre[l1];
+                    int64_t onp1, odi1, oi01, ope1, rr;
+                    uint32_t oha1;
+                    if (dtd1 < 0) { ret = -3; goto done; }
+                    rr = mgt_shortest_k(gidx, arc_w, arc_lv, arc_rank,
+                                        n_vtx, sv[l1] ^ 1, dtd1, max_sk, 1,
+                                        1, &dv1, &dtd1, &dth1, &dch1,
+                                        &din1, &onp1, &odi1, &oha1, &oi01,
+                                        &ope1, pv_cap, pv_v, pv_d, pv_p);
+                    if (rr <= 0 || onp1 == 0 || oha1 != dth1) {
+                        ret = -3;   /* [W::bridge] warning in Python */
+                        goto done;
+                    }
+                    for (k = rr - 2; k >= 1; --k) {
+                        r = gg_push_llc(&z, pv_v[k] ^ 1, 0, 0, 0, -1);
+                        if (r) { ret = r; goto done; }
+                    }
+                }
+                r = gg_copy_lchain(&z, sv, soff, scnt, ssc, l1, ed);
+                if (r) { ret = r; goto done; }
+            } else {
+                /* same vertex: merge anchors into the last llchain */
+                int64_t t = z.n_llc - 1, kk = 0;
+                while (kk < scnt[l1]) {
+                    int64_t akx = I32A(ax, soff[l1] + kk);
+                    int64_t aky = I32A(ay, soff[l1] + kk);
+                    if (akx > sre[l0] && aky > sqe[l0]) break;
+                    ++kk;
+                }
+                if (kk < scnt[l1]) {
+                    z.lcnt[t] += scnt[l1] - kk;
+                    z.lsc[t] += ssc[l1];
+                    r = gg_copy_anchors(&z, soff[l1] + kk, scnt[l1] - kk);
+                    if (r) { ret = r; goto done; }
+                }
+            }
+            j0 = j;
+        }
+        gc_off0[n_gc] = n_llc0;
+        gc_na0[n_gc] = n_a0;
+        g_off[n_gc] = n_llc0;   /* pre-sort; rewritten below */
+        g_cnt[n_gc] = z.n_llc - n_llc0;
+        g_na[n_gc] = z.n_a - n_a0;
+        g_sc[n_gc] = (int64_t)(u[i] >> 32);
+        ++n_gc;
+    }
+
+    /* extras on the pre-sort layout (order-independent) */
+    for (i = 0; i < n_gc; ++i) {
+        int64_t *row = g_extra + i * 8;
+        row[7] = mgt_gchain_extra(z.bx, z.by, z.lv, z.loff, z.lcnt,
+                                  seg_len, gc_off0[i], g_cnt[i], row);
+    }
+
+    /* sort by (score<<32|hash) desc + restore_order (gcmisc.c:8-71) */
+    w = (uint64_t *)malloc(16 * (size_t)(n_gc ? n_gc : 1));
+    if (!w) goto done;
+    for (i = 0; i < n_gc; ++i) {
+        w[2 * i] = (uint64_t)g_sc[i] << 32 | g_hash[i];
+        w[2 * i + 1] = (uint64_t)i;
+    }
+    mgt_radix_sort_128x(w, n_gc);
+    {
+        int64_t n_llc2 = 0, n_a2 = 0;
+        int64_t *p_off = (int64_t *)malloc(8 * (size_t)(n_gc ? n_gc : 1));
+        int64_t *p_cnt = (int64_t *)malloc(8 * (size_t)(n_gc ? n_gc : 1));
+        int64_t *p_na = (int64_t *)malloc(8 * (size_t)(n_gc ? n_gc : 1));
+        int64_t *p_sc = (int64_t *)malloc(8 * (size_t)(n_gc ? n_gc : 1));
+        uint32_t *p_h = (uint32_t *)malloc(4 * (size_t)(n_gc ? n_gc : 1));
+        int64_t *p_ex = (int64_t *)malloc(64 * (size_t)(n_gc ? n_gc : 1));
+        if (!p_off || !p_cnt || !p_na || !p_sc || !p_h || !p_ex) {
+            free(p_off); free(p_cnt); free(p_na); free(p_sc); free(p_h);
+            free(p_ex);
+            goto done;
+        }
+        for (i = 0; i < n_gc; ++i) {
+            int64_t id = (int64_t)w[2 * (n_gc - 1 - i) + 1];
+            int64_t src_llc = gc_off0[id], src_a = gc_na0[id];
+            p_off[i] = n_llc2, p_cnt[i] = g_cnt[id], p_na[i] = g_na[id];
+            p_sc[i] = g_sc[id], p_h[i] = g_hash[id];
+            memcpy(p_ex + i * 8, g_extra + id * 8, 64);
+            for (j = 0; j < g_cnt[id]; ++j) {
+                o_lv[n_llc2] = z.lv[src_llc + j];
+                o_lcnt[n_llc2] = z.lcnt[src_llc + j];
+                o_lsc[n_llc2] = z.lsc[src_llc + j];
+                o_led[n_llc2] = z.led[src_llc + j];
+                o_loff[n_llc2] = n_a2 + (z.loff[src_llc + j] - src_a);
+                ++n_llc2;
+            }
+            memcpy(o_ax + n_a2, z.bx + src_a, 8 * (size_t)g_na[id]);
+            memcpy(o_ay + n_a2, z.by + src_a, 8 * (size_t)g_na[id]);
+            n_a2 += g_na[id];
+        }
+        /* restore_order recomputes every llc off as the running
+         * anchor count (bridge entries included) */
+        n_a2 = 0;
+        for (i = 0; i < n_llc2; ++i) {
+            o_loff[i] = n_a2;
+            n_a2 += o_lcnt[i];
+        }
+        memcpy(g_off, p_off, 8 * (size_t)n_gc);
+        memcpy(g_cnt, p_cnt, 8 * (size_t)n_gc);
+        memcpy(g_na, p_na, 8 * (size_t)n_gc);
+        memcpy(g_sc, p_sc, 8 * (size_t)n_gc);
+        memcpy(g_hash, p_h, 4 * (size_t)n_gc);
+        memcpy(g_extra, p_ex, 64 * (size_t)n_gc);
+        free(p_off); free(p_cnt); free(p_na); free(p_sc); free(p_h);
+        free(p_ex);
+    }
+    ret = n_gc;
+done:
+    free(z.lv); free(z.loff); free(z.lcnt); free(z.lsc); free(z.led);
+    free(z.bx); free(z.by); free(gc_off0); free(gc_na0); free(walk);
+    free(pv_v); free(pv_d); free(pv_p); free(w);
+    return ret;
+}
+
+/* Whole graph-chain stage in one call: mgt_gchain1_dp + slot gather +
+ * mgt_gchain_gen.  Inputs are the kept-lchain tables straight from
+ * mgt_lchain_tail; outputs are the final sorted gchain tables.
+ * Returns n_gc, or <0 for Python fallback (-1 alloc, -2 caps,
+ * -3 bridge warning / reference assert).  n_u_out/u_out let the
+ * caller rebuild objects for the fallback DP-result reuse. */
+int64_t mgt_gchain_full(
+    /* shortest-k graph */
+    const int64_t *gidx, const int64_t *arc_w, const int64_t *arc_lv,
+    const int64_t *arc_rank, int64_t n_vtx, const int64_t *seg_len,
+    /* gwfa graph */
+    int64_t *gw_arc_start, int32_t *gw_arc_cnt, uint32_t *gw_arc_w,
+    int32_t *gw_arc_ow, int64_t *gw_seq_off, int32_t *gw_seq_len,
+    const char *gw_seq,
+    /* kept lchains (query-start order, from mgt_lchain_tail) */
+    int64_t n_lc, const int64_t *lv, const int64_t *loff,
+    const int64_t *lcnt, const int64_t *lscore, const int64_t *lqs,
+    const int64_t *lqe, const int64_t *lrs, const int64_t *lre,
+    /* anchors + query */
+    const uint64_t *ax, const uint64_t *ay, int64_t n_a_total,
+    const char *qseq, int64_t qseq_len,
+    /* params */
+    int64_t qlen, int64_t max_dist_g, int64_t max_dist_q, int64_t bw,
+    int64_t max_skip, int64_t ref_bonus, double chn_pen_gap,
+    double mask_level, int64_t max_sk, uint32_t hash0,
+    int64_t min_gc_cnt, int64_t min_gc_score, int64_t gdp_max_ed,
+    int64_t n_seg,
+    /* out */
+    int64_t llc_cap, int64_t a_cap, int64_t gc_cap,
+    int64_t *o_lv, int64_t *o_loff, int64_t *o_lcnt, int64_t *o_lsc,
+    int64_t *o_led, uint64_t *o_ax, uint64_t *o_ay,
+    int64_t *g_off, int64_t *g_cnt, int64_t *g_na, int64_t *g_sc,
+    uint32_t *g_hash, int64_t *g_extra)
+{
+    int64_t n_u, n_slots = 0, i, k, ret = -1, n_gc;
+    uint64_t *u = 0;
+    int64_t *order = 0, *dpre = 0, *ipre = 0;
+    uint32_t *hpre = 0;
+    int64_t *s8 = 0;            /* gathered slot tables, 10 planes */
+    int64_t *sdp = 0;
+    uint32_t *shp = 0;
+
+    if (n_lc == 0) return 0;
+    u = (uint64_t *)malloc(8 * (size_t)n_lc);
+    order = (int64_t *)malloc(8 * (size_t)n_lc);
+    dpre = (int64_t *)malloc(8 * (size_t)n_lc);
+    ipre = (int64_t *)malloc(8 * (size_t)n_lc);
+    hpre = (uint32_t *)malloc(4 * (size_t)n_lc);
+    if (!u || !order || !dpre || !ipre || !hpre) goto done;
+    n_u = mgt_gchain1_dp(gidx, arc_w, arc_lv, arc_rank, n_vtx, seg_len,
+                         n_lc, lv, loff, lcnt, lscore, lqs, lqe, lrs, lre,
+                         ay, qlen, max_dist_g, max_dist_q, bw, max_skip,
+                         ref_bonus, chn_pen_gap, mask_level, max_sk,
+                         u, order, dpre, hpre, ipre);
+    if (n_u < 0) goto done;
+    for (i = 0; i < n_u; ++i) n_slots += (int64_t)(uint32_t)u[i];
+    s8 = (int64_t *)malloc(8 * 9 * (size_t)(n_slots ? n_slots : 1));
+    sdp = (int64_t *)malloc(8 * (size_t)(n_slots ? n_slots : 1));
+    shp = (uint32_t *)malloc(4 * (size_t)(n_slots ? n_slots : 1));
+    if (!s8 || !sdp || !shp) goto done;
+    for (k = 0; k < n_slots; ++k) {
+        int64_t o = order[k];
+        s8[k] = lv[o];
+        s8[n_slots + k] = loff[o];
+        s8[2 * n_slots + k] = lcnt[o];
+        s8[3 * n_slots + k] = lscore[o];
+        s8[4 * n_slots + k] = lqs[o];
+        s8[5 * n_slots + k] = lqe[o];
+        s8[6 * n_slots + k] = lrs[o];
+        s8[7 * n_slots + k] = lre[o];
+        sdp[k] = dpre[o];
+        shp[k] = hpre[o];
+    }
+    n_gc = mgt_gchain_gen(gidx, arc_w, arc_lv, arc_rank, n_vtx, seg_len,
+                          gw_arc_start, gw_arc_cnt, gw_arc_w, gw_arc_ow,
+                          gw_seq_off, gw_seq_len, gw_seq,
+                          n_u, u, s8, s8 + n_slots, s8 + 2 * n_slots,
+                          s8 + 3 * n_slots, s8 + 4 * n_slots,
+                          s8 + 5 * n_slots, s8 + 6 * n_slots,
+                          s8 + 7 * n_slots, sdp, shp,
+                          ax, ay, n_a_total, qseq, qseq_len,
+                          hash0, min_gc_cnt, min_gc_score, gdp_max_ed,
+                          n_seg, max_sk, llc_cap, a_cap, gc_cap,
+                          o_lv, o_loff, o_lcnt, o_lsc, o_led, o_ax, o_ay,
+                          g_off, g_cnt, g_na, g_sc, g_hash, g_extra);
+    ret = n_gc;
+done:
+    free(u); free(order); free(dpre); free(ipre); free(hpre);
+    free(s8); free(sdp); free(shp);
+    return ret;
+}

@@ -358,3 +358,58 @@ def test_native_chain_filters_fuzz_vs_python():
         F.filter_bad_seeds_alt(off, cnt, axc, ay2, 30, Opt.max_gap >> 1)
         assert (o1, c1) == (off, cnt), trial
         assert np.array_equal(ay1, ay2), trial
+
+
+def test_native_gchain_stage_matches_python():
+    """The fused native graph-chain stage (mgt_lchain_tail +
+    mgt_gchain_full) must reproduce the legacy Python tail
+    byte-for-byte on a multi-path graph (gchain1.c:62-520 semantics)."""
+    from minigraph_tpu.graph.gfa_io import read_gfa
+    from minigraph_tpu.index.midx import build_index
+    from minigraph_tpu.mapping.mapper import map_frag
+    from minigraph_tpu.options import (GGOptions, IndexOptions, MapOptions,
+                                       opt_check, opt_set)
+    from minigraph_tpu.seqio.bseq import BSeqFile
+    from minigraph_tpu.seqio.gaf import write_gaf
+    import minigraph_tpu.mapping.gchain as gch
+    import minigraph_tpu.mapping.lchain as lch
+
+    g = read_gfa(str(REF_DIR / "test" / "MT.gfa"))
+    io_, mo, go = IndexOptions(), MapOptions(), GGOptions()
+    opt_set(None, io_, mo, go)
+    opt_check(io_, mo, go)
+    gi = build_index(g, io_.k, io_.w, mo)
+
+    ref = "".join((s.seq or "") for s in g.seg if s.rank == 0)
+    rng = np.random.default_rng(31)
+    reads = []
+    for i in range(24):
+        L = int(rng.integers(500, 3000))
+        st = int(rng.integers(0, len(ref) - L))
+        s = list(ref[st:st + L])
+        for p in rng.integers(0, len(s), len(s) // 12):
+            s[p] = "ACGT"[int(rng.integers(0, 4))]
+        reads.append((f"r{i}", "".join(s)))
+
+    def run_all():
+        out = []
+        for name, seq in reads:
+            gcs = map_frag(gi, [len(seq)], [seq], mo, name)
+            out.append(write_gaf(gi.g, gcs, 1, [len(seq)], name, mo.flag)
+                       or "")
+        return "".join(out)
+
+    fused = run_all()
+    assert fused, "no alignments produced"
+    full, tail_t, gdpc = (gch.gchain_full_tab, lch.lchain_tail_tab,
+                          gch._gdp_core)
+    try:
+        gch.gchain_full_tab = lambda *a, **k: None
+        gch._gdp_core = lambda *a, **k: None
+        lch.lchain_tail_tab = lambda *a, **k: None
+        legacy = run_all()
+    finally:
+        gch.gchain_full_tab = full
+        gch._gdp_core = gdpc
+        lch.lchain_tail_tab = tail_t
+    assert fused == legacy
