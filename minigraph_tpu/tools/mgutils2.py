@@ -9,10 +9,9 @@ paper's dipcall-concordance tool), alignment-derived blacklists
 summaries (segfreq, anno2tbl), SQL export (bed2sql) and merged-BED
 helpers (addsample, getlcr).
 
-`anno` (misc/mgutils.js mg_cmd_anno) and `genecopy` are not included:
-they drive external annotation pipelines (RepeatMasker, sdust, miniprot
-outputs) that are out of scope for the framework; their input/output
-formats are consumed by anno2tbl/segfreq here.
+`anno` (misc/mgutils.js mg_cmd_anno) and `genecopy` live in
+mgutils3.py (they parse external annotator outputs — RepeatMasker,
+sdust, etrf, dna-brnn — without running those tools).
 """
 from __future__ import annotations
 
@@ -729,7 +728,11 @@ def cmd_segfreq(argv: List[str], out=sys.stdout, err=sys.stderr) -> int:
     return 0
 
 
+from .mgutils3 import cmd_anno, cmd_genecopy  # noqa: E402
+
 COMMANDS = {
+    "anno": cmd_anno,
+    "genecopy": cmd_genecopy,
     "renamefa": cmd_renamefa,
     "joinfa": cmd_joinfa,
     "paf2bl": cmd_paf2bl,
