@@ -97,6 +97,27 @@ class DeviceFront:
         self.buckets = sorted(buckets)
         self.max_len = self.buckets[-1][0]
         self._fns: Dict[int, object] = {}
+        # The FIRST copy_to_host_async in a process wedges the next
+        # fetch for minutes on the tunneled axon runtime (measured
+        # 140-340 s, size-independent; later calls behave).  Absorb
+        # that one-time stall in a daemon thread so it overlaps the
+        # first jit compile; submit() only uses the async prefetch
+        # once the probe has drained.
+        self._async_ok = False
+
+        def _warm_async():
+            try:
+                import jax.numpy as jnp
+                a = (jnp.arange(8, dtype=jnp.uint32) + 1)
+                a.block_until_ready()
+                a.copy_to_host_async()
+                np.asarray(a)
+                self._async_ok = True
+            except Exception:
+                pass   # async prefetch stays off; cold fetches work
+
+        import threading
+        threading.Thread(target=_warm_async, daemon=True).start()
         self._wfa_pool = None     # device -c gap pool (driver-lazy)
         self.n_device = 0
         self.n_fallback = 0
@@ -252,12 +273,14 @@ class DeviceFront:
                 res = fn(codes, lens, max_occ)
                 # start the device->host transfer now so it overlaps
                 # the host tail work of the PREVIOUS batch (the fetch
-                # is the largest serial cost on a tunneled chip)
-                for a in res.values():
-                    try:
-                        a.copy_to_host_async()
-                    except AttributeError:
-                        break
+                # is the largest serial cost on a tunneled chip);
+                # gated until the first-call wedge probe has drained
+                if self._async_ok:
+                    for a in res.values():
+                        try:
+                            a.copy_to_host_async()
+                        except AttributeError:
+                            break
                 pending.append((chunk, res))
         return (len(seqs), pending)
 

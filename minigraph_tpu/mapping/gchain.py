@@ -660,6 +660,32 @@ _native_gen_cfg = False
 _gen_scratch = None
 
 
+def _get_gen_scratch(llc_cap, n_a_total, gc_cap):
+    """Reused output buffers + cached pointer ints for the native
+    gchain materialization calls."""
+    sc = _gen_scratch
+    if sc is None or sc[0].shape[1] < llc_cap or len(sc[1]) < n_a_total \
+            or sc[3].shape[1] < gc_cap:
+        bufs = (np.empty((5, max(llc_cap, 4096)), dtype=np.int64),
+                np.empty(max(n_a_total, 1 << 14), dtype=np.uint64),
+                np.empty(max(n_a_total, 1 << 14), dtype=np.uint64),
+                np.empty((4, max(gc_cap, 64)), dtype=np.int64),
+                np.empty(max(gc_cap, 64), dtype=np.uint32),
+                np.empty((max(gc_cap, 64), 8), dtype=np.int64))
+        o_llc_, g_tab_ = bufs[0], bufs[3]
+        ptrs = (o_llc_[0].ctypes.data, o_llc_[1].ctypes.data,
+                o_llc_[2].ctypes.data, o_llc_[3].ctypes.data,
+                o_llc_[4].ctypes.data, bufs[1].ctypes.data,
+                bufs[2].ctypes.data, g_tab_[0].ctypes.data,
+                g_tab_[1].ctypes.data, g_tab_[2].ctypes.data,
+                g_tab_[3].ctypes.data, bufs[4].ctypes.data,
+                bufs[5].ctypes.data)
+        sc = bufs + (ptrs,)
+        globals()["_gen_scratch"] = sc
+    return sc
+
+
+
 def gchain_gen_tab(g, es, n_u: int, u: np.ndarray, lc, ax: np.ndarray,
                    ay: np.ndarray, hash_: int, min_gc_cnt: int,
                    min_gc_score: int, gdp_max_ed: int, n_seg: int,
@@ -711,17 +737,8 @@ def gchain_gen_tab(g, es, n_u: int, u: np.ndarray, lc, ax: np.ndarray,
     llc_cap = n_slots + 1024
     gc_cap = max(n_u, 1)
     # per-read scratch reused across calls (sized to the max seen)
-    sc = _gen_scratch
-    if sc is None or sc[0].shape[1] < llc_cap or len(sc[1]) < n_a_total \
-            or sc[3].shape[1] < gc_cap:
-        sc = (np.empty((5, max(llc_cap, 4096)), dtype=np.int64),
-              np.empty(max(n_a_total, 1 << 14), dtype=np.uint64),
-              np.empty(max(n_a_total, 1 << 14), dtype=np.uint64),
-              np.empty((4, max(gc_cap, 64)), dtype=np.int64),
-              np.empty(max(gc_cap, 64), dtype=np.uint32),
-              np.empty((max(gc_cap, 64), 8), dtype=np.int64))
-        globals()["_gen_scratch"] = sc
-    o_llc, o_ax, o_ay, g_tab, g_hash, g_extra = sc
+    sc = _get_gen_scratch(llc_cap, n_a_total, gc_cap)
+    o_llc, o_ax, o_ay, g_tab, g_hash, g_extra = sc[:6]
     llc_cap = o_llc.shape[1]
     n_gc = lib.mgt_gchain_gen(
         idx.ctypes.data, g.arc_w.ctypes.data, g.arc_lv.ctypes.data,
@@ -813,16 +830,30 @@ def gchain_full_tab(g, es, tab, qlen: int, max_dist_g: int,
             + [ct.c_int64, ct.c_uint32] + [ct.c_int64] * 4 \
             + [ct.c_int64] * 3 + [ct.c_void_p] * 13
         _native_full_cfg = True
-    from ..align.gwfa import _flat_graph
-    gw = _flat_graph(g, es)
-    seg_len = getattr(g, "_seg_len_arr", None)
-    if seg_len is None or len(seg_len) != g.n_seg:
-        seg_len = np.asarray([s.len for s in g.seg], dtype=np.int64)
-        g._seg_len_arr = seg_len
-    idx = g.idx
-    if idx.dtype != np.int64 or not idx.flags["C_CONTIGUOUS"]:
-        idx = np.ascontiguousarray(idx, dtype=np.int64)
-        g.idx = idx
+    # per-(graph, edseq) constant leading args, pointer ints cached —
+    # .ctypes.data constructs an interface object per access (~1 us),
+    # and this call has 13 graph-constant pointers
+    ctx = getattr(g, "_gfull_ctx", None)
+    if ctx is None or ctx[0] is not es:
+        from ..align.gwfa import _flat_graph
+        gw = _flat_graph(g, es)
+        seg_len = getattr(g, "_seg_len_arr", None)
+        if seg_len is None or len(seg_len) != g.n_seg:
+            seg_len = np.asarray([s.len for s in g.seg], dtype=np.int64)
+            g._seg_len_arr = seg_len
+        idx = g.idx
+        if idx.dtype != np.int64 or not idx.flags["C_CONTIGUOUS"]:
+            idx = np.ascontiguousarray(idx, dtype=np.int64)
+            g.idx = idx
+        args0 = (idx.ctypes.data, g.arc_w.ctypes.data,
+                 g.arc_lv.ctypes.data, g.arc_rank.ctypes.data, len(idx),
+                 seg_len.ctypes.data, gw[0].ctypes.data,
+                 gw[1].ctypes.data, gw[2].ctypes.data, gw[3].ctypes.data,
+                 gw[4].ctypes.data, gw[5].ctypes.data, gw[6])
+        keep = (idx, g.arc_w, g.arc_lv, g.arc_rank, seg_len, gw)
+        ctx = (es, args0, keep)
+        g._gfull_ctx = ctx
+    args0 = ctx[1]
     n_lc = tab["n"]
     if n_lc == 0:
         return GChains()
@@ -830,23 +861,10 @@ def gchain_full_tab(g, es, tab, qlen: int, max_dist_g: int,
     n_a_total = len(ax_full)
     llc_cap = n_lc + 1024
     gc_cap = max(n_lc, 64)
-    sc = _gen_scratch
-    if sc is None or sc[0].shape[1] < llc_cap or len(sc[1]) < n_a_total \
-            or sc[3].shape[1] < gc_cap:
-        sc = (np.empty((5, max(llc_cap, 4096)), dtype=np.int64),
-              np.empty(max(n_a_total, 1 << 14), dtype=np.uint64),
-              np.empty(max(n_a_total, 1 << 14), dtype=np.uint64),
-              np.empty((4, max(gc_cap, 64)), dtype=np.int64),
-              np.empty(max(gc_cap, 64), dtype=np.uint32),
-              np.empty((max(gc_cap, 64), 8), dtype=np.int64))
-        globals()["_gen_scratch"] = sc
-    o_llc, o_ax, o_ay, g_tab, g_hash, g_extra = sc
+    sc = _get_gen_scratch(llc_cap, n_a_total, gc_cap)
+    o_llc, o_ax, o_ay, g_tab, g_hash, g_extra, out_ptrs = sc
     n_gc = lib.mgt_gchain_full(
-        idx.ctypes.data, g.arc_w.ctypes.data, g.arc_lv.ctypes.data,
-        g.arc_rank.ctypes.data, len(idx), seg_len.ctypes.data,
-        gw[0].ctypes.data, gw[1].ctypes.data, gw[2].ctypes.data,
-        gw[3].ctypes.data, gw[4].ctypes.data, gw[5].ctypes.data, gw[6],
-        n_lc,
+        *args0, n_lc,
         tab["v"].ctypes.data, tab["off"].ctypes.data,
         tab["cnt"].ctypes.data, tab["score"].ctypes.data,
         tab["qs"].ctypes.data, tab["qe"].ctypes.data,
@@ -855,12 +873,7 @@ def gchain_full_tab(g, es, tab, qlen: int, max_dist_g: int,
         qlen, max_dist_g, max_dist_q, bw, max_skip, ref_bonus,
         chn_pen_gap, mask_level, MG_MAX_SHORT_K, hash_,
         min_gc_cnt, min_gc_score, gdp_max_ed, n_seg,
-        o_llc.shape[1], len(o_ax), g_tab.shape[1],
-        o_llc[0].ctypes.data, o_llc[1].ctypes.data, o_llc[2].ctypes.data,
-        o_llc[3].ctypes.data, o_llc[4].ctypes.data,
-        o_ax.ctypes.data, o_ay.ctypes.data,
-        g_tab[0].ctypes.data, g_tab[1].ctypes.data, g_tab[2].ctypes.data,
-        g_tab[3].ctypes.data, g_hash.ctypes.data, g_extra.ctypes.data)
+        o_llc.shape[1], len(o_ax), g_tab.shape[1], *out_ptrs)
     if n_gc < 0:
         return None
     gcs = GChains()

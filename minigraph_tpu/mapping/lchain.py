@@ -444,6 +444,7 @@ def update_anchors(lc: LChain, ax: np.ndarray, ay: np.ndarray,
 
 
 _native_tail_cfg = False
+_tail_scratch = None
 
 
 def lchain_tail_tab(qlen: int, n_u: int, u: np.ndarray, ax: np.ndarray,
@@ -470,13 +471,17 @@ def lchain_tail_tab(qlen: int, n_u: int, u: np.ndarray, ax: np.ndarray,
         _native_tail_cfg = True
     assert ax.flags["C_CONTIGUOUS"] and ay.flags["C_CONTIGUOUS"]
     mini_pos = np.ascontiguousarray(mini_pos, dtype=np.int64)
-    tabs = np.empty((8, n_u), dtype=np.int64)
+    sc = _tail_scratch
+    if sc is None or sc[0].shape[1] < n_u:
+        tabs = np.empty((8, max(n_u, 4096)), dtype=np.int64)
+        sc = (tabs, tuple(tabs[i].ctypes.data for i in range(8)))
+        globals()["_tail_scratch"] = sc
+    tabs, tab_ptrs = sc
     n_out = lib.mgt_lchain_tail(
         qlen, n_u, u.ctypes.data, ax.ctypes.data, ay.ctypes.data,
         mini_pos.ctypes.data, len(mini_pos),
         opt.lc_max_occ, opt.lc_max_trim, opt.bw, opt.max_gap >> 1,
-        opt.min_lc_cnt,
-        *(tabs[i].ctypes.data for i in range(8)))
+        opt.min_lc_cnt, *tab_ptrs)
     if n_out < 0:
         return None
     t = tabs[:, :n_out]
