@@ -122,6 +122,7 @@ class DeviceFront:
         self.n_device = 0
         self.n_fallback = 0
         self.n_chain_unsure = 0
+        self.n_flat_ovf = 0
         # device chain DP (ops/chain_exact.py) applies when the chain
         # parameters are read-independent (map-algo.c:377-390): no sr/
         # splice/rmq, no frag-length-dependent ref gap
@@ -142,6 +143,8 @@ class DeviceFront:
     def _fn(self, pad_len: int):
         fn = self._fns.get(pad_len)
         if fn is None:
+            # the dense-plane qpos field is 17 bits (reads <= 128 kb)
+            assert pad_len <= (1 << 17)
             import jax
             import jax.numpy as jnp
             from functools import partial
@@ -217,6 +220,43 @@ class DeviceFront:
                     | (p + 1).astype(jnp.uint32)
                 return fp, sure
 
+            # dense anchor compaction: the padded (B, acap) planes are
+            # ~70% empty on real reads, and the d2h fetch is the
+            # steady-state bottleneck on a tunneled chip.  Scatter the
+            # live anchors of all reads into flat planes of HALF the
+            # padded size (ay packed to one u32: occ8|tandem1|span6|
+            # qpos17 — span <= 31 by construction, reads <= 128 kb),
+            # cutting the fetch ~3.5x; a fuller-than-half batch sets
+            # flat_ovf and gather() re-runs it through the padded path.
+            cap_flat = (dict(self.buckets)[pad_len] * acap) // 2
+
+            @jax.jit
+            def pack(axh, axl, ayh, ayl, fp, n_a):
+                B = axh.shape[0]
+                ar = jnp.arange(acap, dtype=jnp.int32)[None, :]
+                valid = ar < n_a[:, None]
+                prefix = jnp.concatenate(
+                    [jnp.zeros(1, jnp.int32),
+                     jnp.cumsum(n_a.astype(jnp.int32))])[:B]
+                idx = jnp.where(valid, prefix[:, None] + ar, cap_flat)
+                idx = idx.reshape(-1)
+
+                def flat(v):
+                    return jnp.zeros(cap_flat, v.dtype) \
+                        .at[idx].set(v.reshape(-1), mode="drop")
+
+                ay_pk = ((ayh >> jnp.uint32(24)) << jnp.uint32(24)) \
+                    | (((ayh >> jnp.uint32(10)) & jnp.uint32(1))
+                       << jnp.uint32(23)) \
+                    | ((ayh & jnp.uint32(0x3F)) << jnp.uint32(17)) \
+                    | (ayl & jnp.uint32(0x1FFFF))
+                out = {"f_axh": flat(axh), "f_axl": flat(axl),
+                       "f_ay": flat(ay_pk), "prefix": prefix,
+                       "flat_ovf": jnp.sum(n_a) > cap_flat}
+                if fp is not None:
+                    out["f_fp"] = flat(fp)
+                return out
+
             def step(codes, lens, max_occ):
                 res = collect(*tables, codes, lens, max_occ)
                 # cnt <= 255 decides every occurrence test (max_occ
@@ -227,7 +267,15 @@ class DeviceFront:
                     fp, sure = chain(res["axh"], res["axl"],
                                      res["ayh"], res["ayl"], res["n_a"])
                     res["fp"], res["sure"] = fp, sure
-                return res
+                flat = pack(res["axh"], res["axl"], res["ayh"],
+                            res["ayl"], res.get("fp"), res["n_a"])
+                # ship the flat planes; keep the padded ones on device
+                # (no fetch) for the rare flat_ovf re-read
+                full = {k: res.pop(k)
+                        for k in ("axh", "axl", "ayh", "ayl", "fp")
+                        if k in res}
+                res.update(flat)
+                return res, full
 
             self._fns[pad_len] = fn = step
         return fn
@@ -270,7 +318,7 @@ class DeviceFront:
                 # pad the batch to the compiled size
                 reads += [""] * (bsz - len(reads))
                 codes, lens = encode_batch(reads, pad_to=pad_len)
-                res = fn(codes, lens, max_occ)
+                res, full = fn(codes, lens, max_occ)
                 # start the device->host transfer now so it overlaps
                 # the host tail work of the PREVIOUS batch (the fetch
                 # is the largest serial cost on a tunneled chip);
@@ -281,7 +329,7 @@ class DeviceFront:
                             a.copy_to_host_async()
                         except AttributeError:
                             break
-                pending.append((chunk, res))
+                pending.append((chunk, res, full))
         return (len(seqs), pending)
 
     def gather(self, handle) -> List[Optional[FrontResult]]:
@@ -291,43 +339,66 @@ class DeviceFront:
 
         n_seqs, pending = handle
         out: List[Optional[FrontResult]] = [None] * n_seqs
-        for chunk, res in pending:
+        for chunk, res, full in pending:
             res = jax.device_get(res)  # one bulk fetch, not per-array
+            if res.get("flat_ovf"):
+                # batch fuller than the half-size flat planes: fetch
+                # the padded planes kept on device instead (rare)
+                self.n_flat_ovf += 1
+                res.update(jax.device_get(full))
             ovf = res["overflow"]
-            fp_dev = res.get("fp")
-            f_dev = p_dev = None
-            if fp_dev is not None:
-                f_dev = (fp_dev >> 14).astype(np.int32)
-                p_dev = (fp_dev & 0x3FFF).astype(np.int32) - 1
             sure = res.get("sure")
             n_a = res["n_a"]
             q_cnt = res["q_cnt"]
             q_meta = res["q_meta"]
             n_q = res["n_q"]
-            # whole-batch decode (per-read python math was ~40% of
-            # gather); device ayh = occ<<24|tandem<<10|span, host
-            # layout = occ<<56|seg<<48|tandem<<42|span<<32 | qpos
-            AX = (res["axh"].astype(U64) << U64(32)) \
-                | res["axl"].astype(U64)
-            AH = res["ayh"].astype(U64)
-            AY = ((AH >> U64(24)) << U64(56)) \
-                | (((AH >> U64(10)) & U64(1)) << U64(42)) \
-                | ((AH & U64(0x3FF)) << U64(32)) \
-                | res["ayl"].astype(U64)
+            flat = "axh" not in res
+            if flat:
+                # dense planes: ay packed occ8|tandem1|span6|qpos17
+                prefix = res["prefix"]
+                AX = (res["f_axh"].astype(U64) << U64(32)) \
+                    | res["f_axl"].astype(U64)
+                PK = res["f_ay"].astype(U64)
+                AY = ((PK >> U64(24)) << U64(56)) \
+                    | (((PK >> U64(23)) & U64(1)) << U64(42)) \
+                    | (((PK >> U64(17)) & U64(0x3F)) << U64(32)) \
+                    | (PK & U64(0x1FFFF))
+                fp_dev = res.get("f_fp")
+            else:
+                # padded (B, acap) planes; device ayh =
+                # occ<<24|tandem<<10|span, host layout =
+                # occ<<56|seg<<48|tandem<<42|span<<32 | qpos
+                AX = (res["axh"].astype(U64) << U64(32)) \
+                    | res["axl"].astype(U64)
+                AH = res["ayh"].astype(U64)
+                AY = ((AH >> U64(24)) << U64(56)) \
+                    | (((AH >> U64(10)) & U64(1)) << U64(42)) \
+                    | ((AH & U64(0x3FF)) << U64(32)) \
+                    | res["ayl"].astype(U64)
+                fp_dev = res.get("fp")
+            f_dev = p_dev = None
+            if fp_dev is not None:
+                f_dev = (fp_dev >> 14).astype(np.int32)
+                p_dev = (fp_dev & 0x3FFF).astype(np.int32) - 1
             for bi, ri in enumerate(chunk):
                 if ovf[bi]:
                     self.n_fallback += 1
                     continue
                 n = int(n_a[bi])
-                ax = AX[bi, :n]
-                ay = AY[bi, :n]
+                if flat:
+                    p0 = int(prefix[bi])
+                    sl = slice(p0, p0 + n)
+                else:
+                    sl = (bi, slice(0, n))
+                ax = AX[sl]
+                ay = AY[sl]
                 rep_len, mini_pos = derive_query_info(
                     q_cnt[bi], q_meta[bi], int(n_q[bi]),
                     int(self.opt.occ_max1))
                 fb = pb = None
                 if f_dev is not None:
                     if sure[bi]:
-                        fb, pb = f_dev[bi, :n], p_dev[bi, :n]
+                        fb, pb = f_dev[sl], p_dev[sl]
                     else:
                         self.n_chain_unsure += 1
                 out[ri] = FrontResult(ax=ax, ay=ay, rep_len=rep_len,
