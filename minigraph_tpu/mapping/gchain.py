@@ -797,6 +797,34 @@ def gchain_gen_tab(g, es, n_u: int, u: np.ndarray, lc, ax: np.ndarray,
     return gcs
 
 
+def _get_gfull_ctx(g, es):
+    """Per-(graph, edseq) constant leading args for the native graph-
+    chain calls, pointer ints cached — .ctypes.data constructs an
+    interface object per access (~1 us), and these calls have 13
+    graph-constant pointers."""
+    ctx = getattr(g, "_gfull_ctx", None)
+    if ctx is None or ctx[0] is not es:
+        from ..align.gwfa import _flat_graph
+        gw = _flat_graph(g, es)
+        seg_len = getattr(g, "_seg_len_arr", None)
+        if seg_len is None or len(seg_len) != g.n_seg:
+            seg_len = np.asarray([s.len for s in g.seg], dtype=np.int64)
+            g._seg_len_arr = seg_len
+        idx = g.idx
+        if idx.dtype != np.int64 or not idx.flags["C_CONTIGUOUS"]:
+            idx = np.ascontiguousarray(idx, dtype=np.int64)
+            g.idx = idx
+        args0 = (idx.ctypes.data, g.arc_w.ctypes.data,
+                 g.arc_lv.ctypes.data, g.arc_rank.ctypes.data, len(idx),
+                 seg_len.ctypes.data, gw[0].ctypes.data,
+                 gw[1].ctypes.data, gw[2].ctypes.data, gw[3].ctypes.data,
+                 gw[4].ctypes.data, gw[5].ctypes.data, gw[6])
+        keep = (idx, g.arc_w, g.arc_lv, g.arc_rank, seg_len, gw)
+        ctx = (es, args0, keep)
+        g._gfull_ctx = ctx
+    return ctx[1]
+
+
 _native_full_cfg = False
 
 
@@ -830,30 +858,7 @@ def gchain_full_tab(g, es, tab, qlen: int, max_dist_g: int,
             + [ct.c_int64, ct.c_uint32] + [ct.c_int64] * 4 \
             + [ct.c_int64] * 3 + [ct.c_void_p] * 13
         _native_full_cfg = True
-    # per-(graph, edseq) constant leading args, pointer ints cached —
-    # .ctypes.data constructs an interface object per access (~1 us),
-    # and this call has 13 graph-constant pointers
-    ctx = getattr(g, "_gfull_ctx", None)
-    if ctx is None or ctx[0] is not es:
-        from ..align.gwfa import _flat_graph
-        gw = _flat_graph(g, es)
-        seg_len = getattr(g, "_seg_len_arr", None)
-        if seg_len is None or len(seg_len) != g.n_seg:
-            seg_len = np.asarray([s.len for s in g.seg], dtype=np.int64)
-            g._seg_len_arr = seg_len
-        idx = g.idx
-        if idx.dtype != np.int64 or not idx.flags["C_CONTIGUOUS"]:
-            idx = np.ascontiguousarray(idx, dtype=np.int64)
-            g.idx = idx
-        args0 = (idx.ctypes.data, g.arc_w.ctypes.data,
-                 g.arc_lv.ctypes.data, g.arc_rank.ctypes.data, len(idx),
-                 seg_len.ctypes.data, gw[0].ctypes.data,
-                 gw[1].ctypes.data, gw[2].ctypes.data, gw[3].ctypes.data,
-                 gw[4].ctypes.data, gw[5].ctypes.data, gw[6])
-        keep = (idx, g.arc_w, g.arc_lv, g.arc_rank, seg_len, gw)
-        ctx = (es, args0, keep)
-        g._gfull_ctx = ctx
-    args0 = ctx[1]
+    args0 = _get_gfull_ctx(g, es)
     n_lc = tab["n"]
     if n_lc == 0:
         return GChains()
@@ -876,6 +881,13 @@ def gchain_full_tab(g, es, tab, qlen: int, max_dist_g: int,
         o_llc.shape[1], len(o_ax), g_tab.shape[1], *out_ptrs)
     if n_gc < 0:
         return None
+    return _gcs_from_scratch(n_gc, sc)
+
+
+def _gcs_from_scratch(n_gc: int, sc) -> GChains:
+    """Build the GChains object from the native output scratch
+    (mgt_gchain_full / mgt_map_tail layout)."""
+    o_llc, o_ax, o_ay, g_tab, g_hash, g_extra = sc[:6]
     gcs = GChains()
     if n_gc == 0:
         return gcs
@@ -904,7 +916,6 @@ def gchain_full_tab(g, es, tab, qlen: int, max_dist_g: int,
             p.div = float(F32(math.log(p.n_anchor / n_mini) / q_span))
         gcs.gc.append(p)
     return gcs
-
 
 _native_ext_cfg = False
 
@@ -1077,3 +1088,87 @@ def gchain_sort_by_score(gcs: GChains) -> None:
     perm = radix_argsort(keys)
     gcs.gc = [gcs.gc[perm[n - 1 - i]] for i in range(n)]
     gchain_restore_order(gcs)
+
+
+_native_mt_cfg = False
+
+
+def map_tail_full(g, es, mode: int, f32, p32, ax, ay, mini_pos,
+                  opt, qlen: int, n_segs: int, max_dist_x: int,
+                  max_dist_y: int, chn_pen_gap: float,
+                  chn_pen_skip: float, is_splice: bool, hash_: int,
+                  qseq: str):
+    """The WHOLE per-read tail in one native call (native/mgt_tail.c
+    mgt_map_tail): linear-chain stage + long-join rescue + lchain tail
+    + graph-chain stage.  Returns a GChains, or None for the
+    decomposed fallback path.  mode: 0 finish-from-fp, 1 banded DP,
+    2 RMQ."""
+    global _native_mt_cfg
+    import ctypes as ct
+
+    from ..options import DBG, MG_M_SPLICE, MG_M_SR
+    from ..utils.native import get_lib
+    if DBG["flag"]:
+        return None
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "mgt_map_tail"):
+        return None
+    if not _native_mt_cfg:
+        lib.mgt_map_tail.restype = ct.c_int64
+        lib.mgt_map_tail.argtypes = (
+            [ct.c_int64, ct.c_void_p, ct.c_void_p]      # mode, f, p
+            + [ct.c_int64] * 7 + [ct.c_double] * 2      # chain params
+            + [ct.c_int64] * 4                          # is_cdna..rmq_cap
+            + [ct.c_int64] * 5                          # rescue
+            + [ct.c_double]                             # rescue ratio
+            + [ct.c_int64, ct.c_void_p, ct.c_void_p]    # anchors
+            + [ct.c_void_p] + [ct.c_int64] * 4          # lchain tail
+            + [ct.c_void_p] * 4 + [ct.c_int64, ct.c_void_p]  # graph
+            + [ct.c_void_p] * 6 + [ct.c_char_p]         # gwfa
+            + [ct.c_char_p, ct.c_int64]                 # qseq
+            + [ct.c_int64] * 3 + [ct.c_double]          # gc params
+            + [ct.c_int64, ct.c_uint32] + [ct.c_int64] * 3
+            + [ct.c_int64] * 3 + [ct.c_void_p] * 13)    # caps + out
+        _native_mt_cfg = True
+    n_a = len(ax)
+    if n_a == 0:
+        return GChains()
+    args0 = _get_gfull_ctx(g, es)
+    qb = qseq.encode("latin-1")
+    # the engines compact/flag ax/ay IN PLACE; work on copies so a
+    # mid-call fallback (-1/-2/-3) leaves the caller's arrays pristine
+    # for the decomposed retry
+    ax = np.array(ax, dtype=np.uint64)
+    ay = np.array(ay, dtype=np.uint64)
+    mini_pos = np.ascontiguousarray(mini_pos, dtype=np.int64)
+    fp_ptr = pp_ptr = None
+    if mode == 0:
+        f32 = np.ascontiguousarray(f32, dtype=np.int32)
+        p32 = np.ascontiguousarray(p32, dtype=np.int32)
+        fp_ptr, pp_ptr = f32.ctypes.data, p32.ctypes.data
+    do_rescue = int(opt.bw_long > opt.bw
+                    and not (opt.flag & (MG_M_SPLICE | MG_M_SR))
+                    and n_segs == 1)
+    llc_cap = n_a + 1024
+    sc = _get_gen_scratch(llc_cap, n_a, max(n_a, 64))
+    o_llc, o_ax, o_ay, g_tab = sc[0], sc[1], sc[2], sc[3]
+    out_ptrs = sc[6]
+    n_gc = lib.mgt_map_tail(
+        mode, fp_ptr, pp_ptr,
+        max_dist_x, max_dist_y, opt.bw, opt.max_lc_skip,
+        opt.max_lc_iter, opt.min_lc_cnt, opt.min_lc_score,
+        chn_pen_gap, chn_pen_skip,
+        int(is_splice), n_segs, opt.max_gap_pre, opt.rmq_size_cap,
+        do_rescue, qlen, opt.bw_long, opt.rmq_rescue_size,
+        opt.max_gap, opt.rmq_rescue_ratio,
+        n_a, ax.ctypes.data, ay.ctypes.data,
+        mini_pos.ctypes.data, len(mini_pos), opt.lc_max_occ,
+        opt.lc_max_trim, opt.max_gap >> 1,
+        *args0, qb, len(qb),
+        opt.bw_long, opt.max_gc_skip, opt.ref_bonus, opt.mask_level,
+        MG_MAX_SHORT_K, hash_, opt.min_gc_cnt, opt.min_gc_score,
+        opt.gdp_max_ed,
+        o_llc.shape[1], len(o_ax), g_tab.shape[1], *out_ptrs)
+    if n_gc < 0:
+        return None
+    return _gcs_from_scratch(n_gc, sc)

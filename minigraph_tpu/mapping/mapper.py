@@ -107,6 +107,30 @@ def map_frag_tail(gi: MinimizerIndex, qlens: List[int], seqs: List[str],
     chn_pen_gap = float(np.float32(np.float32(opt.chn_pen_gap) * np.float32(tmp)))
     chn_pen_skip = float(np.float32(np.float32(opt.chn_pen_skip) * np.float32(tmp)))
 
+    # whole-tail native path (native/mgt_tail.c): linear chain +
+    # rescue + lchain tail + graph chain in ONE call; falls back to
+    # the decomposed stages below for debug dumps / engine bailouts
+    if len(ax) > 0:
+        from .gchain import map_tail_full
+        if opt.flag & MG_M_RMQ:
+            mt_mode, mt_f, mt_p = 2, None, None
+            mt_dx, mt_dy = opt.max_gap, 0
+        elif chain_fp is not None:
+            mt_mode, mt_f, mt_p = 0, chain_fp[0], chain_fp[1]
+            mt_dx, mt_dy = 0, 0
+        else:
+            mt_mode, mt_f, mt_p = 1, None, None
+            mt_dx, mt_dy = max_chain_gap_ref, max_chain_gap_qry
+        seq_cat = "".join(seqs)
+        gcs = map_tail_full(gi.g, gi.es, mt_mode, mt_f, mt_p, ax, ay,
+                            mini_pos, opt, qlen_sum, n_segs, mt_dx,
+                            mt_dy, chn_pen_gap, chn_pen_skip, is_splice,
+                            hash_, seq_cat)
+        if gcs is not None:
+            gcs.rep_len = rep_len
+            return _map_frag_finish(gi, gcs, opt, qname, n_segs,
+                                    seq_cat, qlen_sum, n_mv, cigar_sink)
+
     if len(ax) == 0:
         n_lc, u = 0, np.empty(0, dtype=np.uint64)
     elif opt.flag & MG_M_RMQ:
@@ -214,6 +238,20 @@ def map_frag_tail(gi: MinimizerIndex, qlens: List[int], seqs: List[str],
     if dbg_q:
         _qt = _ptime(_qt, 4)
 
+    gcs = _map_frag_finish(gi, gcs, opt, qname, n_segs, seq_cat,
+                           qlen_sum, n_mv, cigar_sink)
+    if dbg_q:
+        _qt = _ptime(_qt, 5)
+        # QM memory-stat line (map-algo.c:485); no kalloc arenas here
+        sys.stderr.write(f"QM\t{qname}\t{qlen_sum}\t"
+                         f"cap=0,nCore=0,largest=0\n")
+    return gcs
+
+
+def _map_frag_finish(gi, gcs, opt, qname, n_segs, seq_cat, qlen_sum,
+                     n_mv, cigar_sink):
+    """Selection + mapq + base alignment (map-algo.c:464-483), shared
+    by the whole-tail native path and the decomposed path."""
     gchain_set_parent(opt.mask_level, gcs.gc, opt.sub_diff, 0)
     gchain_flt_sub(opt.pri_ratio, gi.k * 2, opt.best_n, gcs.gc)
     gchain_drop_flt(gcs)
@@ -229,11 +267,6 @@ def map_frag_tail(gi: MinimizerIndex, qlens: List[int], seqs: List[str],
             from ..align.cigar import gchain_cigar, gchain_gen_ds
             gchain_cigar(gi.g, gi.es, seq_cat, gcs, qname)
             gchain_gen_ds(gi.g, gi.es, seq_cat, gcs)
-    if dbg_q:
-        _qt = _ptime(_qt, 5)
-        # QM memory-stat line (map-algo.c:485); no kalloc arenas here
-        sys.stderr.write(f"QM\t{qname}\t{qlen_sum}\t"
-                         f"cap=0,nCore=0,largest=0\n")
     return gcs
 
 
