@@ -401,15 +401,19 @@ def test_native_gchain_stage_matches_python():
 
     fused = run_all()
     assert fused, "no alignments produced"
-    full, tail_t, gdpc = (gch.gchain_full_tab, lch.lchain_tail_tab,
-                          gch._gdp_core)
+    full, tail_t, gdpc, mt = (gch.gchain_full_tab, lch.lchain_tail_tab,
+                              gch._gdp_core, gch.map_tail_full)
     try:
+        gch.map_tail_full = lambda *a, **k: None
+        mid = run_all()          # 3-call native path
         gch.gchain_full_tab = lambda *a, **k: None
         gch._gdp_core = lambda *a, **k: None
         lch.lchain_tail_tab = lambda *a, **k: None
-        legacy = run_all()
+        legacy = run_all()       # pure Python tail
     finally:
         gch.gchain_full_tab = full
         gch._gdp_core = gdpc
         lch.lchain_tail_tab = tail_t
+        gch.map_tail_full = mt
+    assert fused == mid
     assert fused == legacy
