@@ -123,6 +123,7 @@ class DeviceFront:
         self.n_fallback = 0
         self.n_chain_unsure = 0
         self.n_flat_ovf = 0
+        self.thread_fetch = True
         # device chain DP (ops/chain_exact.py) applies when the chain
         # parameters are read-independent (map-algo.c:377-390): no sr/
         # splice/rmq, no frag-length-dependent ref gap
@@ -329,7 +330,25 @@ class DeviceFront:
                             a.copy_to_host_async()
                         except AttributeError:
                             break
-                pending.append((chunk, res, full))
+                # background fetch: device_get releases the GIL, so
+                # the tunnel transfer overlaps the host tails of the
+                # previous batch even before the async-copy probe has
+                # drained (and regardless of its effectiveness)
+                th = holder = None
+                if self.thread_fetch:
+                    import threading
+                    import jax as _jax
+                    holder = {}
+
+                    def _bg(res=res, holder=holder):
+                        try:
+                            holder["v"] = _jax.device_get(res)
+                        except Exception as e:  # fall back in gather()
+                            holder["e"] = e
+
+                    th = threading.Thread(target=_bg, daemon=True)
+                    th.start()
+                pending.append((chunk, res, full, th, holder))
         return (len(seqs), pending)
 
     def gather(self, handle) -> List[Optional[FrontResult]]:
@@ -339,8 +358,13 @@ class DeviceFront:
 
         n_seqs, pending = handle
         out: List[Optional[FrontResult]] = [None] * n_seqs
-        for chunk, res, full in pending:
-            res = jax.device_get(res)  # one bulk fetch, not per-array
+        for chunk, res, full, th, holder in pending:
+            if th is not None:
+                th.join()
+            if holder and "v" in holder:
+                res = holder["v"]
+            else:
+                res = jax.device_get(res)
             if res.get("flat_ovf"):
                 # batch fuller than the half-size flat planes: fetch
                 # the padded planes kept on device instead (rare)
