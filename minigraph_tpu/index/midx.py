@@ -121,23 +121,41 @@ def build_index(g: Graph, k: int, w: int, mo=None,
 
     new_sk = {} if cache is not None else None
     xs_all, ys_all = [], []
-    for i, s in enumerate(g.seg):
-        if s.seq is None or s.len == 0:
-            continue
-        ck = IndexCache.key(s.seq) if cache is not None else None
-        hit = cache.sk.get(ck) if cache is not None else None
-        if hit is not None:
-            x, y_low = hit
-            y = y_low.astype(np.uint64) | (np.uint64(i) << np.uint64(32))
-            cache.hits += 1
-        else:
-            x, y = sketch(s.seq, w, k, i)
-            if cache is not None:
+    if cache is None:
+        # parallel bucket-build analog (kt_for, index.c:207): one
+        # pthread-pooled native call sketches every segment
+        from .sketch import sketch_many
+        live = [(i, s.seq) for i, s in enumerate(g.seg)
+                if s.seq is not None and s.len > 0]
+        many = sketch_many([s.encode("latin-1") for _, s in live],
+                           w, k, [i for i, _ in live]) if live else []
+        if many is not None:
+            for (i, _), (x, y) in zip(live, many):
+                xs_all.append(x)
+                ys_all.append(y)
+            live = None   # handled
+        if many is None and live:
+            for i, seq in live:
+                x, y = sketch(seq, w, k, i)
+                xs_all.append(x)
+                ys_all.append(y)
+    else:
+        for i, s in enumerate(g.seg):
+            if s.seq is None or s.len == 0:
+                continue
+            ck = IndexCache.key(s.seq)
+            hit = cache.sk.get(ck)
+            if hit is not None:
+                x, y_low = hit
+                y = y_low.astype(np.uint64) \
+                    | (np.uint64(i) << np.uint64(32))
+                cache.hits += 1
+            else:
+                x, y = sketch(s.seq, w, k, i)
                 cache.misses += 1
-        if cache is not None:
             new_sk[ck] = (x, (y & np.uint64(0xFFFFFFFF)).astype(np.uint64))
-        xs_all.append(x)
-        ys_all.append(y)
+            xs_all.append(x)
+            ys_all.append(y)
     if cache is not None:
         cache.sk = new_sk  # drop entries for segments that disappeared
     gi = MinimizerIndex(g, k, w)

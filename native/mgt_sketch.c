@@ -130,3 +130,68 @@ int64_t mgt_sketch(const uint8_t *seq, int64_t len, int w, int k,
 #undef PUT
     return n;
 }
+
+/* ------------------------------------------------------------------ */
+/* parallel many-segment sketch (the reference parallelizes bucket    */
+/* build with kt_for, index.c:207; here a pthread pool sweeps the     */
+/* segment list with an atomic work counter)                          */
+/* ------------------------------------------------------------------ */
+#include <pthread.h>
+
+typedef struct {
+    const uint8_t *seqs;
+    const int64_t *off, *len, *rid, *out_off, *cap;
+    int64_t n_seg, next;
+    int w, k;
+    uint64_t *out;
+    int64_t *out_n;
+    pthread_mutex_t mtx;
+} skm_t;
+
+static void *skm_worker(void *arg)
+{
+    skm_t *z = (skm_t *)arg;
+    for (;;) {
+        int64_t i;
+        pthread_mutex_lock(&z->mtx);
+        i = z->next++;
+        pthread_mutex_unlock(&z->mtx);
+        if (i >= z->n_seg) break;
+        /* on cap overflow out_n[i] = -1 and the caller re-sketches
+         * that segment through the doubling single-segment path */
+        z->out_n[i] = mgt_sketch(z->seqs + z->off[i], z->len[i], z->w,
+                                 z->k, (uint32_t)z->rid[i],
+                                 z->out + 2 * z->out_off[i],
+                                 z->cap[i]);
+    }
+    return 0;
+}
+
+/* out has 2*(out_off[i] + len[i] + 16) capacity per segment region
+ * (interleaved x,y).  out_n[i] = record count or -1 on cap overflow. */
+void mgt_sketch_many(const uint8_t *seqs, const int64_t *off,
+                     const int64_t *len, const int64_t *rid,
+                     const int64_t *out_off, const int64_t *cap,
+                     int64_t n_seg, int32_t w, int32_t k,
+                     int32_t n_threads, uint64_t *out, int64_t *out_n)
+{
+    skm_t z;
+    pthread_t th[64];
+    int i, nt = n_threads;
+
+    if (!nt4_ready) nt4_init();   /* once, before the pool starts */
+    if (nt < 1) nt = 1;
+    if (nt > 64) nt = 64;
+    if (nt > n_seg) nt = (int)(n_seg > 0 ? n_seg : 1);
+    z.seqs = seqs, z.off = off, z.len = len, z.rid = rid;
+    z.out_off = out_off, z.cap = cap, z.n_seg = n_seg, z.next = 0;
+    z.w = w, z.k = k, z.out = out, z.out_n = out_n;
+    pthread_mutex_init(&z.mtx, 0);
+    if (nt == 1) {
+        skm_worker(&z);
+    } else {
+        for (i = 0; i < nt; ++i) pthread_create(&th[i], 0, skm_worker, &z);
+        for (i = 0; i < nt; ++i) pthread_join(th[i], 0);
+    }
+    pthread_mutex_destroy(&z.mtx);
+}

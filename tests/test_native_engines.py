@@ -417,3 +417,46 @@ def test_native_gchain_stage_matches_python():
         gch.map_tail_full = mt
     assert fused == mid
     assert fused == legacy
+
+
+def test_parallel_index_build_matches_serial():
+    """mgt_sketch_many (the kt_for bucket-build analog, index.c:207)
+    must produce byte-identical flat index tables."""
+    from minigraph_tpu.graph.gfa_io import read_gfa
+    from minigraph_tpu.index.midx import build_index
+    import minigraph_tpu.index.sketch as sk
+
+    g = read_gfa(str(REF_DIR / "test" / "MT.gfa"))
+    gi = build_index(g, 17, 11)
+    orig = sk.sketch_many
+    try:
+        sk.sketch_many = lambda *a, **k: None
+        gi2 = build_index(g, 17, 11)
+    finally:
+        sk.sketch_many = orig
+    assert np.array_equal(gi.keys, gi2.keys)
+    assert np.array_equal(gi.pos, gi2.pos)
+    assert np.array_equal(gi.key_start, gi2.key_start)
+    assert np.array_equal(gi.key_cnt, gi2.key_cnt)
+
+
+def test_sketch_many_fuzz_vs_single():
+    """Pthread-pooled sketch must equal the single-segment engine on
+    random segments (incl. tiny, N-laden and tie-heavy ones)."""
+    from minigraph_tpu.index.sketch import sketch, sketch_many
+
+    rng = np.random.default_rng(77)
+    seqs = []
+    for i in range(60):
+        L = int(rng.integers(1, 5000))
+        s = rng.choice(list(b"ACGTN"), L,
+                       p=[0.24, 0.24, 0.24, 0.24, 0.04])
+        seqs.append(bytes(s.astype(np.uint8)))
+    seqs.append(b"ACACACACACAC" * 200)    # tie-heavy tandem
+    rids = list(range(len(seqs)))
+    res = sketch_many(seqs, 11, 17, rids, n_threads=5)
+    assert res is not None
+    for i, s in enumerate(seqs):
+        x, y = sketch(s, 11, 17, i)
+        assert np.array_equal(res[i][0], x), f"seg {i} x"
+        assert np.array_equal(res[i][1], y), f"seg {i} y"
