@@ -657,13 +657,16 @@ def _slots_to_objects(slots) -> List[LChain]:
 
 
 _native_gen_cfg = False
-_gen_scratch = None
+import threading as _threading
+
+_TLS = _threading.local()
 
 
 def _get_gen_scratch(llc_cap, n_a_total, gc_cap):
     """Reused output buffers + cached pointer ints for the native
-    gchain materialization calls."""
-    sc = _gen_scratch
+    gchain materialization calls.  Thread-local: the whole-tail call
+    releases the GIL, so tails may run on a thread pool."""
+    sc = getattr(_TLS, "gen", None)
     if sc is None or sc[0].shape[1] < llc_cap or len(sc[1]) < n_a_total \
             or sc[3].shape[1] < gc_cap:
         bufs = (np.empty((5, max(llc_cap, 4096)), dtype=np.int64),
@@ -681,7 +684,7 @@ def _get_gen_scratch(llc_cap, n_a_total, gc_cap):
                 g_tab_[3].ctypes.data, bufs[4].ctypes.data,
                 bufs[5].ctypes.data)
         sc = bufs + (ptrs,)
-        globals()["_gen_scratch"] = sc
+        _TLS.gen = sc
     return sc
 
 

@@ -444,7 +444,8 @@ def update_anchors(lc: LChain, ax: np.ndarray, ay: np.ndarray,
 
 
 _native_tail_cfg = False
-_tail_scratch = None
+import threading as _threading_t
+_TAIL_TLS = _threading_t.local()
 
 
 def lchain_tail_tab(qlen: int, n_u: int, u: np.ndarray, ax: np.ndarray,
@@ -471,11 +472,11 @@ def lchain_tail_tab(qlen: int, n_u: int, u: np.ndarray, ax: np.ndarray,
         _native_tail_cfg = True
     assert ax.flags["C_CONTIGUOUS"] and ay.flags["C_CONTIGUOUS"]
     mini_pos = np.ascontiguousarray(mini_pos, dtype=np.int64)
-    sc = _tail_scratch
+    sc = getattr(_TAIL_TLS, "tabs", None)
     if sc is None or sc[0].shape[1] < n_u:
         tabs = np.empty((8, max(n_u, 4096)), dtype=np.int64)
         sc = (tabs, tuple(tabs[i].ctypes.data for i in range(8)))
-        globals()["_tail_scratch"] = sc
+        _TAIL_TLS.tabs = sc
     tabs, tab_ptrs = sc
     n_out = lib.mgt_lchain_tail(
         qlen, n_u, u.ctypes.data, ax.ctypes.data, ay.ctypes.data,

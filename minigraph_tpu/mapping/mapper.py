@@ -554,9 +554,25 @@ def _map_file_frag(gi: MinimizerIndex, fns: List[str], opt: MapOptions,
                 for (off, n_seg), (qlens, gcs_list) in zip(frags, computed):
                     emit_frag(off, n_seg, qlens, gcs_list)
             else:
-                for fi, (off, n_seg) in enumerate(frags):
-                    qlens, gcs_list = compute_frag(fi, off, n_seg)
-                    emit_frag(off, n_seg, qlens, gcs_list)
+                from ..options import DBG as _DBG
+                if front is not None and n_threads > 1 \
+                        and not _DBG["flag"]:
+                    # thread-parallel tails: the whole-tail native call
+                    # releases the GIL, so threads scale on multi-core
+                    # hosts (kthread worker analog); emission stays in
+                    # input order
+                    from concurrent.futures import ThreadPoolExecutor
+                    with ThreadPoolExecutor(
+                            max_workers=min(n_threads, 16)) as ex:
+                        futs = [ex.submit(compute_frag, fi, off, n_seg)
+                                for fi, (off, n_seg) in enumerate(frags)]
+                        for fut, (off, n_seg) in zip(futs, frags):
+                            qlens, gcs_list = fut.result()
+                            emit_frag(off, n_seg, qlens, gcs_list)
+                else:
+                    for fi, (off, n_seg) in enumerate(frags):
+                        qlens, gcs_list = compute_frag(fi, off, n_seg)
+                        emit_frag(off, n_seg, qlens, gcs_list)
     finally:
         for fp in fps:
             fp.close()

@@ -161,3 +161,44 @@ def test_cli_tpu_cov_parity(oracle):
         [sys.executable, "-m", "minigraph_tpu", "--tpu", *args],
         capture_output=True, text=True, check=True)
     assert got.stdout == want
+
+
+@pytest.mark.slow
+def test_threaded_tails_parity():
+    """-t N with the device front: thread-pooled host tails (the
+    whole-tail native call releases the GIL) must emit byte-identical
+    output in input order."""
+    import io
+
+    import numpy as np
+    from minigraph_tpu.graph.gfa_io import read_gfa
+    from minigraph_tpu.index.midx import build_index
+    from minigraph_tpu.mapping.device_front import DeviceFront
+    from minigraph_tpu.mapping.mapper import _map_file_frag
+    from minigraph_tpu.options import (GGOptions, IndexOptions,
+                                       MapOptions, opt_check, opt_set)
+
+    g = read_gfa("/root/reference/test/MT.gfa")
+    ref = "".join((s.seq or "") for s in g.seg if s.rank == 0)
+    rng = np.random.default_rng(11)
+    import tempfile
+    fa = tempfile.NamedTemporaryFile("w", suffix=".fa", delete=False)
+    for i in range(48):
+        L = int(rng.integers(200, 850))
+        st = int(rng.integers(0, len(ref) - L))
+        s = list(ref[st:st + L])
+        for p in rng.integers(0, len(s), len(s) // 14):
+            s[p] = "ACGT"[int(rng.integers(0, 4))]
+        fa.write(f">r{i}\n{''.join(s)}\n")
+    fa.close()
+    io_, mo, go = IndexOptions(), MapOptions(), GGOptions()
+    opt_set(None, io_, mo, go)
+    opt_check(io_, mo, go)
+    gi = build_index(g, io_.k, io_.w, mo)
+    front = DeviceFront(gi, mo, buckets=((1024, 48),))
+    outs = []
+    for nt in (1, 3):
+        sink = io.StringIO()
+        _map_file_frag(gi, [fa.name], mo, sink, None, None, nt, front)
+        outs.append(sink.getvalue())
+    assert outs[0] and outs[0] == outs[1]
