@@ -231,8 +231,11 @@ class DeviceFront:
             # flat_ovf and gather() re-runs it through the padded path.
             cap_flat = (dict(self.buckets)[pad_len] * acap) // 2
 
+            cap_mini = (dict(self.buckets)[pad_len] * qcap * 3) // 4
+
             @jax.jit
-            def pack(axh, axl, ayh, ayl, fp, n_a):
+            def pack(axh, axl, ayh, ayl, fp, n_a, q_cnt, q_meta, n_q,
+                     max_occ):
                 B = axh.shape[0]
                 ar = jnp.arange(acap, dtype=jnp.int32)[None, :]
                 valid = ar < n_a[:, None]
@@ -251,9 +254,46 @@ class DeviceFront:
                        << jnp.uint32(23)) \
                     | ((ayh & jnp.uint32(0x3F)) << jnp.uint32(17)) \
                     | (ayl & jnp.uint32(0x1FFFF))
+                # rep_len + mini_pos on device (derive_query_info /
+                # collect_matches, map-algo.c:67-89): q_cnt is clipped
+                # at 255 >= every max_occ, so the comparison is exact
+                qr = jnp.arange(qcap, dtype=jnp.int32)[None, :]
+                q_ok = qr < n_q[:, None]
+                cnt = q_cnt.astype(jnp.int32)
+                rep = q_ok & (cnt >= max_occ)
+                qpos = ((q_meta >> jnp.uint32(1))
+                        & jnp.uint32((1 << 25) - 1)).astype(jnp.int32)
+                span = ((q_meta >> jnp.uint32(26))
+                        & jnp.uint32(0x1F)).astype(jnp.int32)
+                # union of rep intervals [en-sp, en): ens ascend per
+                # read, so coverage is sum(max(0, en - max(st, prev
+                # rep en))) with an exclusive running max
+                en = jnp.where(rep, qpos + 1, 0)
+                run = jax.lax.cummax(en, axis=1)
+                prev_en = jnp.concatenate(
+                    [jnp.zeros((B, 1), jnp.int32), run[:, :-1]], axis=1)
+                st = qpos + 1 - span
+                contrib = jnp.where(
+                    rep, jnp.maximum(0, (qpos + 1)
+                                     - jnp.maximum(st, prev_en)), 0)
+                rep_len = contrib.sum(axis=1).astype(jnp.int32)
+                # mini_pos = qpos of non-rep emissions, dense-packed
+                mini_sel = q_ok & ~rep
+                n_mini = mini_sel.sum(axis=1).astype(jnp.int32)
+                mprefix = jnp.concatenate(
+                    [jnp.zeros(1, jnp.int32), jnp.cumsum(n_mini)])[:B]
+                mrank = jnp.cumsum(mini_sel.astype(jnp.int32),
+                                   axis=1) - 1
+                midx = jnp.where(mini_sel, mprefix[:, None] + mrank,
+                                 cap_mini).reshape(-1)
+                f_mini = jnp.zeros(cap_mini, jnp.int32) \
+                    .at[midx].set(qpos.reshape(-1), mode="drop")
                 out = {"f_axh": flat(axh), "f_axl": flat(axl),
                        "f_ay": flat(ay_pk), "prefix": prefix,
-                       "flat_ovf": jnp.sum(n_a) > cap_flat}
+                       "rep_len": rep_len, "n_mini": n_mini,
+                       "mprefix": mprefix, "f_mini": f_mini,
+                       "flat_ovf": (jnp.sum(n_a) > cap_flat)
+                       | (jnp.sum(n_mini) > cap_mini)}
                 if fp is not None:
                     out["f_fp"] = flat(fp)
                 return out
@@ -269,11 +309,14 @@ class DeviceFront:
                                      res["ayh"], res["ayl"], res["n_a"])
                     res["fp"], res["sure"] = fp, sure
                 flat = pack(res["axh"], res["axl"], res["ayh"],
-                            res["ayl"], res.get("fp"), res["n_a"])
+                            res["ayl"], res.get("fp"), res["n_a"],
+                            res["q_cnt"], res["q_meta"], res["n_q"],
+                            max_occ)
                 # ship the flat planes; keep the padded ones on device
                 # (no fetch) for the rare flat_ovf re-read
                 full = {k: res.pop(k)
-                        for k in ("axh", "axl", "ayh", "ayl", "fp")
+                        for k in ("axh", "axl", "ayh", "ayl", "fp",
+                                  "q_cnt", "q_meta")
                         if k in res}
                 res.update(flat)
                 return res, full
@@ -373,8 +416,6 @@ class DeviceFront:
             ovf = res["overflow"]
             sure = res.get("sure")
             n_a = res["n_a"]
-            q_cnt = res["q_cnt"]
-            q_meta = res["q_meta"]
             n_q = res["n_q"]
             flat = "axh" not in res
             if flat:
@@ -388,6 +429,10 @@ class DeviceFront:
                     | (((PK >> U64(17)) & U64(0x3F)) << U64(32)) \
                     | (PK & U64(0x1FFFF))
                 fp_dev = res.get("f_fp")
+                mini_flat = res["f_mini"].astype(np.int64)
+                mprefix = res["mprefix"]
+                n_mini = res["n_mini"]
+                rep_lens = res["rep_len"]
             else:
                 # padded (B, acap) planes; device ayh =
                 # occ<<24|tandem<<10|span, host layout =
@@ -412,13 +457,16 @@ class DeviceFront:
                 if flat:
                     p0 = int(prefix[bi])
                     sl = slice(p0, p0 + n)
+                    m0 = int(mprefix[bi])
+                    mini_pos = mini_flat[m0: m0 + int(n_mini[bi])]
+                    rep_len = int(rep_lens[bi])
                 else:
                     sl = (bi, slice(0, n))
+                    rep_len, mini_pos = derive_query_info(
+                        res["q_cnt"][bi], res["q_meta"][bi],
+                        int(n_q[bi]), int(self.opt.occ_max1))
                 ax = AX[sl]
                 ay = AY[sl]
-                rep_len, mini_pos = derive_query_info(
-                    q_cnt[bi], q_meta[bi], int(n_q[bi]),
-                    int(self.opt.occ_max1))
                 fb = pb = None
                 if f_dev is not None:
                     if sure[bi]:
