@@ -667,8 +667,8 @@ def _get_gen_scratch(llc_cap, n_a_total, gc_cap):
     gchain materialization calls.  Thread-local: the whole-tail call
     releases the GIL, so tails may run on a thread pool."""
     sc = getattr(_TLS, "gen", None)
-    if sc is None or sc[0].shape[1] < llc_cap or len(sc[1]) < n_a_total \
-            or sc[3].shape[1] < gc_cap:
+    if sc is None or len(sc) < 8 or sc[0].shape[1] < llc_cap \
+            or len(sc[1]) < n_a_total or sc[3].shape[1] < gc_cap:
         bufs = (np.empty((5, max(llc_cap, 4096)), dtype=np.int64),
                 np.empty(max(n_a_total, 1 << 14), dtype=np.uint64),
                 np.empty(max(n_a_total, 1 << 14), dtype=np.uint64),
@@ -683,7 +683,10 @@ def _get_gen_scratch(llc_cap, n_a_total, gc_cap):
                 g_tab_[1].ctypes.data, g_tab_[2].ctypes.data,
                 g_tab_[3].ctypes.data, bufs[4].ctypes.data,
                 bufs[5].ctypes.data)
-        sc = bufs + (ptrs,)
+        # native select outputs (parent/mapq/n_sub/subsc), appended
+        # last so the sc[:6] / sc[6] layout stays stable
+        sel_tab = np.empty((4, max(gc_cap, 64)), dtype=np.int64)
+        sc = bufs + (ptrs, sel_tab)
         _TLS.gen = sc
     return sc
 
@@ -770,34 +773,7 @@ def gchain_gen_tab(g, es, n_u: int, u: np.ndarray, lc, ax: np.ndarray,
         return gchain_gen(g, es, n_u, u, _slots_to_objects(slots), ax, ay,
                           hash_, min_gc_cnt, min_gc_score, gdp_max_ed,
                           n_seg, qseq)
-    gcs = GChains()
-    if n_gc == 0:
-        return gcs
-    lv, loff, lcnt, lsc, led = (o_llc[i] for i in range(5))
-    n_llc = int(g_tab[1][:n_gc].sum())
-    n_a = int(lcnt[:n_llc].sum())
-    gcs.lc = [LLChain(off=int(loff[i]), cnt=int(lcnt[i]), v=int(lv[i]),
-                      score=int(lsc[i]), ed=int(led[i]))
-              for i in range(n_llc)]
-    gcs.ax = o_ax[:n_a].copy()   # scratch is reused next read
-    gcs.ay = o_ay[:n_a].copy()
-    gcs._lc_tables = (lv[:n_llc].copy(), loff[:n_llc].copy(),
-                      lcnt[:n_llc].copy())
-    for c in range(n_gc):
-        p = GChain(score=int(g_tab[3][c]), off=int(g_tab[0][c]),
-                   cnt=int(g_tab[1][c]), n_anchor=int(g_tab[2][c]),
-                   hash=int(g_hash[c]))
-        row = g_extra[c]
-        p.qs, p.qe, p.ps, p.pe, p.plen, p.blen, p.mlen = \
-            (int(v) for v in row[:7])
-        n_mini = int(row[7])
-        q_span = (int(gcs.ay[gcs.lc[p.off].off]) >> 32) & 0xFF
-        if n_mini >= p.n_anchor:
-            p.div = float(F32(math.log(n_mini / p.n_anchor) / q_span))
-        else:
-            p.div = float(F32(math.log(p.n_anchor / n_mini) / q_span))
-        gcs.gc.append(p)
-    return gcs
+    return _gcs_from_scratch(n_gc, sc)
 
 
 def _get_gfull_ctx(g, es):
@@ -870,7 +846,7 @@ def gchain_full_tab(g, es, tab, qlen: int, max_dist_g: int,
     llc_cap = n_lc + 1024
     gc_cap = max(n_lc, 64)
     sc = _get_gen_scratch(llc_cap, n_a_total, gc_cap)
-    o_llc, o_ax, o_ay, g_tab, g_hash, g_extra, out_ptrs = sc
+    o_llc, o_ax, o_ay, g_tab, g_hash, g_extra, out_ptrs = sc[:7]
     n_gc = lib.mgt_gchain_full(
         *args0, n_lc,
         tab["v"].ctypes.data, tab["off"].ctypes.data,
@@ -887,13 +863,17 @@ def gchain_full_tab(g, es, tab, qlen: int, max_dist_g: int,
     return _gcs_from_scratch(n_gc, sc)
 
 
-def _gcs_from_scratch(n_gc: int, sc) -> GChains:
+def _gcs_from_scratch(n_gc: int, sc, selected: bool = False) -> GChains:
     """Build the GChains object from the native output scratch
-    (mgt_gchain_full / mgt_map_tail layout)."""
+    (mgt_gchain_full / mgt_map_tail layout).  With selected=True the
+    scratch has been through mgt_select_chains: parent/mapq/n_sub/
+    subsc come from sc[7] and the finish stage skips selection."""
     o_llc, o_ax, o_ay, g_tab, g_hash, g_extra = sc[:6]
     gcs = GChains()
+    gcs.selected = selected
     if n_gc == 0:
         return gcs
+    sel = sc[7] if selected else None
     lv, loff, lcnt, lsc, led = (o_llc[i] for i in range(5))
     n_llc = int(g_tab[1][:n_gc].sum())
     n_a = int(lcnt[:n_llc].sum())
@@ -908,6 +888,12 @@ def _gcs_from_scratch(n_gc: int, sc) -> GChains:
         p = GChain(score=int(g_tab[3][c]), off=int(g_tab[0][c]),
                    cnt=int(g_tab[1][c]), n_anchor=int(g_tab[2][c]),
                    hash=int(g_hash[c]))
+        if sel is not None:
+            p.id = c
+            p.parent = int(sel[0][c])
+            p.mapq = int(sel[1][c])
+            p.n_sub = int(sel[2][c])
+            p.subsc = int(sel[3][c])
         row = g_extra[c]
         p.qs, p.qe, p.ps, p.pe, p.plen, p.blen, p.mlen = \
             (int(v) for v in row[:7])
@@ -1094,13 +1080,44 @@ def gchain_sort_by_score(gcs: GChains) -> None:
 
 
 _native_mt_cfg = False
+_native_sel_cfg = False
+
+
+def _select_native(lib, n_gc: int, sc, sel_args) -> int:
+    """Run the whole selection stage (set_parent + flt_sub + drop_flt
+    + set_mapq, gcmisc.c:74-223) natively on the chain-table scratch
+    (native/mgt_select.c).  Returns the surviving chain count, or -1
+    for the Python fallback."""
+    global _native_sel_cfg
+    import ctypes as ct
+    if not hasattr(lib, "mgt_select_chains"):
+        return -1
+    if not _native_sel_cfg:
+        lib.mgt_select_chains.restype = ct.c_int64
+        lib.mgt_select_chains.argtypes = \
+            [ct.c_double, ct.c_double] + [ct.c_int64] * 7 \
+            + [ct.c_void_p] * 17
+        _native_sel_cfg = True
+    (mask_level, pri_ratio, min_diff, best_n, qlen, max_mini,
+     min_gc_score, rep_len) = sel_args
+    pt = sc[6]
+    sel_tab = sc[7]
+    return lib.mgt_select_chains(
+        mask_level, pri_ratio, min_diff, best_n, qlen, max_mini,
+        min_gc_score, rep_len, n_gc,
+        pt[7], pt[8], pt[9], pt[10],          # g_off/g_cnt/g_na/g_sc
+        pt[11], pt[12],                       # g_hash/g_extra
+        pt[0], pt[1], pt[2], pt[3], pt[4],    # o_lv/loff/lcnt/lsc/led
+        pt[5], pt[6],                         # o_ax/o_ay
+        sel_tab[0].ctypes.data, sel_tab[1].ctypes.data,
+        sel_tab[2].ctypes.data, sel_tab[3].ctypes.data)
 
 
 def map_tail_full(g, es, mode: int, f32, p32, ax, ay, mini_pos,
                   opt, qlen: int, n_segs: int, max_dist_x: int,
                   max_dist_y: int, chn_pen_gap: float,
                   chn_pen_skip: float, is_splice: bool, hash_: int,
-                  qseq: str):
+                  qseq: str, select=None):
     """The WHOLE per-read tail in one native call (native/mgt_tail.c
     mgt_map_tail): linear-chain stage + long-join rescue + lchain tail
     + graph-chain stage.  Returns a GChains, or None for the
@@ -1174,4 +1191,10 @@ def map_tail_full(g, es, mode: int, f32, p32, ax, ay, mini_pos,
         o_llc.shape[1], len(o_ax), g_tab.shape[1], *out_ptrs)
     if n_gc < 0:
         return None
+    if select is not None:
+        if n_gc == 0:
+            return _gcs_from_scratch(0, sc, selected=True)
+        n2 = _select_native(lib, n_gc, sc, select)
+        if n2 >= 0:
+            return _gcs_from_scratch(n2, sc, selected=True)
     return _gcs_from_scratch(n_gc, sc)

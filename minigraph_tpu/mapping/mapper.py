@@ -122,10 +122,16 @@ def map_frag_tail(gi: MinimizerIndex, qlens: List[int], seqs: List[str],
             mt_mode, mt_f, mt_p = 1, None, None
             mt_dx, mt_dy = max_chain_gap_ref, max_chain_gap_qry
         seq_cat = "".join(seqs)
+        # selection runs natively too (native/mgt_select.c); the
+        # returned GChains is final (gcs.selected) and the finish
+        # stage only handles base alignment
+        sel_args = (opt.mask_level, opt.pri_ratio, gi.k * 2,
+                    opt.best_n, qlen_sum, n_mv, opt.min_gc_score,
+                    rep_len)
         gcs = map_tail_full(gi.g, gi.es, mt_mode, mt_f, mt_p, ax, ay,
                             mini_pos, opt, qlen_sum, n_segs, mt_dx,
                             mt_dy, chn_pen_gap, chn_pen_skip, is_splice,
-                            hash_, seq_cat)
+                            hash_, seq_cat, select=sel_args)
         if gcs is not None:
             gcs.rep_len = rep_len
             return _map_frag_finish(gi, gcs, opt, qname, n_segs,
@@ -251,11 +257,14 @@ def map_frag_tail(gi: MinimizerIndex, qlens: List[int], seqs: List[str],
 def _map_frag_finish(gi, gcs, opt, qname, n_segs, seq_cat, qlen_sum,
                      n_mv, cigar_sink):
     """Selection + mapq + base alignment (map-algo.c:464-483), shared
-    by the whole-tail native path and the decomposed path."""
-    gchain_set_parent(opt.mask_level, gcs.gc, opt.sub_diff, 0)
-    gchain_flt_sub(opt.pri_ratio, gi.k * 2, opt.best_n, gcs.gc)
-    gchain_drop_flt(gcs)
-    gchain_set_mapq(gcs, qlen_sum, n_mv, opt.min_gc_score)
+    by the whole-tail native path and the decomposed path.  When the
+    native tail already ran mgt_select_chains (gcs.selected), only the
+    base-alignment step remains."""
+    if not getattr(gcs, "selected", False):
+        gchain_set_parent(opt.mask_level, gcs.gc, opt.sub_diff, 0)
+        gchain_flt_sub(opt.pri_ratio, gi.k * 2, opt.best_n, gcs.gc)
+        gchain_drop_flt(gcs)
+        gchain_set_mapq(gcs, qlen_sum, n_mv, opt.min_gc_score)
     if (opt.flag & MG_M_CIGAR) and n_segs == 1:
         if cigar_sink is not None:
             # device -c mode: defer the per-gap WFAs into the batch

@@ -4,9 +4,17 @@ import subprocess
 from pathlib import Path
 
 # Multi-device CPU mesh for sharding tests; must be set before jax import.
-# (JAX_PLATFORM_NAME is what actually filters experimental PJRT plugins.)
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
+# FORCE cpu (not setdefault): the environment pre-sets JAX_PLATFORMS=axon,
+# and the axon sitecustomize registers its PJRT plugin whenever
+# PALLAS_AXON_POOL_IPS is set — which then blocks EVERY jax.devices()
+# call on the remote tunnel (minutes-long compiles by other processes,
+# or an unresponsive tunnel, hang the whole suite).  The test suite is
+# CPU-mesh by design (SURVEY §4); chip parity is asserted in bench.py.
+# Set MGT_TEST_DEVICE=1 to keep the axon backend available.
+if not os.environ.get("MGT_TEST_DEVICE"):
+    os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["JAX_PLATFORM_NAME"] = "cpu"
 os.environ.setdefault(
     "XLA_FLAGS",
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8",
