@@ -103,9 +103,19 @@ def map_frag_tail(gi: MinimizerIndex, qlens: List[int], seqs: List[str],
     else:
         max_chain_gap_ref = opt.max_gap
 
-    tmp = expf(-np.float32(opt.div) * np.float32(gi.k))
-    chn_pen_gap = float(np.float32(np.float32(opt.chn_pen_gap) * np.float32(tmp)))
-    chn_pen_skip = float(np.float32(np.float32(opt.chn_pen_skip) * np.float32(tmp)))
+    # chain penalties depend only on (div, k, pen); cache per options
+    # object — the expf ctypes round-trip is per-read cost otherwise
+    pen_key = (opt.div, gi.k, opt.chn_pen_gap, opt.chn_pen_skip)
+    pen = getattr(opt, "_pen_cache", None)
+    if pen is None or pen[0] != pen_key:
+        tmp = expf(-np.float32(opt.div) * np.float32(gi.k))
+        chn_pen_gap = float(np.float32(
+            np.float32(opt.chn_pen_gap) * np.float32(tmp)))
+        chn_pen_skip = float(np.float32(
+            np.float32(opt.chn_pen_skip) * np.float32(tmp)))
+        opt._pen_cache = (pen_key, chn_pen_gap, chn_pen_skip)
+    else:
+        chn_pen_gap, chn_pen_skip = pen[1], pen[2]
 
     # whole-tail native path (native/mgt_tail.c): linear chain +
     # rescue + lchain tail + graph chain in ONE call; falls back to
