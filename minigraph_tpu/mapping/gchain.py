@@ -1081,6 +1081,90 @@ def gchain_sort_by_score(gcs: GChains) -> None:
 
 _native_mt_cfg = False
 _native_sel_cfg = False
+_native_gaf_cfg = False
+
+
+def _get_gaf_ctx(g):
+    """Per-graph name/coordinate arrays for the native GAF formatter
+    (native/mgt_gaf.c): seg name blob + offsets, snid/soff, stable-seq
+    name blob + min/max/rank.  Cached on the Graph like _get_gfull_ctx."""
+    ctx = getattr(g, "_gaf_ctx", None)
+    if ctx is not None and ctx[0] == (g.n_seg, len(g.sseq)):
+        return ctx[1]
+    seg_len = getattr(g, "_seg_len_arr", None)
+    if seg_len is None or len(seg_len) != g.n_seg:
+        seg_len = np.asarray([s.len for s in g.seg], dtype=np.int64)
+        g._seg_len_arr = seg_len
+    names = [s.name.encode("latin-1") for s in g.seg]
+    nm = b"".join(names)
+    nm_off = np.zeros(g.n_seg + 1, dtype=np.int64)
+    np.cumsum(np.fromiter((len(x) for x in names), np.int64, g.n_seg),
+              out=nm_off[1:])
+    snid = np.asarray([s.snid for s in g.seg], dtype=np.int64)
+    soff = np.asarray([s.soff for s in g.seg], dtype=np.int64)
+    n_ss = len(g.sseq)
+    ss_names = [s.name.encode("latin-1") for s in g.sseq]
+    ss_nm = b"".join(ss_names)
+    ss_off = np.zeros(n_ss + 1, dtype=np.int64)
+    if n_ss:
+        np.cumsum(np.fromiter((len(x) for x in ss_names), np.int64, n_ss),
+                  out=ss_off[1:])
+    ss_min = np.asarray([s.min for s in g.sseq] or [0], dtype=np.int64)
+    ss_max = np.asarray([s.max for s in g.sseq] or [0], dtype=np.int64)
+    ss_rank = np.asarray([s.rank for s in g.sseq] or [0], dtype=np.int64)
+    args = (nm, nm_off.ctypes.data, seg_len.ctypes.data,
+            snid.ctypes.data, soff.ctypes.data,
+            ss_nm, ss_off.ctypes.data, ss_min.ctypes.data,
+            ss_max.ctypes.data, ss_rank.ctypes.data)
+    keep = (nm, nm_off, seg_len, snid, soff, ss_nm, ss_off, ss_min,
+            ss_max, ss_rank)
+    g._gaf_ctx = ((g.n_seg, n_ss), args, keep)
+    return args
+
+
+def _format_gaf_native(lib, g, n_gc, sc, qname, qlen, flag):
+    """Serialize the selected chain tables to GAF text natively
+    (native/mgt_gaf.c); returns the text or None for the Python
+    serializer fallback."""
+    global _native_gaf_cfg
+    import ctypes as ct
+    if not hasattr(lib, "mgt_format_gaf"):
+        return None
+    if not _native_gaf_cfg:
+        lib.mgt_format_gaf.restype = ct.c_int64
+        lib.mgt_format_gaf.argtypes = (
+            [ct.c_char_p] + [ct.c_void_p] * 4
+            + [ct.c_char_p] + [ct.c_void_p] * 4
+            + [ct.c_char_p, ct.c_int64, ct.c_int64, ct.c_int64]
+            + [ct.c_void_p] * 4          # lv, loff, lcnt, o_ay
+            + [ct.c_void_p] * 5          # g_off/g_cnt/g_na/g_sc/g_extra
+            + [ct.c_void_p] * 3          # sel parent/mapq/subsc
+            + [ct.c_int64] * 3
+            + [ct.c_void_p, ct.c_int64])
+        _native_gaf_cfg = True
+    from ..options import (MG_M_NO_COMP_PATH, MG_M_PRINT_2ND,
+                           MG_M_SHOW_UNMAP)
+    ctx = _get_gaf_ctx(g)
+    pt, sel = sc[6], sc[7]
+    qb = qname.encode("latin-1") if qname else b""
+    buf = getattr(_TLS, "gafbuf", None)
+    if buf is None:
+        buf = np.empty(1 << 16, dtype=np.uint8)
+        _TLS.gafbuf = buf
+    while True:
+        n = lib.mgt_format_gaf(
+            *ctx, qb, len(qb), qlen, n_gc,
+            pt[0], pt[1], pt[2], pt[6],
+            pt[7], pt[8], pt[9], pt[10], pt[12],
+            sel[0].ctypes.data, sel[1].ctypes.data, sel[3].ctypes.data,
+            int(bool(flag & MG_M_PRINT_2ND)),
+            int(bool(flag & MG_M_NO_COMP_PATH)),
+            int(bool(flag & MG_M_SHOW_UNMAP)),
+            buf.ctypes.data, len(buf))
+        if n >= 0:
+            return buf[:n].tobytes().decode("latin-1")
+        buf = np.empty(len(buf) * 4, dtype=np.uint8)
+        _TLS.gafbuf = buf
 
 
 def _select_native(lib, n_gc: int, sc, sel_args) -> int:
@@ -1117,7 +1201,7 @@ def map_tail_full(g, es, mode: int, f32, p32, ax, ay, mini_pos,
                   opt, qlen: int, n_segs: int, max_dist_x: int,
                   max_dist_y: int, chn_pen_gap: float,
                   chn_pen_skip: float, is_splice: bool, hash_: int,
-                  qseq: str, select=None):
+                  qseq: str, select=None, emit=None):
     """The WHOLE per-read tail in one native call (native/mgt_tail.c
     mgt_map_tail): linear-chain stage + long-join rescue + lchain tail
     + graph-chain stage.  Returns a GChains, or None for the
@@ -1193,8 +1277,19 @@ def map_tail_full(g, es, mode: int, f32, p32, ax, ay, mini_pos,
         return None
     if select is not None:
         if n_gc == 0:
-            return _gcs_from_scratch(0, sc, selected=True)
-        n2 = _select_native(lib, n_gc, sc, select)
+            n2 = 0
+        else:
+            n2 = _select_native(lib, n_gc, sc, select)
         if n2 >= 0:
+            if emit is not None:
+                # anchors -> GAF bytes entirely in C: skip the object
+                # build and the Python serializer (seqio/gaf.py)
+                txt = _format_gaf_native(lib, g, n2, sc, emit[0],
+                                         emit[1], emit[2])
+                if txt is not None:
+                    gcs = GChains()
+                    gcs.selected = True
+                    gcs.gaf_text = txt
+                    return gcs
             return _gcs_from_scratch(n2, sc, selected=True)
     return _gcs_from_scratch(n_gc, sc)

@@ -11,7 +11,8 @@ from ..graph.gfa import Graph
 from ..index.midx import MinimizerIndex, build_index
 from ..options import (MG_M_CAL_COV, MG_M_CIGAR, MG_M_FRAG_MERGE,
                        MG_M_FRAG_MODE, MG_M_HEAP_SORT, MG_M_INDEPEND_SEG,
-                       MG_M_RMQ, MG_M_SPLICE, MG_M_SR, MG_MAX_SEG,
+                       MG_M_RMQ, MG_M_SPLICE, MG_M_SR, MG_M_VERTEX_COOR,
+                       MG_M_WRITE_LCHAIN, MG_M_WRITE_MZ, MG_MAX_SEG,
                        GGOptions, IndexOptions, MapOptions)
 from ..utils.hashes import expf, kh_hash_str, kh_hash_uint32
 from ..utils.ksort import radix_argsort
@@ -25,6 +26,12 @@ from .select import (gchain_drop_flt, gchain_flt_sub, gchain_set_mapq,
 
 U32 = 0xFFFFFFFF
 
+# flags whose output shape the native GAF formatter does not handle;
+# reads carrying any of these go through the Python serializer
+_EMIT_BAIL_FLAGS = (MG_M_CIGAR | MG_M_CAL_COV | MG_M_FRAG_MODE
+                    | MG_M_FRAG_MERGE | MG_M_WRITE_LCHAIN
+                    | MG_M_WRITE_MZ | MG_M_VERTEX_COOR | MG_M_SPLICE)
+
 
 def _i32(v: int) -> int:
     v &= 0xFFFFFFFF
@@ -32,7 +39,8 @@ def _i32(v: int) -> int:
 
 
 def map_frag(gi: MinimizerIndex, qlens: List[int], seqs: List[str],
-             opt: MapOptions, qname: Optional[str]) -> Optional[GChains]:
+             opt: MapOptions, qname: Optional[str],
+             fast_emit: bool = False) -> Optional[GChains]:
     """Map one fragment (n_segs query segments) to the graph."""
     n_segs = len(qlens)
     qlen_sum = sum(qlens)
@@ -55,14 +63,16 @@ def map_frag(gi: MinimizerIndex, qlens: List[int], seqs: List[str],
         ax, ay, rep_len, mini_pos = collect_seed_hits(
             gi, opt, opt.occ_max1, mv_x, mv_y, qname)
     return map_frag_tail(gi, qlens, seqs, opt, qname,
-                         ax, ay, rep_len, mini_pos, n_mv)
+                         ax, ay, rep_len, mini_pos, n_mv,
+                         fast_emit=fast_emit)
 
 
 def map_frag_tail(gi: MinimizerIndex, qlens: List[int], seqs: List[str],
                   opt: MapOptions, qname: Optional[str],
                   ax: np.ndarray, ay: np.ndarray, rep_len: int,
                   mini_pos: np.ndarray, n_mv: int,
-                  chain_fp=None, cigar_sink=None) -> Optional[GChains]:
+                  chain_fp=None, cigar_sink=None,
+                  fast_emit: bool = False) -> Optional[GChains]:
     """Per-read pipeline after seed collection (map-algo.c:377-495).
 
     Split out so the device front-end (mapping/device_front.py) can
@@ -103,19 +113,7 @@ def map_frag_tail(gi: MinimizerIndex, qlens: List[int], seqs: List[str],
     else:
         max_chain_gap_ref = opt.max_gap
 
-    # chain penalties depend only on (div, k, pen); cache per options
-    # object — the expf ctypes round-trip is per-read cost otherwise
-    pen_key = (opt.div, gi.k, opt.chn_pen_gap, opt.chn_pen_skip)
-    pen = getattr(opt, "_pen_cache", None)
-    if pen is None or pen[0] != pen_key:
-        tmp = expf(-np.float32(opt.div) * np.float32(gi.k))
-        chn_pen_gap = float(np.float32(
-            np.float32(opt.chn_pen_gap) * np.float32(tmp)))
-        chn_pen_skip = float(np.float32(
-            np.float32(opt.chn_pen_skip) * np.float32(tmp)))
-        opt._pen_cache = (pen_key, chn_pen_gap, chn_pen_skip)
-    else:
-        chn_pen_gap, chn_pen_skip = pen[1], pen[2]
+    chn_pen_gap, chn_pen_skip = _chain_penalties(gi, opt)
 
     # whole-tail native path (native/mgt_tail.c): linear chain +
     # rescue + lchain tail + graph chain in ONE call; falls back to
@@ -138,10 +136,15 @@ def map_frag_tail(gi: MinimizerIndex, qlens: List[int], seqs: List[str],
         sel_args = (opt.mask_level, opt.pri_ratio, gi.k * 2,
                     opt.best_n, qlen_sum, n_mv, opt.min_gc_score,
                     rep_len)
+        emit = None
+        if fast_emit and n_segs == 1 \
+                and not (opt.flag & _EMIT_BAIL_FLAGS):
+            # plain single-segment GAF: serialize natively too
+            emit = (qname or "", qlen_sum, opt.flag)
         gcs = map_tail_full(gi.g, gi.es, mt_mode, mt_f, mt_p, ax, ay,
                             mini_pos, opt, qlen_sum, n_segs, mt_dx,
                             mt_dy, chn_pen_gap, chn_pen_skip, is_splice,
-                            hash_, seq_cat, select=sel_args)
+                            hash_, seq_cat, select=sel_args, emit=emit)
         if gcs is not None:
             gcs.rep_len = rep_len
             return _map_frag_finish(gi, gcs, opt, qname, n_segs,
@@ -366,6 +369,175 @@ def map_files(g: Graph, fns: List[str], ipt: IndexOptions, opt0: MapOptions,
     return 0
 
 
+_batch_cfg = False
+
+
+def _chain_penalties(gi, opt):
+    """f32 chain penalties, cached per options object (map-algo.c:388)."""
+    pen_key = (opt.div, gi.k, opt.chn_pen_gap, opt.chn_pen_skip)
+    pen = getattr(opt, "_pen_cache", None)
+    if pen is None or pen[0] != pen_key:
+        tmp = expf(-np.float32(opt.div) * np.float32(gi.k))
+        chn_pen_gap = float(np.float32(
+            np.float32(opt.chn_pen_gap) * np.float32(tmp)))
+        chn_pen_skip = float(np.float32(
+            np.float32(opt.chn_pen_skip) * np.float32(tmp)))
+        opt._pen_cache = (pen_key, chn_pen_gap, chn_pen_skip)
+        return chn_pen_gap, chn_pen_skip
+    return pen[1], pen[2]
+
+
+def _map_batch_native(gi, opt, items, n_threads):
+    """Map a batch of device-front reads anchors -> GAF text in ONE
+    native call (native/mgt_batch.c: work-stealing pthread loop over
+    mgt_map_tail + mgt_select_chains + mgt_format_gaf).  items is a
+    list of (fi, qname, seq, FrontResult); returns {fi: gaf_text or
+    None-for-fallback}, or None when the batch driver is unavailable
+    (caller uses the per-read path)."""
+    global _batch_cfg
+    import ctypes as ct
+
+    from ..options import (DBG, MG_M_NO_COMP_PATH, MG_M_PRINT_2ND,
+                           MG_M_SHOW_UNMAP, MG_MAX_SHORT_K)
+    from ..utils.native import get_lib
+    from .gchain import _get_gaf_ctx, _get_gfull_ctx
+    if DBG["flag"] or (opt.flag & _EMIT_BAIL_FLAGS) or not items:
+        return None
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "mgt_map_tail_batch"):
+        return None
+    if not _batch_cfg:
+        lib.mgt_map_tail_batch.restype = ct.c_int64
+        lib.mgt_map_tail_batch.argtypes = (
+            [ct.c_int64, ct.c_int64, ct.c_void_p, ct.c_void_p]
+            + [ct.c_void_p] * 12                      # per-read arrays
+            + [ct.c_char_p, ct.c_void_p, ct.c_char_p, ct.c_void_p]
+            + [ct.c_void_p] * 4 + [ct.c_int64, ct.c_void_p]
+            + [ct.c_void_p] * 6 + [ct.c_char_p]       # graph ctx
+            + [ct.c_char_p] + [ct.c_void_p] * 3
+            + [ct.c_char_p] + [ct.c_void_p] * 4       # gaf name ctx
+            + [ct.c_void_p] * 4)                      # out
+        lib.mgt_buf_free.restype = None
+        lib.mgt_buf_free.argtypes = [ct.c_void_p]
+        _batch_cfg = True
+
+    n = len(items)
+    is_sr = bool(opt.flag & MG_M_SR)
+    is_splice = bool(opt.flag & MG_M_SPLICE)
+    is_rmq = bool(opt.flag & MG_M_RMQ)
+    if opt.max_gap_ref > 0:
+        mdx_dp = opt.max_gap_ref
+    elif opt.max_frag_len > 0:
+        mdx_dp = None  # depends on qlen; computed per read below
+    else:
+        mdx_dp = opt.max_gap
+    chn_pen_gap, chn_pen_skip = _chain_penalties(gi, opt)
+    do_rescue = int(opt.bw_long > opt.bw
+                    and not (opt.flag & (MG_M_SPLICE | MG_M_SR)))
+    gaf_flags = (int(bool(opt.flag & MG_M_PRINT_2ND))
+                 | (int(bool(opt.flag & MG_M_NO_COMP_PATH)) << 1)
+                 | (int(bool(opt.flag & MG_M_SHOW_UNMAP)) << 2))
+    P = np.array([
+        opt.bw, opt.max_lc_skip, opt.max_lc_iter, opt.min_lc_cnt,
+        opt.min_lc_score, int(is_splice), opt.max_gap_pre,
+        opt.rmq_size_cap, do_rescue, opt.bw_long, opt.rmq_rescue_size,
+        opt.max_gap, opt.lc_max_occ, opt.lc_max_trim, opt.max_gap >> 1,
+        opt.max_gc_skip, opt.ref_bonus, MG_MAX_SHORT_K, opt.min_gc_cnt,
+        opt.min_gc_score, opt.gdp_max_ed, opt.seed, gi.k * 2,
+        opt.best_n, gaf_flags], dtype=np.int64)
+    PD = np.array([chn_pen_gap, chn_pen_skip, opt.rmq_rescue_ratio,
+                   opt.mask_level, opt.pri_ratio], dtype=np.float64)
+
+    mode = np.empty(n, dtype=np.int64)
+    n_a = np.empty(n, dtype=np.int64)
+    axp = np.empty(n, dtype=np.uint64)
+    ayp = np.empty(n, dtype=np.uint64)
+    fpp = np.zeros(n, dtype=np.uint64)
+    ppp = np.zeros(n, dtype=np.uint64)
+    n_mv = np.empty(n, dtype=np.int64)
+    mpp = np.empty(n, dtype=np.uint64)
+    qlen = np.empty(n, dtype=np.int64)
+    rep_len = np.empty(n, dtype=np.int64)
+    mdx = np.empty(n, dtype=np.int64)
+    mdy = np.empty(n, dtype=np.int64)
+    qseq_off = np.zeros(n + 1, dtype=np.int64)
+    qname_off = np.zeros(n + 1, dtype=np.int64)
+    keep = []
+    seq_parts, name_parts = [], []
+    for k, (fi, qname, seq, fr) in enumerate(items):
+        ql = len(seq)
+        qlen[k] = ql
+        ax, ay = fr.ax, fr.ay
+        if not ax.flags["C_CONTIGUOUS"]:
+            ax = np.ascontiguousarray(ax)
+        if not ay.flags["C_CONTIGUOUS"]:
+            ay = np.ascontiguousarray(ay)
+        mp = fr.mini_pos
+        if mp.dtype != np.int64 or not mp.flags["C_CONTIGUOUS"]:
+            mp = np.ascontiguousarray(mp, dtype=np.int64)
+        keep.append((ax, ay, mp))
+        n_a[k] = len(ax)
+        axp[k] = ax.ctypes.data
+        ayp[k] = ay.ctypes.data
+        mpp[k] = mp.ctypes.data
+        n_mv[k] = fr.n_mv
+        rep_len[k] = fr.rep_len
+        if is_rmq:
+            mode[k] = 2
+            mdx[k] = opt.max_gap
+            mdy[k] = 0
+        elif fr.f is not None:
+            f32 = np.ascontiguousarray(fr.f, dtype=np.int32)
+            p32 = np.ascontiguousarray(fr.p, dtype=np.int32)
+            keep.append((f32, p32))
+            fpp[k] = f32.ctypes.data
+            ppp[k] = p32.ctypes.data
+            mode[k] = 0
+            mdx[k] = mdy[k] = 0
+        else:
+            mode[k] = 1
+            mdx[k] = mdx_dp if mdx_dp is not None \
+                else max(opt.max_frag_len - ql, opt.max_gap)
+            mdy[k] = max(ql, opt.max_gap) if is_sr else opt.max_gap
+        seq_parts.append(seq)
+        name_parts.append(qname or "")
+        qseq_off[k + 1] = qseq_off[k] + ql
+        qname_off[k + 1] = qname_off[k] + len(name_parts[-1])
+    qseq_blob = "".join(seq_parts).encode("latin-1")
+    qname_blob = "".join(name_parts).encode("latin-1")
+
+    args0 = _get_gfull_ctx(gi.g, gi.es)
+    gctx = _get_gaf_ctx(gi.g)
+    o_off = np.empty(n, dtype=np.int64)
+    o_len = np.empty(n, dtype=np.int64)
+    status = np.empty(n, dtype=np.int64)
+    pbuf = ct.c_void_p()
+    total = lib.mgt_map_tail_batch(
+        n, max(1, n_threads), P.ctypes.data, PD.ctypes.data,
+        mode.ctypes.data, n_a.ctypes.data, axp.ctypes.data,
+        ayp.ctypes.data, fpp.ctypes.data, ppp.ctypes.data,
+        n_mv.ctypes.data, mpp.ctypes.data, qlen.ctypes.data,
+        rep_len.ctypes.data, mdx.ctypes.data, mdy.ctypes.data,
+        qseq_blob, qseq_off.ctypes.data,
+        qname_blob, qname_off.ctypes.data,
+        *args0,
+        gctx[0], gctx[1], gctx[3], gctx[4],
+        gctx[5], gctx[6], gctx[7], gctx[8], gctx[9],
+        ct.byref(pbuf), o_off.ctypes.data, o_len.ctypes.data,
+        status.ctypes.data)
+    if total < 0:
+        return None
+    txt = ct.string_at(pbuf, total).decode("latin-1") if total else ""
+    lib.mgt_buf_free(pbuf)
+    res = {}
+    for k, (fi, _, _, _) in enumerate(items):
+        if status[k] == 0:
+            res[fi] = txt[int(o_off[k]): int(o_off[k]) + int(o_len[k])]
+        else:
+            res[fi] = None
+    return res
+
+
 # --- fork-based worker pool (kt_for analog; index shared copy-on-write) ---
 _POOL_CTX = {}
 
@@ -374,7 +546,7 @@ def _pool_worker_map(item):
     off, qname, seqs = item
     gi, opt = _POOL_CTX["gi"], _POOL_CTX["opt"]
     qlens = [len(s) for s in seqs]
-    gcs = map_frag(gi, qlens, seqs, opt, qname)
+    gcs = map_frag(gi, qlens, seqs, opt, qname, fast_emit=True)
     return off, gcs
 
 
@@ -491,6 +663,16 @@ def _map_file_frag(gi: MinimizerIndex, fns: List[str], opt: MapOptions,
                                   batch[off].name,
                                   [batch[off + k].seq for k in range(n_seg)]))
                 pre = _map_fragments_parallel(gi, opt, items, eff_threads)
+            # batched native tails: anchors -> GAF bytes in one C
+            # call (work-stealing threads), per-read Python only for
+            # fallbacks (native/mgt_batch.c)
+            batch_txt = None
+            if front_res and not (opt.flag & (MG_M_CIGAR | _EMIT_BAIL_FLAGS)):
+                items = [(fi, batch[frags[fi][0]].name,
+                          batch[frags[fi][0]].seq, fr)
+                         for fi, fr in front_res.items()
+                         if fr is not None and frags[fi][1] == 1]
+                batch_txt = _map_batch_native(gi, opt, items, n_threads)
             # device -c mode: defer per-gap WFAs of device-front reads
             # into one batch pool, align on device, then finalize
             cigar_sink = None
@@ -524,14 +706,18 @@ def _map_file_frag(gi: MinimizerIndex, fns: List[str], opt: MapOptions,
                                               fr.ay, fr.rep_len,
                                               fr.mini_pos, fr.n_mv,
                                               chain_fp=fp,
-                                              cigar_sink=cigar_sink)]
+                                              cigar_sink=cigar_sink,
+                                              fast_emit=cigar_sink
+                                              is None)]
                 elif opt.flag & MG_M_INDEPEND_SEG:
                     gcs_list = [map_frag(gi, [qlens[k]], [seqs[k]], opt,
-                                         batch[off + k].name)
+                                         batch[off + k].name,
+                                         fast_emit=cigar_sink is None)
                                 for k in range(n_seg)]
                 else:
                     gcs_list = [map_frag(gi, qlens, seqs, opt,
-                                         batch[off].name)]
+                                         batch[off].name,
+                                         fast_emit=cigar_sink is None)]
                 return qlens, gcs_list
 
             def emit_frag(off, n_seg, qlens, gcs_list):
@@ -572,6 +758,15 @@ def _map_file_frag(gi: MinimizerIndex, fns: List[str], opt: MapOptions,
                     finalize_read(pr, res)
                 for (off, n_seg), (qlens, gcs_list) in zip(frags, computed):
                     emit_frag(off, n_seg, qlens, gcs_list)
+            elif batch_txt is not None:
+                for fi, (off, n_seg) in enumerate(frags):
+                    txt = batch_txt.get(fi)
+                    if txt is not None:
+                        if txt:
+                            out.write(txt)
+                    else:
+                        qlens, gcs_list = compute_frag(fi, off, n_seg)
+                        emit_frag(off, n_seg, qlens, gcs_list)
             else:
                 from ..options import DBG as _DBG
                 if front is not None and n_threads > 1 \

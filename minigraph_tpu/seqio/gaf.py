@@ -26,6 +26,11 @@ def _fmt_div(div: float) -> str:
 def write_gaf(g: Graph, gs: Optional[GChains], n_seg: int, qlens: List[int],
               qname: str, flag: int) -> str:
     """Serialize all chains of one query to GAF/PAF text."""
+    if gs is not None:
+        txt = getattr(gs, "gaf_text", None)
+        if txt is not None:
+            # serialized natively off the chain tables (mgt_gaf.c)
+            return txt
     out: List[str] = []
     qlen = sum(qlens)
     if (gs is None or gs.n_gc == 0) and (flag & MG_M_SHOW_UNMAP):

@@ -1,0 +1,393 @@
+/* Batched per-read mapping tails: the kt_for worker loop (kthread.c:
+ * 30-52) applied to the whole native tail.  One call maps a batch of
+ * device-front reads anchors -> GAF bytes: for each read it composes
+ * mgt_map_tail (linear+graph chaining), mgt_select_chains (gcmisc.c
+ * selection) and mgt_format_gaf (format.c serialization), with a
+ * work-stealing pthread pool so multi-core hosts scale without the
+ * Python interpreter in the loop.  Reads whose engines bail get
+ * status=1 and are re-run by the caller on the exact Python-driven
+ * path (anchor planes are copied before mutation, so the retry sees
+ * pristine input).
+ */
+#include <pthread.h>
+#include <stdint.h>
+#include <stdlib.h>
+#include <string.h>
+
+extern int64_t mgt_map_tail(
+    int64_t mode, const int32_t *fdp, const int32_t *pdp,
+    int64_t max_dist_x, int64_t max_dist_y, int64_t bw,
+    int64_t max_lc_skip, int64_t max_lc_iter, int64_t min_lc_cnt,
+    int64_t min_lc_score, double chn_pen_gap, double chn_pen_skip,
+    int64_t is_cdna, int64_t n_segs, int64_t max_gap_pre,
+    int64_t rmq_size_cap,
+    int64_t do_rescue, int64_t qlen, int64_t bw_long,
+    int64_t rmq_rescue_size, int64_t rescue_max_dist,
+    double rmq_rescue_ratio,
+    int64_t n_a, uint64_t *ax, uint64_t *ay,
+    const int64_t *mini_pos, int64_t n_mv, int64_t lc_max_occ,
+    int64_t lc_max_trim, int64_t max_gap_half,
+    const int64_t *gidx, const int64_t *arc_w, const int64_t *arc_lv,
+    const int64_t *arc_rank, int64_t n_vtx, const int64_t *seg_len,
+    int64_t *gw_arc_start, int32_t *gw_arc_cnt, uint32_t *gw_arc_w,
+    int32_t *gw_arc_ow, int64_t *gw_seq_off, int32_t *gw_seq_len,
+    const char *gw_seq, const char *qseq, int64_t qseq_len,
+    int64_t bw_gc, int64_t max_gc_skip, int64_t ref_bonus,
+    double mask_level, int64_t max_sk, uint32_t hash0,
+    int64_t min_gc_cnt, int64_t min_gc_score, int64_t gdp_max_ed,
+    int64_t llc_cap, int64_t a_cap, int64_t gc_cap,
+    int64_t *o_lv, int64_t *o_loff, int64_t *o_lcnt, int64_t *o_lsc,
+    int64_t *o_led, uint64_t *o_ax, uint64_t *o_ay,
+    int64_t *g_off, int64_t *g_cnt, int64_t *g_na, int64_t *g_sc,
+    uint32_t *g_hash, int64_t *g_extra);
+
+extern int64_t mgt_select_chains(
+    double mask_level, double pri_ratio, int64_t min_diff,
+    int64_t best_n, int64_t qlen, int64_t max_mini,
+    int64_t min_gc_score, int64_t rep_len, int64_t n_gc,
+    int64_t *g_off, int64_t *g_cnt, int64_t *g_na, int64_t *g_sc,
+    uint32_t *g_hash, int64_t *g_extra,
+    int64_t *o_lv, int64_t *o_loff, int64_t *o_lcnt, int64_t *o_lsc,
+    int64_t *o_led, uint64_t *o_ax, uint64_t *o_ay,
+    int64_t *out_parent, int64_t *out_mapq, int64_t *out_nsub,
+    int64_t *out_subsc);
+
+extern int64_t mgt_format_gaf(
+    const char *seg_nm, const int64_t *seg_nm_off,
+    const int64_t *seg_len, const int64_t *seg_snid,
+    const int64_t *seg_soff,
+    const char *ss_nm, const int64_t *ss_nm_off,
+    const int64_t *ss_min, const int64_t *ss_max, const int64_t *ss_rank,
+    const char *qname, int64_t qname_len, int64_t qlen,
+    int64_t n_gc,
+    const int64_t *lv, const int64_t *loff, const int64_t *lcnt,
+    const uint64_t *o_ay,
+    const int64_t *g_off, const int64_t *g_cnt, const int64_t *g_na,
+    const int64_t *g_sc, const int64_t *g_extra,
+    const int64_t *sel_parent, const int64_t *sel_mapq,
+    const int64_t *sel_subsc,
+    int64_t print_2nd, int64_t no_comp_path, int64_t show_unmap,
+    char *buf, int64_t cap);
+
+/* khashl.h integer/string hashes (definitional formulas) */
+static inline uint32_t bh_hash32(uint32_t key)
+{
+    key += ~(key << 15);
+    key ^= key >> 10;
+    key += key << 3;
+    key ^= key >> 6;
+    key += ~(key << 11);
+    key ^= key >> 16;
+    return key;
+}
+
+static inline uint32_t bh_hash_str(const char *s, int64_t n)
+{
+    uint32_t h = 0;
+    int64_t i;
+    if (n > 0) {
+        h = (uint8_t)s[0];
+        for (i = 1; i < n; ++i)
+            h = (h << 5) - h + (uint8_t)s[i];
+    }
+    return h;
+}
+
+/* P layout (int64 scalars, shared by every read in the batch) */
+enum {
+    P_BW, P_MAX_LC_SKIP, P_MAX_LC_ITER, P_MIN_LC_CNT, P_MIN_LC_SCORE,
+    P_IS_CDNA, P_MAX_GAP_PRE, P_RMQ_SIZE_CAP, P_DO_RESCUE, P_BW_LONG,
+    P_RMQ_RESCUE_SIZE, P_RESCUE_MAX_DIST, P_LC_MAX_OCC,
+    P_LC_MAX_TRIM, P_MAX_GAP_HALF, P_MAX_GC_SKIP, P_REF_BONUS,
+    P_MAX_SK, P_MIN_GC_CNT, P_MIN_GC_SCORE, P_GDP_MAX_ED, P_SEED,
+    P_SEL_MIN_DIFF, P_SEL_BEST_N, P_GAF_FLAGS, P_N
+};
+/* PD layout (double scalars) */
+enum { D_PEN_GAP, D_PEN_SKIP, D_RESCUE_RATIO, D_MASK_LEVEL,
+       D_PRI_RATIO, D_N };
+
+typedef struct {
+    /* shared inputs */
+    int64_t n_reads;
+    const int64_t *P;
+    const double *PD;
+    const int64_t *mode, *n_a, *n_mv, *qlen, *rep_len, *mdx, *mdy;
+    const uint64_t *axp, *ayp, *fpp, *ppp, *mpp;  /* per-read addrs */
+    const char *qseq_blob;
+    const int64_t *qseq_off;
+    const char *qname_blob;
+    const int64_t *qname_off;
+    /* graph ctx */
+    const int64_t *gidx, *arc_w, *arc_lv, *arc_rank;
+    int64_t n_vtx;
+    const int64_t *gseg_len;
+    int64_t *gw_arc_start;
+    int32_t *gw_arc_cnt;
+    uint32_t *gw_arc_w;
+    int32_t *gw_arc_ow;
+    int64_t *gw_seq_off;
+    int32_t *gw_seq_len;
+    const char *gw_seq;
+    /* gaf name ctx */
+    const char *seg_nm;
+    const int64_t *seg_nm_off, *seg_snid, *seg_soff;
+    const char *ss_nm;
+    const int64_t *ss_nm_off, *ss_min, *ss_max, *ss_rank;
+    /* outputs */
+    int64_t *r_tid, *r_off, *r_len, *status;
+    /* per-thread result buffers */
+    char **tbuf;
+    int64_t *tlen;
+    /* work-stealing cursor */
+    int64_t next;
+} batch_t;
+
+typedef struct {
+    batch_t *b;
+    int tid;
+} warg_t;
+
+typedef struct {
+    uint64_t *ax, *ay;          /* anchor copies */
+    int64_t a_sz;
+    int64_t *tab;               /* o_lv..o_led | g_off..g_sc | extra.. */
+    uint64_t *o_ax, *o_ay;
+    uint32_t *g_hash;
+    int64_t llc_cap, a_cap, gc_cap;
+    char *gb;                   /* gaf grow buffer */
+    int64_t gb_cap, gb_len;
+} tscratch_t;
+
+static int ts_reserve(tscratch_t *t, int64_t n_a)
+{
+    int64_t llc_cap = n_a + 1024;
+    int64_t a_cap = n_a > 64 ? n_a : 64;
+    int64_t gc_cap = a_cap;
+    if (n_a > t->a_sz) {
+        free(t->ax); free(t->ay);
+        t->a_sz = n_a + (n_a >> 1);
+        t->ax = (uint64_t *)malloc(8 * (size_t)t->a_sz);
+        t->ay = (uint64_t *)malloc(8 * (size_t)t->a_sz);
+        if (!t->ax || !t->ay) { t->a_sz = 0; return -1; }
+    }
+    if (llc_cap > t->llc_cap || gc_cap > t->gc_cap || a_cap > t->a_cap) {
+        free(t->tab); free(t->o_ax); free(t->o_ay); free(t->g_hash);
+        t->llc_cap = llc_cap + (llc_cap >> 1);
+        t->a_cap = a_cap + (a_cap >> 1);
+        t->gc_cap = gc_cap + (gc_cap >> 1);
+        t->tab = (int64_t *)malloc(
+            8 * (size_t)(5 * t->llc_cap + (4 + 8 + 4) * t->gc_cap));
+        t->o_ax = (uint64_t *)malloc(8 * (size_t)t->a_cap);
+        t->o_ay = (uint64_t *)malloc(8 * (size_t)t->a_cap);
+        t->g_hash = (uint32_t *)malloc(4 * (size_t)t->gc_cap);
+        if (!t->tab || !t->o_ax || !t->o_ay || !t->g_hash) {
+            t->llc_cap = t->a_cap = t->gc_cap = 0;
+            return -1;
+        }
+    }
+    return 0;
+}
+
+static void *worker(void *vp)
+{
+    warg_t *w = (warg_t *)vp;
+    batch_t *b = w->b;
+    const int64_t *P = b->P;
+    const double *PD = b->PD;
+    tscratch_t ts;
+    memset(&ts, 0, sizeof(ts));
+    for (;;) {
+        int64_t i = __atomic_fetch_add(&b->next, 1, __ATOMIC_RELAXED);
+        if (i >= b->n_reads) break;
+        int64_t n_a = b->n_a[i];
+        b->status[i] = 1;             /* assume fallback until done */
+        b->r_tid[i] = w->tid;
+        b->r_off[i] = ts.gb_len;
+        b->r_len[i] = 0;
+        if (ts_reserve(&ts, n_a) < 0) continue;
+        memcpy(ts.ax, (const void *)(uintptr_t)b->axp[i],
+               8 * (size_t)n_a);
+        memcpy(ts.ay, (const void *)(uintptr_t)b->ayp[i],
+               8 * (size_t)n_a);
+        int64_t *o_lv = ts.tab, *o_loff = o_lv + ts.llc_cap;
+        int64_t *o_lcnt = o_loff + ts.llc_cap, *o_lsc = o_lcnt + ts.llc_cap;
+        int64_t *o_led = o_lsc + ts.llc_cap;
+        int64_t *g_off = o_led + ts.llc_cap, *g_cnt = g_off + ts.gc_cap;
+        int64_t *g_na = g_cnt + ts.gc_cap, *g_sc = g_na + ts.gc_cap;
+        int64_t *g_extra = g_sc + ts.gc_cap;
+        int64_t *sel = g_extra + 8 * ts.gc_cap;   /* 4 rows */
+        const char *qs = b->qseq_blob + b->qseq_off[i];
+        int64_t qs_len = b->qseq_off[i + 1] - b->qseq_off[i];
+        const char *qn = b->qname_blob + b->qname_off[i];
+        int64_t qn_len = b->qname_off[i + 1] - b->qname_off[i];
+        uint32_t hash0 = bh_hash_str(qn, qn_len);
+        hash0 ^= bh_hash32((uint32_t)b->qlen[i])
+               + bh_hash32((uint32_t)P[P_SEED]);
+        hash0 = bh_hash32(hash0);
+        int64_t n_gc = mgt_map_tail(
+            b->mode[i],
+            (const int32_t *)(uintptr_t)b->fpp[i],
+            (const int32_t *)(uintptr_t)b->ppp[i],
+            b->mdx[i], b->mdy[i], P[P_BW], P[P_MAX_LC_SKIP],
+            P[P_MAX_LC_ITER], P[P_MIN_LC_CNT], P[P_MIN_LC_SCORE],
+            PD[D_PEN_GAP], PD[D_PEN_SKIP],
+            P[P_IS_CDNA], 1, P[P_MAX_GAP_PRE], P[P_RMQ_SIZE_CAP],
+            P[P_DO_RESCUE], b->qlen[i], P[P_BW_LONG],
+            P[P_RMQ_RESCUE_SIZE], P[P_RESCUE_MAX_DIST],
+            PD[D_RESCUE_RATIO],
+            n_a, ts.ax, ts.ay,
+            (const int64_t *)(uintptr_t)b->mpp[i], b->n_mv[i],
+            P[P_LC_MAX_OCC], P[P_LC_MAX_TRIM], P[P_MAX_GAP_HALF],
+            b->gidx, b->arc_w, b->arc_lv, b->arc_rank, b->n_vtx,
+            b->gseg_len, b->gw_arc_start, b->gw_arc_cnt, b->gw_arc_w,
+            b->gw_arc_ow, b->gw_seq_off, b->gw_seq_len, b->gw_seq,
+            qs, qs_len,
+            P[P_BW_LONG], P[P_MAX_GC_SKIP], P[P_REF_BONUS],
+            PD[D_MASK_LEVEL], P[P_MAX_SK], hash0,
+            P[P_MIN_GC_CNT], P[P_MIN_GC_SCORE], P[P_GDP_MAX_ED],
+            ts.llc_cap, ts.a_cap, ts.gc_cap,
+            o_lv, o_loff, o_lcnt, o_lsc, o_led, ts.o_ax, ts.o_ay,
+            g_off, g_cnt, g_na, g_sc, ts.g_hash, g_extra);
+        if (n_gc < 0) continue;
+        int64_t n2 = 0;
+        if (n_gc > 0) {
+            n2 = mgt_select_chains(
+                PD[D_MASK_LEVEL], PD[D_PRI_RATIO], P[P_SEL_MIN_DIFF],
+                P[P_SEL_BEST_N], b->qlen[i], b->n_mv[i],
+                P[P_MIN_GC_SCORE], b->rep_len[i], n_gc,
+                g_off, g_cnt, g_na, g_sc, ts.g_hash, g_extra,
+                o_lv, o_loff, o_lcnt, o_lsc, o_led, ts.o_ax, ts.o_ay,
+                sel, sel + ts.gc_cap, sel + 2 * ts.gc_cap,
+                sel + 3 * ts.gc_cap);
+            if (n2 < 0) continue;
+        }
+        for (;;) {
+            int64_t flags = P[P_GAF_FLAGS];
+            int64_t n = mgt_format_gaf(
+                b->seg_nm, b->seg_nm_off, b->gseg_len, b->seg_snid,
+                b->seg_soff, b->ss_nm, b->ss_nm_off, b->ss_min,
+                b->ss_max, b->ss_rank,
+                qn, qn_len, b->qlen[i], n2,
+                o_lv, o_loff, o_lcnt, ts.o_ay,
+                g_off, g_cnt, g_na, g_sc, g_extra,
+                sel, sel + ts.gc_cap, sel + 3 * ts.gc_cap,
+                flags & 1, (flags >> 1) & 1, (flags >> 2) & 1,
+                ts.gb + ts.gb_len, ts.gb_cap - ts.gb_len);
+            if (n >= 0) {
+                b->r_len[i] = n;
+                ts.gb_len += n;
+                b->status[i] = 0;
+                break;
+            }
+            int64_t want = ts.gb_cap ? ts.gb_cap * 2 : (1 << 20);
+            char *nb = (char *)realloc(ts.gb, (size_t)want);
+            if (!nb) break;
+            ts.gb = nb;
+            ts.gb_cap = want;
+        }
+    }
+    b->tbuf[w->tid] = ts.gb;
+    b->tlen[w->tid] = ts.gb_len;
+    free(ts.ax); free(ts.ay); free(ts.tab);
+    free(ts.o_ax); free(ts.o_ay); free(ts.g_hash);
+    return 0;
+}
+
+void mgt_buf_free(void *p) { free(p); }
+
+/* Returns total GAF bytes (>= 0) and sets *out_buf (caller frees via
+ * mgt_buf_free), or -1 on allocation failure (caller falls back to
+ * the per-read path).  status[i]: 0 = GAF at out[o_off[i]:+o_len[i]],
+ * 1 = engines bailed, re-run read i on the exact per-read path. */
+int64_t mgt_map_tail_batch(
+    int64_t n_reads, int64_t n_threads,
+    const int64_t *P, const double *PD,
+    const int64_t *mode, const int64_t *n_a,
+    const uint64_t *axp, const uint64_t *ayp,
+    const uint64_t *fpp, const uint64_t *ppp,
+    const int64_t *n_mv, const uint64_t *mpp,
+    const int64_t *qlen, const int64_t *rep_len,
+    const int64_t *mdx, const int64_t *mdy,
+    const char *qseq_blob, const int64_t *qseq_off,
+    const char *qname_blob, const int64_t *qname_off,
+    const int64_t *gidx, const int64_t *arc_w, const int64_t *arc_lv,
+    const int64_t *arc_rank, int64_t n_vtx, const int64_t *gseg_len,
+    int64_t *gw_arc_start, int32_t *gw_arc_cnt, uint32_t *gw_arc_w,
+    int32_t *gw_arc_ow, int64_t *gw_seq_off, int32_t *gw_seq_len,
+    const char *gw_seq,
+    const char *seg_nm, const int64_t *seg_nm_off,
+    const int64_t *seg_snid, const int64_t *seg_soff,
+    const char *ss_nm, const int64_t *ss_nm_off,
+    const int64_t *ss_min, const int64_t *ss_max, const int64_t *ss_rank,
+    char **out_buf, int64_t *o_off, int64_t *o_len, int64_t *status)
+{
+    batch_t b;
+    memset(&b, 0, sizeof(b));
+    b.n_reads = n_reads;
+    b.P = P; b.PD = PD;
+    b.mode = mode; b.n_a = n_a; b.n_mv = n_mv;
+    b.qlen = qlen; b.rep_len = rep_len; b.mdx = mdx; b.mdy = mdy;
+    b.axp = axp; b.ayp = ayp; b.fpp = fpp; b.ppp = ppp; b.mpp = mpp;
+    b.qseq_blob = qseq_blob; b.qseq_off = qseq_off;
+    b.qname_blob = qname_blob; b.qname_off = qname_off;
+    b.gidx = gidx; b.arc_w = arc_w; b.arc_lv = arc_lv;
+    b.arc_rank = arc_rank; b.n_vtx = n_vtx; b.gseg_len = gseg_len;
+    b.gw_arc_start = gw_arc_start; b.gw_arc_cnt = gw_arc_cnt;
+    b.gw_arc_w = gw_arc_w; b.gw_arc_ow = gw_arc_ow;
+    b.gw_seq_off = gw_seq_off; b.gw_seq_len = gw_seq_len;
+    b.gw_seq = gw_seq;
+    b.seg_nm = seg_nm; b.seg_nm_off = seg_nm_off;
+    b.seg_snid = seg_snid; b.seg_soff = seg_soff;
+    b.ss_nm = ss_nm; b.ss_nm_off = ss_nm_off;
+    b.ss_min = ss_min; b.ss_max = ss_max; b.ss_rank = ss_rank;
+    b.next = 0;
+    if (n_threads < 1) n_threads = 1;
+    if (n_threads > 64) n_threads = 64;
+    if (n_threads > n_reads) n_threads = n_reads > 0 ? n_reads : 1;
+    b.r_tid = (int64_t *)malloc(8 * (size_t)n_reads);
+    b.r_off = o_off;
+    b.r_len = o_len;
+    b.status = status;
+    b.tbuf = (char **)calloc((size_t)n_threads, sizeof(char *));
+    b.tlen = (int64_t *)calloc((size_t)n_threads, 8);
+    if (!b.r_tid || !b.tbuf || !b.tlen) {
+        free(b.r_tid); free(b.tbuf); free(b.tlen);
+        return -1;
+    }
+    if (n_threads == 1) {
+        warg_t w = { &b, 0 };
+        worker(&w);
+    } else {
+        pthread_t th[64];
+        warg_t wa[64];
+        int64_t t;
+        for (t = 0; t < n_threads; ++t) {
+            wa[t].b = &b;
+            wa[t].tid = (int)t;
+            pthread_create(&th[t], 0, worker, &wa[t]);
+        }
+        for (t = 0; t < n_threads; ++t)
+            pthread_join(th[t], 0);
+    }
+    /* assemble per-thread buffers into one ordered output buffer */
+    int64_t total = 0, t, i;
+    for (t = 0; t < n_threads; ++t) total += b.tlen[t];
+    char *out = (char *)malloc(total > 0 ? (size_t)total : 1);
+    if (!out) {
+        for (t = 0; t < n_threads; ++t) free(b.tbuf[t]);
+        free(b.r_tid); free(b.tbuf); free(b.tlen);
+        return -1;
+    }
+    int64_t pos = 0;
+    for (i = 0; i < n_reads; ++i) {
+        if (status[i] != 0 || o_len[i] == 0) { o_off[i] = pos; continue; }
+        memcpy(out + pos, b.tbuf[b.r_tid[i]] + o_off[i],
+               (size_t)o_len[i]);
+        o_off[i] = pos;
+        pos += o_len[i];
+    }
+    for (t = 0; t < n_threads; ++t) free(b.tbuf[t]);
+    free(b.r_tid); free(b.tbuf); free(b.tlen);
+    *out_buf = out;
+    return pos;
+}

@@ -15,6 +15,13 @@ if not os.environ.get("MGT_TEST_DEVICE"):
     os.environ.pop("PALLAS_AXON_POOL_IPS", None)
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ["JAX_PLATFORM_NAME"] = "cpu"
+    # The axon sitecustomize may have imported jax at INTERPRETER
+    # startup (before this conftest), registering the tunnel plugin
+    # and pinning jax_platforms — env vars are too late then; override
+    # the live config so no test touches the tunnel.
+    import sys as _sys
+    if "jax" in _sys.modules:
+        _sys.modules["jax"].config.update("jax_platforms", "cpu")
 os.environ.setdefault(
     "XLA_FLAGS",
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8",
