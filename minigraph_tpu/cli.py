@@ -32,6 +32,7 @@ _LONG = [
     "call", "cap-calloc=", "gdp-max-ed=", "dbg-seed",
     "dbg-lchain", "dbg-gc1", "dbg-shortk", "dbg-qname", "dbg-insert",
     "dbg-lc-prof", "dbg-mwf-long", "dbg-mwf-seq", "no-kalloc", "tpu",
+    "gwfa-device",
 ]
 
 
@@ -79,6 +80,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     out = sys.stdout
     n_threads = 4
     device = False
+    gwfa_device = False
     for k, v in opts:
         if k == "-w":
             io_.w = int(v)
@@ -231,6 +233,8 @@ def main(argv: Optional[List[str]] = None) -> int:
             DBG["flag"] |= MG_DBG_LCHAIN
         elif k == "--tpu":
             device = True
+        elif k == "--gwfa-device":
+            gwfa_device = True
 
     if opt_check(io_, mo, go) < 0:
         return 1
@@ -245,7 +249,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     ret = 0
     if go.algo == 0 and not (go.flag & MG_G_CALL):
         ret = map_files(g, args[1:], io_, mo, out=out, n_threads=n_threads,
-                        device=device)
+                        device=device, gwfa_device=gwfa_device)
     else:
         from .ggen.driver import ggen
         if go.flag & MG_G_CALL:

@@ -1082,6 +1082,45 @@ def gchain_sort_by_score(gcs: GChains) -> None:
 _native_mt_cfg = False
 _native_sel_cfg = False
 _native_gaf_cfg = False
+_native_gwf_hook_cfg = False
+
+
+def _map_tail_gwfa_device(lib, attempt, pool, qseq):
+    """Harvest the read's GWFA bridge jobs (hook mode 1), solve them on
+    the device pool, re-run the tail injecting the results (mode 2).
+    Reads with no bridge sites finish in the single harvest pass —
+    harvest only alters behavior AT bridge sites."""
+    global _native_gwf_hook_cfg
+    import ctypes as ct
+    if not _native_gwf_hook_cfg:
+        lib.mgt_gwf_hook_set.restype = None
+        lib.mgt_gwf_hook_set.argtypes = [
+            ct.c_int64, ct.c_int64, ct.c_void_p, ct.c_int64,
+            ct.c_void_p, ct.c_void_p, ct.c_void_p, ct.c_int64]
+        lib.mgt_gwf_hook_jobs.restype = ct.c_int64
+        lib.mgt_gwf_hook_jobs.argtypes = []
+        _native_gwf_hook_cfg = True
+    from ..align.gwfa_device import WCAP
+    jobs_cap = 64
+    while True:
+        jobs = np.zeros((jobs_cap, 8), dtype=np.int64)
+        lib.mgt_gwf_hook_set(1, jobs_cap, jobs.ctypes.data, 0,
+                             None, None, None, 0)
+        n_gc = attempt()
+        n_jobs = lib.mgt_gwf_hook_jobs()
+        lib.mgt_gwf_hook_set(0, 0, None, 0, None, None, None, 0)
+        if n_gc < 0 or n_jobs == 0:
+            return n_gc
+        if n_jobs > jobs_cap:
+            jobs_cap = int(n_jobs) * 2
+            continue
+        res_s, res_walk, res_wn = pool.run(jobs[:n_jobs], qseq)
+        lib.mgt_gwf_hook_set(2, 0, None, n_jobs, res_s.ctypes.data,
+                             res_walk.ctypes.data, res_wn.ctypes.data,
+                             WCAP)
+        n_gc = attempt()
+        lib.mgt_gwf_hook_set(0, 0, None, 0, None, None, None, 0)
+        return n_gc
 
 
 def _get_gaf_ctx(g):
@@ -1201,7 +1240,7 @@ def map_tail_full(g, es, mode: int, f32, p32, ax, ay, mini_pos,
                   opt, qlen: int, n_segs: int, max_dist_x: int,
                   max_dist_y: int, chn_pen_gap: float,
                   chn_pen_skip: float, is_splice: bool, hash_: int,
-                  qseq: str, select=None, emit=None):
+                  qseq: str, select=None, emit=None, gwfa_pool=None):
     """The WHOLE per-read tail in one native call (native/mgt_tail.c
     mgt_map_tail): linear-chain stage + long-join rescue + lchain tail
     + graph-chain stage.  Returns a GChains, or None for the
@@ -1239,11 +1278,7 @@ def map_tail_full(g, es, mode: int, f32, p32, ax, ay, mini_pos,
         return GChains()
     args0 = _get_gfull_ctx(g, es)
     qb = qseq.encode("latin-1")
-    # the engines compact/flag ax/ay IN PLACE; work on copies so a
-    # mid-call fallback (-1/-2/-3) leaves the caller's arrays pristine
-    # for the decomposed retry
-    ax = np.array(ax, dtype=np.uint64)
-    ay = np.array(ay, dtype=np.uint64)
+    ax0, ay0 = ax, ay
     mini_pos = np.ascontiguousarray(mini_pos, dtype=np.int64)
     fp_ptr = pp_ptr = None
     if mode == 0:
@@ -1257,22 +1292,34 @@ def map_tail_full(g, es, mode: int, f32, p32, ax, ay, mini_pos,
     sc = _get_gen_scratch(llc_cap, n_a, max(n_a, 64))
     o_llc, o_ax, o_ay, g_tab = sc[0], sc[1], sc[2], sc[3]
     out_ptrs = sc[6]
-    n_gc = lib.mgt_map_tail(
-        mode, fp_ptr, pp_ptr,
-        max_dist_x, max_dist_y, opt.bw, opt.max_lc_skip,
-        opt.max_lc_iter, opt.min_lc_cnt, opt.min_lc_score,
-        chn_pen_gap, chn_pen_skip,
-        int(is_splice), n_segs, opt.max_gap_pre, opt.rmq_size_cap,
-        do_rescue, qlen, opt.bw_long, opt.rmq_rescue_size,
-        opt.max_gap, opt.rmq_rescue_ratio,
-        n_a, ax.ctypes.data, ay.ctypes.data,
-        mini_pos.ctypes.data, len(mini_pos), opt.lc_max_occ,
-        opt.lc_max_trim, opt.max_gap >> 1,
-        *args0, qb, len(qb),
-        opt.bw_long, opt.max_gc_skip, opt.ref_bonus, opt.mask_level,
-        MG_MAX_SHORT_K, hash_, opt.min_gc_cnt, opt.min_gc_score,
-        opt.gdp_max_ed,
-        o_llc.shape[1], len(o_ax), g_tab.shape[1], *out_ptrs)
+
+    def attempt():
+        # the engines compact/flag ax/ay IN PLACE; every attempt works
+        # on fresh copies so a mid-call fallback (-1/-2/-3) and the
+        # harvest->inject re-run both see pristine arrays
+        ax = np.array(ax0, dtype=np.uint64)
+        ay = np.array(ay0, dtype=np.uint64)
+        return lib.mgt_map_tail(
+            mode, fp_ptr, pp_ptr,
+            max_dist_x, max_dist_y, opt.bw, opt.max_lc_skip,
+            opt.max_lc_iter, opt.min_lc_cnt, opt.min_lc_score,
+            chn_pen_gap, chn_pen_skip,
+            int(is_splice), n_segs, opt.max_gap_pre, opt.rmq_size_cap,
+            do_rescue, qlen, opt.bw_long, opt.rmq_rescue_size,
+            opt.max_gap, opt.rmq_rescue_ratio,
+            n_a, ax.ctypes.data, ay.ctypes.data,
+            mini_pos.ctypes.data, len(mini_pos), opt.lc_max_occ,
+            opt.lc_max_trim, opt.max_gap >> 1,
+            *args0, qb, len(qb),
+            opt.bw_long, opt.max_gc_skip, opt.ref_bonus, opt.mask_level,
+            MG_MAX_SHORT_K, hash_, opt.min_gc_cnt, opt.min_gc_score,
+            opt.gdp_max_ed,
+            o_llc.shape[1], len(o_ax), g_tab.shape[1], *out_ptrs)
+
+    if gwfa_pool is not None and hasattr(lib, "mgt_gwf_hook_set"):
+        n_gc = _map_tail_gwfa_device(lib, attempt, gwfa_pool, qseq)
+    else:
+        n_gc = attempt()
     if n_gc < 0:
         return None
     if select is not None:

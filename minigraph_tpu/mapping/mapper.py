@@ -40,7 +40,8 @@ def _i32(v: int) -> int:
 
 def map_frag(gi: MinimizerIndex, qlens: List[int], seqs: List[str],
              opt: MapOptions, qname: Optional[str],
-             fast_emit: bool = False) -> Optional[GChains]:
+             fast_emit: bool = False,
+             gwfa_pool=None) -> Optional[GChains]:
     """Map one fragment (n_segs query segments) to the graph."""
     n_segs = len(qlens)
     qlen_sum = sum(qlens)
@@ -64,7 +65,7 @@ def map_frag(gi: MinimizerIndex, qlens: List[int], seqs: List[str],
             gi, opt, opt.occ_max1, mv_x, mv_y, qname)
     return map_frag_tail(gi, qlens, seqs, opt, qname,
                          ax, ay, rep_len, mini_pos, n_mv,
-                         fast_emit=fast_emit)
+                         fast_emit=fast_emit, gwfa_pool=gwfa_pool)
 
 
 def map_frag_tail(gi: MinimizerIndex, qlens: List[int], seqs: List[str],
@@ -72,7 +73,8 @@ def map_frag_tail(gi: MinimizerIndex, qlens: List[int], seqs: List[str],
                   ax: np.ndarray, ay: np.ndarray, rep_len: int,
                   mini_pos: np.ndarray, n_mv: int,
                   chain_fp=None, cigar_sink=None,
-                  fast_emit: bool = False) -> Optional[GChains]:
+                  fast_emit: bool = False,
+                  gwfa_pool=None) -> Optional[GChains]:
     """Per-read pipeline after seed collection (map-algo.c:377-495).
 
     Split out so the device front-end (mapping/device_front.py) can
@@ -144,7 +146,8 @@ def map_frag_tail(gi: MinimizerIndex, qlens: List[int], seqs: List[str],
         gcs = map_tail_full(gi.g, gi.es, mt_mode, mt_f, mt_p, ax, ay,
                             mini_pos, opt, qlen_sum, n_segs, mt_dx,
                             mt_dy, chn_pen_gap, chn_pen_skip, is_splice,
-                            hash_, seq_cat, select=sel_args, emit=emit)
+                            hash_, seq_cat, select=sel_args, emit=emit,
+                            gwfa_pool=gwfa_pool)
         if gcs is not None:
             gcs.rep_len = rep_len
             return _map_frag_finish(gi, gcs, opt, qname, n_segs,
@@ -338,7 +341,8 @@ def map_one(gi: MinimizerIndex, seq: str, opt: MapOptions,
 def map_files(g: Graph, fns: List[str], ipt: IndexOptions, opt0: MapOptions,
               out=sys.stdout, cov: Optional[tuple] = None,
               n_threads: int = 1, device: bool = False,
-              front_kwargs: Optional[dict] = None) -> int:
+              front_kwargs: Optional[dict] = None,
+              gwfa_device: bool = False) -> int:
     """Index once, then map each query file (mg_map_files, gmap.c:186-211).
 
     With device=True the batched seed stage (sketch + index probe +
@@ -353,6 +357,10 @@ def map_files(g: Graph, fns: List[str], ipt: IndexOptions, opt0: MapOptions,
     if device:
         from .device_front import DeviceFront
         front = DeviceFront(gi, opt, **(front_kwargs or {}))
+    gwfa_pool = None
+    if gwfa_device:
+        from ..align.gwfa_device import DeviceGwfaPool
+        gwfa_pool = DeviceGwfaPool(gi)
     c_seg = c_link = None
     if opt.flag & MG_M_CAL_COV:
         c_seg = np.zeros(g.n_seg, dtype=np.float64)
@@ -360,9 +368,12 @@ def map_files(g: Graph, fns: List[str], ipt: IndexOptions, opt0: MapOptions,
     frag_mode = bool(opt.flag & MG_M_FRAG_MODE)
     file_groups = [fns] if frag_mode and len(fns) > 1 else [[fn] for fn in fns]
     for group in file_groups:
-        _map_file_frag(gi, group, opt, out, c_seg, c_link, n_threads, front)
+        _map_file_frag(gi, group, opt, out, c_seg, c_link, n_threads,
+                       front, gwfa_pool)
     if front is not None:
         front.log_stats()
+    if gwfa_pool is not None:
+        gwfa_pool.log_stats()
     if opt.flag & MG_M_CAL_COV:
         from ..ggen.cov import aux_update_cv
         aux_update_cv(g, "dc", c_seg, c_link)
@@ -599,7 +610,7 @@ def _revcomp_str(s: str) -> str:
 
 def _map_file_frag(gi: MinimizerIndex, fns: List[str], opt: MapOptions,
                    out, c_seg, c_link, n_threads: int = 1,
-                   front=None) -> None:
+                   front=None, gwfa_pool=None) -> None:
     """3-step read→map→write pipeline semantics (gmap.c:66-177)."""
     frag_mode = len(fns) > 1 or bool(opt.flag & MG_M_FRAG_MODE)
     fps = [BSeqFile(fn) for fn in fns]
@@ -667,7 +678,8 @@ def _map_file_frag(gi: MinimizerIndex, fns: List[str], opt: MapOptions,
             # call (work-stealing threads), per-read Python only for
             # fallbacks (native/mgt_batch.c)
             batch_txt = None
-            if front_res and not (opt.flag & (MG_M_CIGAR | _EMIT_BAIL_FLAGS)):
+            if front_res and gwfa_pool is None \
+                    and not (opt.flag & (MG_M_CIGAR | _EMIT_BAIL_FLAGS)):
                 items = [(fi, batch[frags[fi][0]].name,
                           batch[frags[fi][0]].seq, fr)
                          for fi, fr in front_res.items()
@@ -708,16 +720,19 @@ def _map_file_frag(gi: MinimizerIndex, fns: List[str], opt: MapOptions,
                                               chain_fp=fp,
                                               cigar_sink=cigar_sink,
                                               fast_emit=cigar_sink
-                                              is None)]
+                                              is None,
+                                              gwfa_pool=gwfa_pool)]
                 elif opt.flag & MG_M_INDEPEND_SEG:
                     gcs_list = [map_frag(gi, [qlens[k]], [seqs[k]], opt,
                                          batch[off + k].name,
-                                         fast_emit=cigar_sink is None)
+                                         fast_emit=cigar_sink is None,
+                                         gwfa_pool=gwfa_pool)
                                 for k in range(n_seg)]
                 else:
                     gcs_list = [map_frag(gi, qlens, seqs, opt,
                                          batch[off].name,
-                                         fast_emit=cigar_sink is None)]
+                                         fast_emit=cigar_sink is None,
+                                         gwfa_pool=gwfa_pool)]
                 return qlens, gcs_list
 
             def emit_frag(off, n_seg, qlens, gcs_list):

@@ -386,6 +386,45 @@ static inline uint32_t gg_hash32(uint32_t key)
     return key;
 }
 
+/* ---- device-GWFA bridge hook (thread-local) -----------------------
+ * mode 0: bridges run the inline host engine (default).
+ * mode 1: HARVEST — record every gwfa bridge site's job parameters
+ *         and pretend the bridge succeeded with an empty walk; the
+ *         caller discards the output and re-runs in mode 2.
+ * mode 2: INJECT — site k consumes res_s[k]/res_walk[k]: >= 0 uses
+ *         the (device-computed) walk, -1 falls back to shortest-k
+ *         like a host "not found", -2 runs the inline host engine
+ *         (flagged job).  Site enumeration order is identical in
+ *         both passes because bridge inputs only depend on the chain
+ *         tables, never on earlier bridge results.                   */
+typedef struct {
+    int64_t mode, n_jobs, job_cap, wcap, res_cap;
+    int64_t *jobs;              /* 8 int64 per site */
+    const int64_t *res_s;
+    const int32_t *res_walk;    /* (res_cap, wcap) */
+    const int64_t *res_wn;
+} gwf_hook_t;
+
+static __thread gwf_hook_t g_gwf_hook;
+
+void mgt_gwf_hook_set(int64_t mode, int64_t job_cap, int64_t *jobs,
+                      int64_t res_cap, const int64_t *res_s,
+                      const int32_t *res_walk, const int64_t *res_wn,
+                      int64_t wcap)
+{
+    g_gwf_hook.mode = mode;
+    g_gwf_hook.n_jobs = 0;
+    g_gwf_hook.job_cap = job_cap;
+    g_gwf_hook.jobs = jobs;
+    g_gwf_hook.res_cap = res_cap;
+    g_gwf_hook.res_s = res_s;
+    g_gwf_hook.res_walk = res_walk;
+    g_gwf_hook.res_wn = res_wn;
+    g_gwf_hook.wcap = wcap;
+}
+
+int64_t mgt_gwf_hook_jobs(void) { return g_gwf_hook.n_jobs; }
+
 #define I32A(a, i) ((int64_t)(int32_t)(uint32_t)(a)[i])
 
 /* scratch state for one read's materialization */
@@ -561,23 +600,58 @@ int64_t mgt_gchain_gen(
                     /* bridge_gwfa (gchain1.c:349-381) */
                     int64_t qs = sqe[l0] - kmer, qe = sqs[l1] + kmer;
                     int32_t n_walk = 0, s;
-                    s = mgt_gwfa_ed(gw_arc_start, gw_arc_cnt, gw_arc_w,
-                                    gw_arc_ow, gw_seq_off, gw_seq_len,
-                                    gw_seq, (int32_t)(qe - qs), qseq + qs,
-                                    (uint32_t)sv[l0],
-                                    (int32_t)(sre[l0] - kmer),
-                                    (uint32_t)sv[l1],
-                                    (int32_t)(srs[l1] + kmer - 1),
-                                    (int32_t)gdp_max_ed, 1, 1000, 1000,
-                                    (int32_t)(gdp_max_ed / 2), 500000000,
-                                    walk, &n_walk);
-                    if (s >= 0) {
-                        int64_t q2;
-                        for (q2 = 1; q2 < (int64_t)n_walk - 1; ++q2) {
-                            r = gg_push_llc(&z, walk[q2], 0, 0, 0, -1);
-                            if (r) { ret = r; goto done; }
+                    int64_t handled = 0;
+                    if (g_gwf_hook.mode == 1) {
+                        /* harvest the job; output is discarded */
+                        if (g_gwf_hook.n_jobs < g_gwf_hook.job_cap) {
+                            int64_t *jp = g_gwf_hook.jobs
+                                + 8 * g_gwf_hook.n_jobs;
+                            jp[0] = qs, jp[1] = qe;
+                            jp[2] = sv[l0], jp[3] = sre[l0] - kmer;
+                            jp[4] = sv[l1], jp[5] = srs[l1] + kmer - 1;
+                            jp[6] = gdp_max_ed, jp[7] = 0;
                         }
-                        ed = s, bridged = 1;
+                        ++g_gwf_hook.n_jobs;
+                        ed = 0, bridged = 1, handled = 1;
+                    } else if (g_gwf_hook.mode == 2) {
+                        int64_t site = g_gwf_hook.n_jobs++;
+                        if (site < g_gwf_hook.res_cap
+                            && g_gwf_hook.res_s[site] != -2) {
+                            int64_t rs = g_gwf_hook.res_s[site];
+                            if (rs >= 0) {
+                                const int32_t *wkp = g_gwf_hook.res_walk
+                                    + site * g_gwf_hook.wcap;
+                                int64_t wn = g_gwf_hook.res_wn[site], q2;
+                                for (q2 = 1; q2 < wn - 1; ++q2) {
+                                    r = gg_push_llc(&z, wkp[q2], 0, 0, 0,
+                                                    -1);
+                                    if (r) { ret = r; goto done; }
+                                }
+                                ed = rs, bridged = 1;
+                            }
+                            handled = 1;   /* rs == -1: shortk fallback */
+                        }
+                    }
+                    if (!handled) {
+                        s = mgt_gwfa_ed(gw_arc_start, gw_arc_cnt, gw_arc_w,
+                                        gw_arc_ow, gw_seq_off, gw_seq_len,
+                                        gw_seq, (int32_t)(qe - qs),
+                                        qseq + qs,
+                                        (uint32_t)sv[l0],
+                                        (int32_t)(sre[l0] - kmer),
+                                        (uint32_t)sv[l1],
+                                        (int32_t)(srs[l1] + kmer - 1),
+                                        (int32_t)gdp_max_ed, 1, 1000, 1000,
+                                        (int32_t)(gdp_max_ed / 2),
+                                        500000000, walk, &n_walk);
+                        if (s >= 0) {
+                            int64_t q2;
+                            for (q2 = 1; q2 < (int64_t)n_walk - 1; ++q2) {
+                                r = gg_push_llc(&z, walk[q2], 0, 0, 0, -1);
+                                if (r) { ret = r; goto done; }
+                            }
+                            ed = s, bridged = 1;
+                        }
                     }
                 }
                 if (!bridged) {

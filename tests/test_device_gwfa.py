@@ -108,3 +108,23 @@ def test_device_gwfa_exact_or_flag_heavy(ref_test_dir):
         jobs = _mk_jobs(g, gi, rng, 48, mrate=mrate)
         n_exact, n_flag = _run_and_check(g, gi, jobs)
         assert n_exact >= len(jobs) * 6 // 10, (seed, n_exact, n_flag)
+
+
+def test_cli_gwfa_device_parity_config3(oracle):
+    """-c mapping through --gwfa-device == oracle byte-for-byte; the
+    run must put bridges on the device (gchain1.c:349-381 path)."""
+    import subprocess
+    import sys
+    R = "/root/reference/test"
+    args = ["-c", f"{R}/MT.gfa", f"{R}/MT-orangA.fa"]
+    got = subprocess.run(
+        [sys.executable, "-m", "minigraph_tpu", "--gwfa-device", *args],
+        capture_output=True, text=True, cwd="/root/repo")
+    want = subprocess.run([str(oracle), *args], capture_output=True,
+                          text=True)
+    assert got.stdout == want.stdout
+    assert "device GWFA bridges" in got.stderr
+    import re
+    m = re.search(r"device GWFA bridges: (\d+)/(\d+) on device",
+                  got.stderr)
+    assert m and int(m.group(1)) > 0, got.stderr
