@@ -49,6 +49,7 @@ def test_entry_compiles_and_runs():
     assert bool(jax.numpy.all(out["sure"]))
 
 
+@pytest.mark.slow  # the driver re-runs dryrun_multichip every round
 @pytest.mark.skipif(len(jax.devices("cpu")) < 8 and len(jax.devices()) < 8,
                     reason="needs 8 devices")
 def test_dryrun_multichip():
@@ -59,6 +60,7 @@ def test_dryrun_multichip():
     ge.dryrun_multichip(8)
 
 
+@pytest.mark.slow  # sharded-equals-unsharded is also asserted in dryrun
 @pytest.mark.skipif(len(jax.devices("cpu")) < 8 and len(jax.devices()) < 8,
                     reason="needs 8 devices")
 def test_hash_sharded_matches_unsharded():
