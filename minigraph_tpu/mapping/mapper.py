@@ -11,7 +11,8 @@ from ..graph.gfa import Graph
 from ..index.midx import MinimizerIndex, build_index
 from ..options import (MG_M_CAL_COV, MG_M_CIGAR, MG_M_FRAG_MERGE,
                        MG_M_FRAG_MODE, MG_M_HEAP_SORT, MG_M_INDEPEND_SEG,
-                       MG_M_RMQ, MG_M_SPLICE, MG_M_SR, MG_M_VERTEX_COOR,
+                       MG_M_NO_DIAG as _MG_M_NO_DIAG, MG_M_RMQ,
+                       MG_M_SPLICE, MG_M_SR, MG_M_VERTEX_COOR,
                        MG_M_WRITE_LCHAIN, MG_M_WRITE_MZ, MG_MAX_SEG,
                        GGOptions, IndexOptions, MapOptions)
 from ..utils.hashes import expf, kh_hash_str, kh_hash_uint32
@@ -54,15 +55,25 @@ def map_frag(gi: MinimizerIndex, qlens: List[int], seqs: List[str],
     if _DBG["flag"] & _Q:
         sys.stderr.write(f"QR\t{qname}\t0\t{qlen_sum}\n")
 
-    mv_x, mv_y = collect_minimizers(gi, qlens, seqs)
-    n_mv = len(mv_x)
-    if opt.flag & MG_M_HEAP_SORT:
-        from .seeds import collect_seed_hits_heap
-        ax, ay, rep_len, mini_pos = collect_seed_hits_heap(
-            gi, opt, opt.occ_max1, mv_x, mv_y)
+    from ..options import MG_M_NO_DIAG as _ND
+    res = None
+    if n_segs == 1 and not (opt.flag & (MG_M_HEAP_SORT | _ND)) \
+            and not (_DBG["flag"]):
+        # whole seed stage in one native call (native/mgt_collect.c)
+        from .seeds import collect_native
+        res = collect_native(gi, opt, opt.occ_max1, seqs[0])
+    if res is not None:
+        ax, ay, rep_len, mini_pos, n_mv = res
     else:
-        ax, ay, rep_len, mini_pos = collect_seed_hits(
-            gi, opt, opt.occ_max1, mv_x, mv_y, qname)
+        mv_x, mv_y = collect_minimizers(gi, qlens, seqs)
+        n_mv = len(mv_x)
+        if opt.flag & MG_M_HEAP_SORT:
+            from .seeds import collect_seed_hits_heap
+            ax, ay, rep_len, mini_pos = collect_seed_hits_heap(
+                gi, opt, opt.occ_max1, mv_x, mv_y)
+        else:
+            ax, ay, rep_len, mini_pos = collect_seed_hits(
+                gi, opt, opt.occ_max1, mv_x, mv_y, qname)
     return map_frag_tail(gi, qlens, seqs, opt, qname,
                          ax, ay, rep_len, mini_pos, n_mv,
                          fast_emit=fast_emit, gwfa_pool=gwfa_pool)
@@ -398,11 +409,14 @@ def _chain_penalties(gi, opt):
     return pen[1], pen[2]
 
 
-def _map_batch_native(gi, opt, items, n_threads):
-    """Map a batch of device-front reads anchors -> GAF text in ONE
-    native call (native/mgt_batch.c: work-stealing pthread loop over
-    mgt_map_tail + mgt_select_chains + mgt_format_gaf).  items is a
-    list of (fi, qname, seq, FrontResult); returns {fi: gaf_text or
+def _map_batch_native(gi, opt, items, n_threads, host_collect=False):
+    """Map a batch of reads anchors -> GAF text in ONE native call
+    (native/mgt_batch.c: work-stealing pthread loop over mgt_map_tail
+    + mgt_select_chains + mgt_format_gaf).  items is a list of
+    (fi, qname, seq, FrontResult-or-None); with host_collect=True the
+    FrontResult is ignored and the workers also run the seed stage
+    (mgt_collect: sketch + probe + anchors), making the whole host
+    mapping path one C call per batch.  Returns {fi: gaf_text or
     None-for-fallback}, or None when the batch driver is unavailable
     (caller uses the per-read path)."""
     global _batch_cfg
@@ -422,6 +436,8 @@ def _map_batch_native(gi, opt, items, n_threads):
         lib.mgt_map_tail_batch.argtypes = (
             [ct.c_int64, ct.c_int64, ct.c_void_p, ct.c_void_p]
             + [ct.c_void_p] * 12                      # per-read arrays
+            + [ct.c_int64] * 4 + [ct.c_void_p] * 3
+            + [ct.c_int64, ct.c_void_p]               # host-collect ctx
             + [ct.c_char_p, ct.c_void_p, ct.c_char_p, ct.c_void_p]
             + [ct.c_void_p] * 4 + [ct.c_int64, ct.c_void_p]
             + [ct.c_void_p] * 6 + [ct.c_char_p]       # graph ctx
@@ -478,26 +494,30 @@ def _map_batch_native(gi, opt, items, n_threads):
     for k, (fi, qname, seq, fr) in enumerate(items):
         ql = len(seq)
         qlen[k] = ql
-        ax, ay = fr.ax, fr.ay
-        if not ax.flags["C_CONTIGUOUS"]:
-            ax = np.ascontiguousarray(ax)
-        if not ay.flags["C_CONTIGUOUS"]:
-            ay = np.ascontiguousarray(ay)
-        mp = fr.mini_pos
-        if mp.dtype != np.int64 or not mp.flags["C_CONTIGUOUS"]:
-            mp = np.ascontiguousarray(mp, dtype=np.int64)
-        keep.append((ax, ay, mp))
-        n_a[k] = len(ax)
-        axp[k] = ax.ctypes.data
-        ayp[k] = ay.ctypes.data
-        mpp[k] = mp.ctypes.data
-        n_mv[k] = fr.n_mv
-        rep_len[k] = fr.rep_len
+        if host_collect:
+            n_a[k] = n_mv[k] = rep_len[k] = 0
+            axp[k] = ayp[k] = mpp[k] = 0
+        else:
+            ax, ay = fr.ax, fr.ay
+            if not ax.flags["C_CONTIGUOUS"]:
+                ax = np.ascontiguousarray(ax)
+            if not ay.flags["C_CONTIGUOUS"]:
+                ay = np.ascontiguousarray(ay)
+            mp = fr.mini_pos
+            if mp.dtype != np.int64 or not mp.flags["C_CONTIGUOUS"]:
+                mp = np.ascontiguousarray(mp, dtype=np.int64)
+            keep.append((ax, ay, mp))
+            n_a[k] = len(ax)
+            axp[k] = ax.ctypes.data
+            ayp[k] = ay.ctypes.data
+            mpp[k] = mp.ctypes.data
+            n_mv[k] = fr.n_mv
+            rep_len[k] = fr.rep_len
         if is_rmq:
             mode[k] = 2
             mdx[k] = opt.max_gap
             mdy[k] = 0
-        elif fr.f is not None:
+        elif not host_collect and fr.f is not None:
             f32 = np.ascontiguousarray(fr.f, dtype=np.int32)
             p32 = np.ascontiguousarray(fr.p, dtype=np.int32)
             keep.append((f32, p32))
@@ -523,12 +543,20 @@ def _map_batch_native(gi, opt, items, n_threads):
     o_len = np.empty(n, dtype=np.int64)
     status = np.empty(n, dtype=np.int64)
     pbuf = ct.c_void_p()
+    if host_collect:
+        from .seeds import get_collect_ctx
+        cptr = get_collect_ctx(gi)
+        col_args = (1, gi.w, gi.k, opt.occ_max1,
+                    cptr[0], cptr[1], cptr[2], cptr[3], cptr[4])
+    else:
+        col_args = (0, 0, 0, 0, None, None, None, 0, None)
     total = lib.mgt_map_tail_batch(
         n, max(1, n_threads), P.ctypes.data, PD.ctypes.data,
         mode.ctypes.data, n_a.ctypes.data, axp.ctypes.data,
         ayp.ctypes.data, fpp.ctypes.data, ppp.ctypes.data,
         n_mv.ctypes.data, mpp.ctypes.data, qlen.ctypes.data,
         rep_len.ctypes.data, mdx.ctypes.data, mdy.ctypes.data,
+        *col_args,
         qseq_blob, qseq_off.ctypes.data,
         qname_blob, qname_off.ctypes.data,
         *args0,
@@ -658,9 +686,20 @@ def _map_file_frag(gi: MinimizerIndex, fns: List[str], opt: MapOptions,
             if handle is not None:
                 front_res = dict(zip(front_idx, front.gather(handle)))
             import os
+            from ..options import DBG as _DBGf
             eff_threads = min(n_threads, os.cpu_count() or 1)
             if front is not None:
                 eff_threads = 1  # device batching replaces the fork pool
+            # whole-host batch path: seed collection + tails + GAF all
+            # inside one C call (host_collect mode of mgt_batch.c);
+            # replaces the fork pool when eligible
+            host_batch_ok = (
+                front is None and gwfa_pool is None and not _DBGf["flag"]
+                and not (opt.flag & (MG_M_CIGAR | _EMIT_BAIL_FLAGS
+                                     | MG_M_HEAP_SORT | MG_M_INDEPEND_SEG))
+                and not (opt.flag & _MG_M_NO_DIAG))
+            if host_batch_ok:
+                eff_threads = 1  # C threads replace the fork pool
             if eff_threads > 1 and not (opt.flag & MG_M_INDEPEND_SEG):
                 items = []
                 for off, n_seg in frags:
@@ -685,6 +724,16 @@ def _map_file_frag(gi: MinimizerIndex, fns: List[str], opt: MapOptions,
                          for fi, fr in front_res.items()
                          if fr is not None and frags[fi][1] == 1]
                 batch_txt = _map_batch_native(gi, opt, items, n_threads)
+            elif host_batch_ok:
+                items = [(fi, batch[off].name, batch[off].seq, None)
+                         for fi, (off, n_seg) in enumerate(frags)
+                         if n_seg == 1 and batch[off].l_seq > 0
+                         and not (opt.max_qlen > 0
+                                  and batch[off].l_seq > opt.max_qlen)]
+                if items:
+                    batch_txt = _map_batch_native(gi, opt, items,
+                                                  n_threads,
+                                                  host_collect=True)
             # device -c mode: defer per-gap WFAs of device-front reads
             # into one batch pool, align on device, then finalize
             cigar_sink = None

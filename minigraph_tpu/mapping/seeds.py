@@ -261,3 +261,91 @@ def collect_seed_hits(gi: MinimizerIndex, opt: MapOptions, max_occ: int,
 
     perm = radix_argsort(ax)
     return ax[perm], ay[perm], int(rep_len), mini_pos
+
+
+_native_collect_cfg = False
+import threading as _threading
+_CTLS = _threading.local()
+
+
+def get_collect_ctx(gi):
+    """Flat index-table pointers for the native collectors, cached on
+    the index (keys/key_start/key_cnt/n_keys/pos/seg_len)."""
+    ctx = getattr(gi, "_collect_ctx", None)
+    if ctx is None:
+        seg_len = getattr(gi, "_seg_len_arr", None)
+        if seg_len is None or len(seg_len) != gi.g.n_seg:
+            seg_len = np.asarray([t.len for t in gi.g.seg],
+                                 dtype=np.int64)
+            gi._seg_len_arr = seg_len
+        keys = np.ascontiguousarray(gi.keys, dtype=np.uint64)
+        kst = np.ascontiguousarray(gi.key_start, dtype=np.int64)
+        kcn = np.ascontiguousarray(gi.key_cnt, dtype=np.int64)
+        pos = np.ascontiguousarray(gi.pos, dtype=np.uint64)
+        ctx = ((keys.ctypes.data, kst.ctypes.data, kcn.ctypes.data,
+                len(keys), pos.ctypes.data, seg_len.ctypes.data),
+               (keys, kst, kcn, pos, seg_len))
+        gi._collect_ctx = ctx
+    return ctx[0]
+
+
+def collect_native(gi: MinimizerIndex, opt: MapOptions, max_occ: int,
+                   seq: str):
+    """Whole seed-collection stage in one native call
+    (native/mgt_collect.c): sketch + flat-table probe + anchor build +
+    reference-exact sort.  Returns (ax, ay, rep_len, mini_pos, n_mv)
+    or None for the Python path (no native lib / empty index)."""
+    global _native_collect_cfg
+    import ctypes as ct
+
+    from ..utils.native import get_lib
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "mgt_collect") \
+            or len(gi.keys) == 0:
+        return None
+    if not _native_collect_cfg:
+        lib.mgt_collect.restype = ct.c_int64
+        lib.mgt_collect.argtypes = (
+            [ct.c_char_p] + [ct.c_int64] * 4
+            + [ct.c_void_p] * 3 + [ct.c_int64, ct.c_void_p, ct.c_void_p]
+            + [ct.c_void_p, ct.c_int64]
+            + [ct.c_void_p] * 2 + [ct.c_int64]
+            + [ct.c_void_p, ct.c_int64] + [ct.c_void_p])
+        _native_collect_cfg = True
+    cptr = get_collect_ctx(gi)
+    qb = seq.encode("latin-1")
+    qlen = len(qb)
+    bufs = getattr(_CTLS, "col", None)
+    if bufs is None or len(bufs[0]) < qlen + 128:
+        bufs = (np.empty(2 * (max(qlen, 2048) // 2 + 64) + 64,
+                         dtype=np.uint64),   # mv records (2 u64 each)
+                np.empty(1 << 14, dtype=np.uint64),
+                np.empty(1 << 14, dtype=np.uint64),
+                np.empty(1 << 13, dtype=np.int64),
+                np.empty(4, dtype=np.int64))
+        _CTLS.col = bufs
+    mv, ax, ay, mp, meta = bufs
+    while True:
+        r = lib.mgt_collect(
+            qb, qlen, gi.w, gi.k, max_occ,
+            cptr[0], cptr[1], cptr[2], cptr[3], cptr[4], cptr[5],
+            mv.ctypes.data, len(mv) // 2,
+            ax.ctypes.data, ay.ctypes.data, len(ax),
+            mp.ctypes.data, len(mp), meta.ctypes.data)
+        if r == 0:
+            n_a, n_mv, rep_len, n_mini = (int(x) for x in meta)
+            return (ax[:n_a].copy(), ay[:n_a].copy(), rep_len,
+                    mp[:n_mini].copy(), n_mv)
+        if r != -1:
+            return None
+        bufs = (np.empty(max(len(mv), 2 * (int(meta[1]) + 64)),
+                         dtype=np.uint64),
+                np.empty(max(len(ax) * 2, int(meta[0]) + 64),
+                         dtype=np.uint64),
+                np.empty(max(len(ay) * 2, int(meta[0]) + 64),
+                         dtype=np.uint64),
+                np.empty(max(len(mp) * 2, int(meta[1]) + 64),
+                         dtype=np.int64),
+                meta)
+        _CTLS.col = bufs
+        mv, ax, ay, mp, meta = bufs

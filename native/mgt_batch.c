@@ -14,6 +14,17 @@
 #include <stdlib.h>
 #include <string.h>
 
+extern int64_t mgt_collect(
+    const uint8_t *seq, int64_t qlen, int64_t w, int64_t k,
+    int64_t max_occ,
+    const uint64_t *keys, const int64_t *key_start,
+    const int64_t *key_cnt, int64_t n_keys, const uint64_t *pos,
+    const int64_t *seg_len,
+    uint64_t *mv, int64_t mv_cap,
+    uint64_t *ax, uint64_t *ay, int64_t a_cap,
+    int64_t *mini_pos, int64_t mp_cap,
+    int64_t *out_meta);
+
 extern int64_t mgt_map_tail(
     int64_t mode, const int32_t *fdp, const int32_t *pdp,
     int64_t max_dist_x, int64_t max_dist_y, int64_t bw,
@@ -113,6 +124,13 @@ typedef struct {
     const double *PD;
     const int64_t *mode, *n_a, *n_mv, *qlen, *rep_len, *mdx, *mdy;
     const uint64_t *axp, *ayp, *fpp, *ppp, *mpp;  /* per-read addrs */
+    /* host-collect mode: anchors built in the worker from the read
+     * itself (qseq blob) via mgt_collect; per-read anchor inputs are
+     * ignored */
+    int64_t do_collect, idx_w, idx_k, max_occ, n_keys;
+    const uint64_t *keys;
+    const int64_t *key_start, *key_cnt;
+    const uint64_t *pos;
     const char *qseq_blob;
     const int64_t *qseq_off;
     const char *qname_blob;
@@ -150,6 +168,10 @@ typedef struct {
 typedef struct {
     uint64_t *ax, *ay;          /* anchor copies */
     int64_t a_sz;
+    uint64_t *mv;               /* collect-mode sketch records */
+    int64_t mv_sz;
+    int64_t *mp;                /* collect-mode minimizer positions */
+    int64_t mp_sz;
     int64_t *tab;               /* o_lv..o_led | g_off..g_sc | extra.. */
     uint64_t *o_ax, *o_ay;
     uint32_t *g_hash;
@@ -199,16 +221,65 @@ static void *worker(void *vp)
     for (;;) {
         int64_t i = __atomic_fetch_add(&b->next, 1, __ATOMIC_RELAXED);
         if (i >= b->n_reads) break;
-        int64_t n_a = b->n_a[i];
+        int64_t n_a, n_mv_i, rep_len_i;
+        const int64_t *mini_pos_i;
         b->status[i] = 1;             /* assume fallback until done */
         b->r_tid[i] = w->tid;
         b->r_off[i] = ts.gb_len;
         b->r_len[i] = 0;
-        if (ts_reserve(&ts, n_a) < 0) continue;
-        memcpy(ts.ax, (const void *)(uintptr_t)b->axp[i],
-               8 * (size_t)n_a);
-        memcpy(ts.ay, (const void *)(uintptr_t)b->ayp[i],
-               8 * (size_t)n_a);
+        if (b->do_collect) {
+            /* sketch + probe + anchors inside the worker */
+            const char *sq = b->qseq_blob + b->qseq_off[i];
+            int64_t sql = b->qseq_off[i + 1] - b->qseq_off[i];
+            int64_t meta[4], r2;
+            if (ts.mv_sz < sql + 128) {
+                free(ts.mv); free(ts.mp);
+                ts.mv_sz = sql + (sql >> 1) + 256;
+                ts.mv = (uint64_t *)malloc(16 * (size_t)ts.mv_sz);
+                ts.mp = (int64_t *)malloc(8 * (size_t)ts.mv_sz);
+                ts.mp_sz = ts.mv_sz;
+                if (!ts.mv || !ts.mp) { ts.mv_sz = ts.mp_sz = 0;
+                                        continue; }
+            }
+            for (;;) {
+                r2 = mgt_collect((const uint8_t *)sq, sql, b->idx_w,
+                                 b->idx_k, b->max_occ, b->keys,
+                                 b->key_start, b->key_cnt, b->n_keys,
+                                 b->pos, b->gseg_len,
+                                 ts.mv, ts.mv_sz,
+                                 ts.ax, ts.ay, ts.a_sz,
+                                 ts.mp, ts.mp_sz, meta);
+                if (r2 == 0) break;
+                if (r2 != -1) break;
+                if (ts_reserve(&ts, meta[0] + 64) < 0) break;
+                if (meta[1] + 64 > ts.mv_sz) {
+                    free(ts.mv); free(ts.mp);
+                    ts.mv_sz = ts.mp_sz = meta[1] * 2 + 128;
+                    ts.mv = (uint64_t *)malloc(16 * (size_t)ts.mv_sz);
+                    ts.mp = (int64_t *)malloc(8 * (size_t)ts.mp_sz);
+                    if (!ts.mv || !ts.mp) { ts.mv_sz = ts.mp_sz = 0;
+                                            r2 = -2; break; }
+                }
+            }
+            if (r2 != 0) continue;
+            n_a = meta[0], n_mv_i = meta[1], rep_len_i = meta[2];
+            mini_pos_i = ts.mp;
+            if (n_a == 0 && meta[3] == 0 && n_mv_i > 0) {
+                /* no usable minimizers: still a valid empty mapping */
+            }
+            if (ts_reserve(&ts, n_a) < 0) continue;
+            (void)meta;
+        } else {
+            n_a = b->n_a[i];
+            n_mv_i = b->n_mv[i];
+            rep_len_i = b->rep_len[i];
+            mini_pos_i = (const int64_t *)(uintptr_t)b->mpp[i];
+            if (ts_reserve(&ts, n_a) < 0) continue;
+            memcpy(ts.ax, (const void *)(uintptr_t)b->axp[i],
+                   8 * (size_t)n_a);
+            memcpy(ts.ay, (const void *)(uintptr_t)b->ayp[i],
+                   8 * (size_t)n_a);
+        }
         int64_t *o_lv = ts.tab, *o_loff = o_lv + ts.llc_cap;
         int64_t *o_lcnt = o_loff + ts.llc_cap, *o_lsc = o_lcnt + ts.llc_cap;
         int64_t *o_led = o_lsc + ts.llc_cap;
@@ -236,7 +307,7 @@ static void *worker(void *vp)
             P[P_RMQ_RESCUE_SIZE], P[P_RESCUE_MAX_DIST],
             PD[D_RESCUE_RATIO],
             n_a, ts.ax, ts.ay,
-            (const int64_t *)(uintptr_t)b->mpp[i], b->n_mv[i],
+            mini_pos_i, n_mv_i,
             P[P_LC_MAX_OCC], P[P_LC_MAX_TRIM], P[P_MAX_GAP_HALF],
             b->gidx, b->arc_w, b->arc_lv, b->arc_rank, b->n_vtx,
             b->gseg_len, b->gw_arc_start, b->gw_arc_cnt, b->gw_arc_w,
@@ -253,8 +324,8 @@ static void *worker(void *vp)
         if (n_gc > 0) {
             n2 = mgt_select_chains(
                 PD[D_MASK_LEVEL], PD[D_PRI_RATIO], P[P_SEL_MIN_DIFF],
-                P[P_SEL_BEST_N], b->qlen[i], b->n_mv[i],
-                P[P_MIN_GC_SCORE], b->rep_len[i], n_gc,
+                P[P_SEL_BEST_N], b->qlen[i], n_mv_i,
+                P[P_MIN_GC_SCORE], rep_len_i, n_gc,
                 g_off, g_cnt, g_na, g_sc, ts.g_hash, g_extra,
                 o_lv, o_loff, o_lcnt, o_lsc, o_led, ts.o_ax, ts.o_ay,
                 sel, sel + ts.gc_cap, sel + 2 * ts.gc_cap,
@@ -290,6 +361,7 @@ static void *worker(void *vp)
     b->tlen[w->tid] = ts.gb_len;
     free(ts.ax); free(ts.ay); free(ts.tab);
     free(ts.o_ax); free(ts.o_ay); free(ts.g_hash);
+    free(ts.mv); free(ts.mp);
     return 0;
 }
 
@@ -308,6 +380,11 @@ int64_t mgt_map_tail_batch(
     const int64_t *n_mv, const uint64_t *mpp,
     const int64_t *qlen, const int64_t *rep_len,
     const int64_t *mdx, const int64_t *mdy,
+    /* host-collect mode (anchors built in the workers); pass
+     * do_collect=0 and NULL tables when anchors come precomputed */
+    int64_t do_collect, int64_t idx_w, int64_t idx_k, int64_t max_occ,
+    const uint64_t *keys, const int64_t *key_start,
+    const int64_t *key_cnt, int64_t n_keys, const uint64_t *pos,
     const char *qseq_blob, const int64_t *qseq_off,
     const char *qname_blob, const int64_t *qname_off,
     const int64_t *gidx, const int64_t *arc_w, const int64_t *arc_lv,
@@ -328,6 +405,10 @@ int64_t mgt_map_tail_batch(
     b.mode = mode; b.n_a = n_a; b.n_mv = n_mv;
     b.qlen = qlen; b.rep_len = rep_len; b.mdx = mdx; b.mdy = mdy;
     b.axp = axp; b.ayp = ayp; b.fpp = fpp; b.ppp = ppp; b.mpp = mpp;
+    b.do_collect = do_collect; b.idx_w = idx_w; b.idx_k = idx_k;
+    b.max_occ = max_occ; b.n_keys = n_keys;
+    b.keys = keys; b.key_start = key_start; b.key_cnt = key_cnt;
+    b.pos = pos;
     b.qseq_blob = qseq_blob; b.qseq_off = qseq_off;
     b.qname_blob = qname_blob; b.qname_off = qname_off;
     b.gidx = gidx; b.arc_w = arc_w; b.arc_lv = arc_lv;
@@ -378,16 +459,16 @@ int64_t mgt_map_tail_batch(
         free(b.r_tid); free(b.tbuf); free(b.tlen);
         return -1;
     }
-    int64_t pos = 0;
+    int64_t opos = 0;
     for (i = 0; i < n_reads; ++i) {
-        if (status[i] != 0 || o_len[i] == 0) { o_off[i] = pos; continue; }
-        memcpy(out + pos, b.tbuf[b.r_tid[i]] + o_off[i],
+        if (status[i] != 0 || o_len[i] == 0) { o_off[i] = opos; continue; }
+        memcpy(out + opos, b.tbuf[b.r_tid[i]] + o_off[i],
                (size_t)o_len[i]);
-        o_off[i] = pos;
-        pos += o_len[i];
+        o_off[i] = opos;
+        opos += o_len[i];
     }
     for (t = 0; t < n_threads; ++t) free(b.tbuf[t]);
     free(b.r_tid); free(b.tbuf); free(b.tlen);
     *out_buf = out;
-    return pos;
+    return opos;
 }

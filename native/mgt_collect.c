@@ -1,0 +1,145 @@
+/* Per-read seed collection: sketch -> index probe -> anchor build ->
+ * reference-exact sort, in one native call (collect_minimizers +
+ * collect_seed_hits, map-algo.c:34-45 and 58-192).  Single-segment
+ * reads only; multi-segment fragments and the -D self-diagonal filter
+ * stay on the Python path (the caller gates).
+ *
+ * The index is probed by binary search over the flat sorted key
+ * table (index/midx.py layout: keys / key_start / key_cnt / pos).
+ */
+#include <stdint.h>
+#include <stdlib.h>
+#include <string.h>
+
+extern int64_t mgt_sketch(const uint8_t *seq, int64_t len, int w, int k,
+                          uint32_t rid, uint64_t *out, int64_t cap);
+extern void mgt_radix_sort_128x(uint64_t *a, int64_t n);
+
+#define SEED_TANDEM (1ULL << 42)
+#define SEG_SHIFT 48
+#define OCC_SHIFT 56
+
+static inline int64_t key_find(const uint64_t *keys, int64_t n,
+                               uint64_t m)
+{
+    int64_t lo = 0, hi = n;
+    while (lo < hi) {
+        int64_t mid = (lo + hi) >> 1;
+        if (keys[mid] < m) lo = mid + 1;
+        else hi = mid;
+    }
+    return lo;
+}
+
+/* out_meta: [0]=n_a, [1]=n_mv, [2]=rep_len, [3]=n_mini.
+ * Returns 0 ok, -1 caps too small (needed sizes in out_meta; caller
+ * grows + retries), -2 allocation failure. */
+int64_t mgt_collect(
+    const uint8_t *seq, int64_t qlen, int64_t w, int64_t k,
+    int64_t max_occ,
+    const uint64_t *keys, const int64_t *key_start,
+    const int64_t *key_cnt, int64_t n_keys, const uint64_t *pos,
+    const int64_t *seg_len,
+    uint64_t *mv, int64_t mv_cap,
+    uint64_t *ax, uint64_t *ay, int64_t a_cap,
+    int64_t *mini_pos, int64_t mp_cap,
+    int64_t *out_meta)
+{
+    int64_t n_mv, i, j, n_a = 0, n_mini = 0, need_a = 0;
+    int64_t rep_len = 0, rep_st = 0, rep_en = 0, ret = -2;
+    uint64_t *z = 0, *minier = 0, *ay2 = 0;
+    int64_t *pcnt = 0, *pstart = 0;
+
+    out_meta[0] = out_meta[1] = out_meta[2] = out_meta[3] = 0;
+    n_mv = mgt_sketch(seq, qlen, w, k, 0, mv, mv_cap);
+    if (n_mv < 0) { out_meta[1] = qlen / 2 + 64; return -1; }
+    out_meta[1] = n_mv;
+    if (n_mv == 0) return 0;
+
+    minier = (uint64_t *)malloc(8 * (size_t)n_mv);
+    pcnt = (int64_t *)malloc(8 * (size_t)n_mv);
+    pstart = (int64_t *)malloc(8 * (size_t)n_mv);
+    if (!minier || !pcnt || !pstart) goto done;
+
+    /* pass 1: probe + repeat-length accounting + output sizes */
+    for (i = 0; i < n_mv; ++i) {
+        uint64_t m = mv[2 * i] >> 8;
+        int64_t p = key_find(keys, n_keys, m), cnt = 0, st = 0;
+        if (p < n_keys && keys[p] == m) cnt = key_cnt[p], st = key_start[p];
+        minier[i] = m, pcnt[i] = cnt, pstart[i] = st;
+        if (cnt >= max_occ) {
+            /* repeat-length over high-occ minimizers (map-algo.c:72) */
+            int64_t q_pos = (int64_t)(uint32_t)mv[2 * i + 1];
+            int64_t span = (int64_t)(mv[2 * i] & 0xFF);
+            int64_t en = (q_pos >> 1) + 1, st2 = en - span;
+            if (st2 > rep_en) {
+                rep_len += rep_en - rep_st;
+                rep_st = st2, rep_en = en;
+            } else rep_en = en;
+        } else {
+            need_a += cnt;
+            ++n_mini;
+        }
+    }
+    rep_len += rep_en - rep_st;
+    out_meta[0] = need_a;
+    out_meta[2] = rep_len;
+    out_meta[3] = n_mini;
+    if (need_a > a_cap || n_mini > mp_cap) { ret = -1; goto done; }
+
+    if (need_a > 0) {
+        z = (uint64_t *)malloc(16 * (size_t)need_a);
+        if (!z) goto done;
+    }
+    /* pass 2: anchors + kept minimizer positions */
+    n_mini = 0;
+    for (i = 0; i < n_mv; ++i) {
+        int64_t cnt = pcnt[i];
+        int64_t span = (int64_t)(mv[2 * i] & 0xFF);
+        int64_t q_pos = (int64_t)(uint32_t)mv[2 * i + 1];
+        int64_t seg = (int64_t)(mv[2 * i + 1] >> 32);
+        int tandem;
+        if (cnt >= max_occ) continue;
+        mini_pos[n_mini++] = q_pos >> 1;
+        if (cnt == 0) continue;
+        /* same minimizer as an adjacent query minimizer */
+        tandem = (i > 0 && minier[i - 1] == minier[i])
+              || (i + 1 < n_mv && minier[i + 1] == minier[i]);
+        {
+            int64_t occ = cnt < 255 ? cnt : 255;
+            for (j = 0; j < cnt; ++j) {
+                uint64_t r = pos[pstart[i] + j];
+                int64_t rid = (int64_t)(r >> 32);
+                int64_t rpos = (int64_t)((uint32_t)r >> 1);
+                int64_t rev = (int64_t)((r ^ (uint64_t)q_pos) & 1);
+                int64_t tpos = rev == 0 ? rpos
+                    : seg_len[rid] - (rpos + 1 - span) - 1;
+                z[2 * n_a] = (uint64_t)rid << 33
+                    | (uint64_t)rev << 32 | (uint64_t)tpos;
+                ay[n_a] = (uint64_t)occ << OCC_SHIFT
+                    | (uint64_t)seg << SEG_SHIFT
+                    | (tandem ? SEED_TANDEM : 0)
+                    | (uint64_t)span << 32
+                    | (uint64_t)(q_pos >> 1);
+                z[2 * n_a + 1] = (uint64_t)n_a;
+                ++n_a;
+            }
+        }
+    }
+
+    if (n_a > 0) {
+        ay2 = (uint64_t *)malloc(8 * (size_t)n_a);
+        if (!ay2) goto done;
+        mgt_radix_sort_128x(z, n_a);   /* reference-exact permutation */
+        for (i = 0; i < n_a; ++i) {
+            ax[i] = z[2 * i];
+            ay2[i] = ay[(int64_t)z[2 * i + 1]];
+        }
+        memcpy(ay, ay2, 8 * (size_t)n_a);
+    }
+    out_meta[0] = n_a;
+    ret = 0;
+done:
+    free(z); free(minier); free(pcnt); free(pstart); free(ay2);
+    return ret;
+}
