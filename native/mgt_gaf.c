@@ -77,7 +77,8 @@ int64_t mgt_format_gaf(
             gb_mem(&b, qname, qname_len);
             gb_c(&b, '\t');
             gb_i(&b, qlen);
-            gb_mem(&b, "\t0\t0\t*\t*\t0\t0\t0\t0\t0\t0\n", 23);
+            gb_mem(&b, "\t0\t0\t*\t*\t0\t0\t0\t0\t0\t0\n",
+                   (int64_t)sizeof("\t0\t0\t*\t*\t0\t0\t0\t0\t0\t0\n") - 1);
         }
         return b.ovf ? -1 : (int64_t)(b.p - buf);
     }
@@ -178,7 +179,10 @@ int64_t mgt_format_gaf(
             gb_c(&b, '\t');
             if (vrev) {
                 rev_sign = 1;
-                *sign_pos = '-';
+                /* flip the already-written '+': guarded because on
+                 * the grow-and-retry pass the buffer may have been
+                 * too small for even the columns before it */
+                if (sign_pos < b.end) *sign_pos = '-';
                 gb_i(&b, seg_soff[sid] + (ex[4] - ex[3]));  /* plen-pe */
                 gb_c(&b, '\t');
                 gb_i(&b, seg_soff[sid] + (ex[4] - ex[2]));  /* plen-ps */
