@@ -3,6 +3,7 @@ file-level mapping driver (mg_map_files, gmap.c:163-211)."""
 from __future__ import annotations
 
 import sys
+import time
 from typing import List, Optional
 
 import numpy as np
@@ -409,6 +410,11 @@ def _chain_penalties(gi, opt):
     return pen[1], pen[2]
 
 
+def _ema(prev, x, alpha=0.4):
+    """Exponential moving average with None start."""
+    return x if prev is None else prev + alpha * (x - prev)
+
+
 def _map_batch_native(gi, opt, items, n_threads, host_collect=False):
     """Map a batch of reads anchors -> GAF text in ONE native call
     (native/mgt_batch.c: work-stealing pthread loop over mgt_map_tail
@@ -643,6 +649,28 @@ def _map_file_frag(gi: MinimizerIndex, fns: List[str], opt: MapOptions,
     frag_mode = len(fns) > 1 or bool(opt.flag & MG_M_FRAG_MODE)
     fps = [BSeqFile(fn) for fn in fns]
     pe_ori = opt.pe_ori
+    from ..options import DBG as _DBGm
+
+    # heterogeneous split: while the device runs the seed stage for its
+    # share of a batch, a background thread maps the remaining reads
+    # with the all-native host batch driver (the C call releases the
+    # GIL, so it fills the core during the device's exec+fetch idle
+    # window).  The share adapts so both engines finish together.
+    split_ok = (front is not None and gwfa_pool is None
+                and not _DBGm["flag"]
+                and not (opt.flag & (_EMIT_BAIL_FLAGS | MG_M_HEAP_SORT
+                                     | MG_M_INDEPEND_SEG
+                                     | _MG_M_NO_DIAG)))
+    host_pool = None
+    split = {"share": 0.35, "t_host": None, "t_dev": None}
+    if split_ok:
+        from concurrent.futures import ThreadPoolExecutor
+        host_pool = ThreadPoolExecutor(max_workers=1)
+
+    def _host_batch_timed(items):
+        t0 = time.perf_counter()
+        txt = _map_batch_native(gi, opt, items, 1, host_collect=True)
+        return txt, time.perf_counter() - t0, len(items)
     def _read_prep():
         """Read + encode + DISPATCH the next batch (pipeline stage 0).
 
@@ -667,22 +695,44 @@ def _map_file_frag(gi: MinimizerIndex, fns: List[str], opt: MapOptions,
                 frags.append((j, i - j))
                 j = i
         handle = front_idx = None
+        host_fut = None
         if front is not None:
             # device seed stage for every eligible single-seg frag
             front_idx = [fi for fi, (off, n_seg) in enumerate(frags)
                          if front.eligible(opt, n_seg, batch[off].l_seq)]
+            if host_pool is not None:
+                # device-ineligible single-seg reads always take the
+                # host C batch; an adaptive share of the eligible ones
+                # is stolen from the device to balance the pipeline
+                elig = set(front_idx)
+                host_set = [
+                    fi for fi, (off, n_seg) in enumerate(frags)
+                    if n_seg == 1 and batch[off].l_seq > 0
+                    and fi not in elig
+                    and not (opt.max_qlen > 0
+                             and batch[off].l_seq > opt.max_qlen)]
+                n_steal = int(len(front_idx) * split["share"])
+                if n_steal > 0:
+                    host_set += front_idx[:n_steal]
+                    front_idx = front_idx[n_steal:]
+                if host_set:
+                    items = [(fi, batch[frags[fi][0]].name,
+                              batch[frags[fi][0]].seq, None)
+                             for fi in sorted(host_set)]
+                    host_fut = host_pool.submit(_host_batch_timed, items)
             if front_idx:
                 handle = front.submit(
                     [batch[frags[fi][0]].seq for fi in front_idx])
-        return batch, frags, handle, front_idx
+        return batch, frags, handle, front_idx, host_fut
 
     try:
         cur = _read_prep()
         while cur is not None:
-            batch, frags, handle, front_idx = cur
+            batch, frags, handle, front_idx, host_fut = cur
             cur = _read_prep()  # device + I/O run ahead of the tails
             pre = None
             front_res = None
+            t_dev0 = time.perf_counter()
             if handle is not None:
                 front_res = dict(zip(front_idx, front.gather(handle)))
             import os
@@ -724,6 +774,10 @@ def _map_file_frag(gi: MinimizerIndex, fns: List[str], opt: MapOptions,
                          for fi, fr in front_res.items()
                          if fr is not None and frags[fi][1] == 1]
                 batch_txt = _map_batch_native(gi, opt, items, n_threads)
+                if items:
+                    split["t_dev"] = _ema(
+                        split["t_dev"],
+                        (time.perf_counter() - t_dev0) / len(items))
             elif host_batch_ok:
                 items = [(fi, batch[off].name, batch[off].seq, None)
                          for fi, (off, n_seg) in enumerate(frags)
@@ -734,6 +788,18 @@ def _map_file_frag(gi: MinimizerIndex, fns: List[str], opt: MapOptions,
                     batch_txt = _map_batch_native(gi, opt, items,
                                                   n_threads,
                                                   host_collect=True)
+            if host_fut is not None:
+                h_txt, h_wall, h_n = host_fut.result()
+                if h_txt:
+                    batch_txt = h_txt if batch_txt is None \
+                        else {**batch_txt, **h_txt}
+                if h_n:
+                    split["t_host"] = _ema(split["t_host"], h_wall / h_n)
+                # balance: host takes t_dev/(t_dev+t_host) of the work
+                if split["t_dev"] and split["t_host"]:
+                    tgt = split["t_dev"] / (split["t_dev"]
+                                            + split["t_host"])
+                    split["share"] = min(0.9, max(0.0, tgt))
             # device -c mode: defer per-gap WFAs of device-front reads
             # into one batch pool, align on device, then finalize
             cigar_sink = None
@@ -852,5 +918,7 @@ def _map_file_frag(gi: MinimizerIndex, fns: List[str], opt: MapOptions,
                         qlens, gcs_list = compute_frag(fi, off, n_seg)
                         emit_frag(off, n_seg, qlens, gcs_list)
     finally:
+        if host_pool is not None:
+            host_pool.shutdown(wait=True)
         for fp in fps:
             fp.close()
