@@ -105,6 +105,84 @@ def ensure_workload():
     return gfa, reads_fa
 
 
+N_LONG = 256
+LONG_LEN = 16384
+LONG_BATCH = 32
+
+
+def ensure_long_reads():
+    """Cached 15 kb-N50 read set off the same haplotypes (the
+    reference's real regime: tex/minigraph.tex:341)."""
+    from minigraph_tpu.seqio.bseq import read_all
+    from minigraph_tpu.tools.synth import simulate_reads, write_fasta
+    fa = CACHE / "reads16k.fa"
+    if fa.exists():
+        return fa
+    haps = [read_all(str(CACHE / f"hap{h}.fa"))[0].seq
+            for h in range(N_HAPS)]
+    # cap below the 16384 device bucket; longer reads would ride the
+    # host engine of the split (also a valid path, just not measured
+    # as the device long-read number)
+    recs = simulate_reads(haps, N_LONG, seed=21, mean_len=15000,
+                          min_len=2500, max_len=LONG_LEN - 256)
+    write_fasta(fa, recs)
+    return fa
+
+
+def bench_long(gi, mo, reads_fa):
+    """Long-read (15 kb-class) end-to-end throughput via the
+    host+device split with the 16 kb device bucket."""
+    import copy
+    import io
+
+    from minigraph_tpu.mapping.device_front import DeviceFront
+    from minigraph_tpu.mapping.mapper import _map_file_frag
+    from minigraph_tpu.seqio.bseq import read_all
+
+    mo2 = copy.copy(mo)
+    mo2.mini_batch_size = LONG_BATCH * LONG_LEN
+    front = DeviceFront(gi, mo2, buckets=((LONG_LEN, LONG_BATCH),))
+    n_bp = sum(len(s.seq) for s in read_all(str(reads_fa)))
+
+    def run_once():
+        sink = io.StringIO()
+        t0 = time.time()
+        _map_file_frag(gi, [str(reads_fa)], mo2, sink, None, None, 1,
+                       front)
+        return time.time() - t0, sink.getvalue()
+
+    t_warm, gaf = run_once()            # includes the bucket compile
+    t_meas = None
+    for _ in range(2):
+        t_i, gaf2 = run_once()
+        assert gaf == gaf2
+        t_meas = t_i if t_meas is None else min(t_meas, t_i)
+    front.log_stats()
+    log(f"long reads ({N_LONG} x ~15kb, {n_bp/1e6:.1f} Mbp): warm "
+        f"{t_warm:.1f}s, steady {t_meas:.1f}s -> "
+        f"{N_LONG / t_meas:.0f} reads/s = {n_bp / t_meas / 1e6:.1f} Mbp/s")
+    base = None
+    if ORACLE.exists():
+        t_ref = None
+        for _ in range(2):
+            t0 = time.time()
+            r = subprocess.run(
+                [str(ORACLE), "-t", "1", "-x", "lr", str(CACHE / "mhc3m.gfa"),
+                 str(reads_fa)], capture_output=True, text=True,
+                timeout=600)
+            wall = time.time() - t0
+            m = re.findall(r"\[M::mg_index::([0-9.]+)", r.stderr)
+            t_i = wall - (float(m[-1]) if m else 0.0)
+            t_ref = t_i if t_ref is None else min(t_ref, t_i)
+        log(f"long reads reference C (1 thread): {t_ref:.1f}s -> "
+            f"{N_LONG / t_ref:.0f} reads/s")
+        log("long-read PARITY OK" if gaf == r.stdout
+            else "WARNING: long-read GAF parity MISMATCH")
+        base = N_LONG / t_ref
+    rps = N_LONG / t_meas
+    return rps, (rps / base if base else None)
+
+
 def bench_ours(gfa, reads_fa):
     import io
 
@@ -330,13 +408,26 @@ def main():
         bench_stage(gfa, reads_fa)
     except Exception as e:
         log(f"stage bench skipped: {type(e).__name__} {e}")
+    long_rps = long_vs = None
+    if time.time() - t_start < 1500:
+        try:
+            long_rps, long_vs = bench_long(gi, mo, ensure_long_reads())
+        except Exception as e:
+            log(f"long-read bench skipped: {type(e).__name__} {e}")
+    else:
+        log("long-read bench skipped: compile budget spent")
     vs = rps / base if base else rps / 871.6
-    print(json.dumps({
+    out = {
         "metric": "end_to_end_reads_per_s_chip",
         "value": round(rps, 2),
         "unit": "reads/s",
         "vs_baseline": round(vs, 3),
-    }))
+    }
+    if long_rps is not None:
+        out["long_reads_per_s"] = round(long_rps, 1)
+        if long_vs is not None:
+            out["long_vs_baseline"] = round(long_vs, 3)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

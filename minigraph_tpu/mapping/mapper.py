@@ -666,6 +666,10 @@ def _map_file_frag(gi: MinimizerIndex, fns: List[str], opt: MapOptions,
     if split_ok:
         from concurrent.futures import ThreadPoolExecutor
         host_pool = ThreadPoolExecutor(max_workers=1)
+        # keep the learned balance across calls (bench/ggs reuse the
+        # same DeviceFront for several mapping passes)
+        split = getattr(front, "_split_state", None) or split
+        front._split_state = split
 
     def _host_batch_timed(items):
         t0 = time.perf_counter()
@@ -712,6 +716,13 @@ def _map_file_frag(gi: MinimizerIndex, fns: List[str], opt: MapOptions,
                     and not (opt.max_qlen > 0
                              and batch[off].l_seq > opt.max_qlen)]
                 n_steal = int(len(front_idx) * split["share"])
+                if n_steal >= len(front_idx):
+                    # device currently unprofitable: host takes all,
+                    # but every 8th batch probes a small device slice
+                    # so a recovered/unwedged device can win work back
+                    split["nb"] = split.get("nb", 0) + 1
+                    n_steal = max(0, len(front_idx) - 8) \
+                        if split["nb"] % 8 == 0 else len(front_idx)
                 if n_steal > 0:
                     host_set += front_idx[:n_steal]
                     front_idx = front_idx[n_steal:]
@@ -799,7 +810,8 @@ def _map_file_frag(gi: MinimizerIndex, fns: List[str], opt: MapOptions,
                 if split["t_dev"] and split["t_host"]:
                     tgt = split["t_dev"] / (split["t_dev"]
                                             + split["t_host"])
-                    split["share"] = min(0.9, max(0.0, tgt))
+                    split["share"] = 1.0 if tgt > 0.95 \
+                        else min(0.9, max(0.0, tgt))
             # device -c mode: defer per-gap WFAs of device-front reads
             # into one batch pool, align on device, then finalize
             cigar_sink = None
