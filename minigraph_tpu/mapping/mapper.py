@@ -33,6 +33,9 @@ U32 = 0xFFFFFFFF
 _EMIT_BAIL_FLAGS = (MG_M_CIGAR | MG_M_CAL_COV | MG_M_FRAG_MODE
                     | MG_M_FRAG_MERGE | MG_M_WRITE_LCHAIN
                     | MG_M_WRITE_MZ | MG_M_VERTEX_COOR | MG_M_SPLICE)
+# -c no longer bails: the batch driver runs the base-level stage
+# (CIGAR + ds) natively inside the workers
+_EMIT_BAIL_NOCIG = _EMIT_BAIL_FLAGS & ~MG_M_CIGAR
 
 
 def _i32(v: int) -> int:
@@ -432,7 +435,7 @@ def _map_batch_native(gi, opt, items, n_threads, host_collect=False):
                            MG_M_SHOW_UNMAP, MG_MAX_SHORT_K)
     from ..utils.native import get_lib
     from .gchain import _get_gaf_ctx, _get_gfull_ctx
-    if DBG["flag"] or (opt.flag & _EMIT_BAIL_FLAGS) or not items:
+    if DBG["flag"] or (opt.flag & _EMIT_BAIL_NOCIG) or not items:
         return None
     lib = get_lib()
     if lib is None or not hasattr(lib, "mgt_map_tail_batch"):
@@ -444,6 +447,7 @@ def _map_batch_native(gi, opt, items, n_threads, host_collect=False):
             + [ct.c_void_p] * 12                      # per-read arrays
             + [ct.c_int64] * 4 + [ct.c_void_p] * 3
             + [ct.c_int64, ct.c_void_p]               # host-collect ctx
+            + [ct.c_int64, ct.c_void_p]               # -c ctx
             + [ct.c_char_p, ct.c_void_p, ct.c_char_p, ct.c_void_p]
             + [ct.c_void_p] * 4 + [ct.c_int64, ct.c_void_p]
             + [ct.c_void_p] * 6 + [ct.c_char_p]       # graph ctx
@@ -556,6 +560,12 @@ def _map_batch_native(gi, opt, items, n_threads, host_collect=False):
                     cptr[0], cptr[1], cptr[2], cptr[3], cptr[4])
     else:
         col_args = (0, 0, 0, 0, None, None, None, 0, None)
+    if opt.flag & MG_M_CIGAR:
+        from ..align.cigar import _es_tables
+        seqp, _sl = _es_tables(gi.es)
+        cig_args = (1, ct.cast(seqp, ct.c_void_p))
+    else:
+        cig_args = (0, None)
     total = lib.mgt_map_tail_batch(
         n, max(1, n_threads), P.ctypes.data, PD.ctypes.data,
         mode.ctypes.data, n_a.ctypes.data, axp.ctypes.data,
@@ -563,6 +573,7 @@ def _map_batch_native(gi, opt, items, n_threads, host_collect=False):
         n_mv.ctypes.data, mpp.ctypes.data, qlen.ctypes.data,
         rep_len.ctypes.data, mdx.ctypes.data, mdy.ctypes.data,
         *col_args,
+        *cig_args,
         qseq_blob, qseq_off.ctypes.data,
         qname_blob, qname_off.ctypes.data,
         *args0,
@@ -658,7 +669,7 @@ def _map_file_frag(gi: MinimizerIndex, fns: List[str], opt: MapOptions,
     # window).  The share adapts so both engines finish together.
     split_ok = (front is not None and gwfa_pool is None
                 and not _DBGm["flag"]
-                and not (opt.flag & (_EMIT_BAIL_FLAGS | MG_M_HEAP_SORT
+                and not (opt.flag & (_EMIT_BAIL_NOCIG | MG_M_HEAP_SORT
                                      | MG_M_INDEPEND_SEG
                                      | _MG_M_NO_DIAG)))
     host_pool = None
@@ -756,7 +767,7 @@ def _map_file_frag(gi: MinimizerIndex, fns: List[str], opt: MapOptions,
             # replaces the fork pool when eligible
             host_batch_ok = (
                 front is None and gwfa_pool is None and not _DBGf["flag"]
-                and not (opt.flag & (MG_M_CIGAR | _EMIT_BAIL_FLAGS
+                and not (opt.flag & (_EMIT_BAIL_NOCIG
                                      | MG_M_HEAP_SORT | MG_M_INDEPEND_SEG))
                 and not (opt.flag & _MG_M_NO_DIAG))
             if host_batch_ok:
@@ -779,7 +790,7 @@ def _map_file_frag(gi: MinimizerIndex, fns: List[str], opt: MapOptions,
             # fallbacks (native/mgt_batch.c)
             batch_txt = None
             if front_res and gwfa_pool is None \
-                    and not (opt.flag & (MG_M_CIGAR | _EMIT_BAIL_FLAGS)):
+                    and not (opt.flag & _EMIT_BAIL_NOCIG):
                 items = [(fi, batch[frags[fi][0]].name,
                           batch[frags[fi][0]].seq, fr)
                          for fi, fr in front_res.items()
@@ -815,7 +826,8 @@ def _map_file_frag(gi: MinimizerIndex, fns: List[str], opt: MapOptions,
             # device -c mode: defer per-gap WFAs of device-front reads
             # into one batch pool, align on device, then finalize
             cigar_sink = None
-            if front is not None and front_res and (opt.flag & MG_M_CIGAR):
+            if front is not None and front_res and batch_txt is None \
+                    and (opt.flag & MG_M_CIGAR):
                 from ..align.cigar_device import DeviceWfaPool
 
                 class _Sink:

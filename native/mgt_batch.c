@@ -25,6 +25,19 @@ extern int64_t mgt_collect(
     int64_t *mini_pos, int64_t mp_cap,
     int64_t *out_meta);
 
+extern int64_t mgt_gchain_cigar(
+    const uint64_t *ax, const uint64_t *ay, int64_t off_a0,
+    int64_t n_anchor, const int64_t *lc_v, const int64_t *lc_off,
+    const int64_t *lc_cnt, int64_t gc_off, int64_t gc_cnt,
+    const char **seqp, const int64_t *seg_len, const char *q,
+    uint32_t *cig_out, int64_t cig_cap, int64_t *stats_out);
+
+extern int64_t mgt_gen_ds(
+    const uint32_t *cigar, int64_t n_cigar, const uint8_t *tseq,
+    int64_t aplen, const uint8_t *qseq, int64_t qs, int64_t qe,
+    char *ds_out, int64_t ds_cap, int64_t *off_out, int64_t off_cap,
+    int64_t *n_off_out);
+
 extern int64_t mgt_map_tail(
     int64_t mode, const int32_t *fdp, const int32_t *pdp,
     int64_t max_dist_x, int64_t max_dist_y, int64_t bw,
@@ -78,6 +91,10 @@ extern int64_t mgt_format_gaf(
     const int64_t *sel_parent, const int64_t *sel_mapq,
     const int64_t *sel_subsc,
     int64_t print_2nd, int64_t no_comp_path, int64_t show_unmap,
+    const uint32_t *const *cig_p, const int64_t *cig_n,
+    const int64_t *cig_stats,
+    const char *const *ds_p, const int64_t *ds_n,
+    const int64_t *const *ds_off_p, const int64_t *ds_noff,
     char *buf, int64_t cap);
 
 /* khashl.h integer/string hashes (definitional formulas) */
@@ -131,6 +148,10 @@ typedef struct {
     const uint64_t *keys;
     const int64_t *key_start, *key_cnt;
     const uint64_t *pos;
+    /* -c mode: per-chain CIGAR + ds generated in the worker;
+     * seg_seqp[2s]/[2s+1] = fwd/rc byte strings of segment s */
+    int64_t do_cigar;
+    const char **seg_seqp;
     const char *qseq_blob;
     const int64_t *qseq_off;
     const char *qname_blob;
@@ -172,6 +193,16 @@ typedef struct {
     int64_t mv_sz;
     int64_t *mp;                /* collect-mode minimizer positions */
     int64_t mp_sz;
+    uint32_t *cgb;              /* -c: all chains' CIGAR words */
+    int64_t cgb_sz;
+    char *dsb;                  /* -c: all chains' ds streams */
+    int64_t dsb_sz;
+    int64_t *dob;               /* -c: ds token offsets */
+    int64_t dob_sz;
+    char *tsq;                  /* -c: one chain's path target seq */
+    int64_t tsq_sz;
+    void *ctab;                 /* -c: per-chain ptr/stat table */
+    int64_t ctab_sz;            /* capacity in chains */
     int64_t *tab;               /* o_lv..o_led | g_off..g_sc | extra.. */
     uint64_t *o_ax, *o_ay;
     uint32_t *g_hash;
@@ -206,6 +237,139 @@ static int ts_reserve(tscratch_t *t, int64_t n_a)
             t->llc_cap = t->a_cap = t->gc_cap = 0;
             return -1;
         }
+    }
+    return 0;
+}
+
+/* Carve the per-chain cigar/ds pointer+stat table out of ts->ctab.
+ * Layout per capacity chain: ptr + i64 + 4*i64 + ptr + i64 + ptr +
+ * i64 = 80 bytes. */
+#define CTAB_CARVE(t)                                                  \
+    const uint32_t **cg_p = (const uint32_t **)(t)->ctab;              \
+    int64_t *cg_n = (int64_t *)(cg_p + (t)->ctab_sz);                  \
+    int64_t *cg_st = cg_n + (t)->ctab_sz;                              \
+    const char **dsp = (const char **)(cg_st + 4 * (t)->ctab_sz);      \
+    int64_t *dsn = (int64_t *)(dsp + (t)->ctab_sz);                    \
+    const int64_t **dop = (const int64_t **)(dsn + (t)->ctab_sz);     \
+    int64_t *don = (int64_t *)(dop + (t)->ctab_sz)
+
+static int64_t grow8(void **p, int64_t *sz, int64_t need, int64_t esz)
+{
+    if (need <= *sz) return 0;
+    int64_t want = need + (need >> 1) + 64;
+    void *np = realloc(*p, (size_t)(want * esz));
+    if (!np) return -1;
+    *p = np;
+    *sz = want;
+    return 0;
+}
+
+/* Base-level stage for one read (-c): per selected chain, run the
+ * anchor-walk + per-gap WFA CIGAR (mgt_gchain_cigar), extract the
+ * path target sequence, and derive the ds difference string
+ * (mg_gchain_cigar + mg_gchain_gen_ds, galign.c:39-293).  Fills the
+ * ctab pointer table consumed by mgt_format_gaf.  Returns 0, or -1
+ * to bail the whole read to the exact per-read path. */
+static int cigar_stage(batch_t *b, tscratch_t *ts, int64_t i,
+                       int64_t n2, const int64_t *o_lv,
+                       const int64_t *o_loff, const int64_t *o_lcnt,
+                       const int64_t *g_off, const int64_t *g_cnt,
+                       const int64_t *g_na, const int64_t *g_extra,
+                       const int64_t *sel_parent, int64_t print_2nd)
+{
+    const char *q = b->qseq_blob + b->qseq_off[i];
+    int64_t c, cg_need = 0, ds_need = 0, do_need = 0, ts_need = 0;
+
+    if (n2 > ts->ctab_sz) {
+        int64_t want = n2 + (n2 >> 1) + 8;
+        void *np = realloc(ts->ctab, (size_t)(want * 80));
+        if (!np) return -1;
+        ts->ctab = np;
+        ts->ctab_sz = want;
+    }
+    CTAB_CARVE(ts);
+    /* pass 1: per-chain capacity budgets (align/cigar.py:100,264) */
+    for (c = 0; c < n2; ++c) {
+        const int64_t *ex = g_extra + 8 * c;
+        int64_t budget, span;
+        cg_p[c] = 0;
+        dsp[c] = 0;
+        if ((c != sel_parent[c] && !print_2nd) || g_cnt[c] == 0)
+            continue;
+        budget = (ex[3] - ex[2]) + (ex[1] - ex[0])
+            + 4 * g_na[c] + 64;
+        span = (ex[3] - ex[2]) + (ex[1] - ex[0]);
+        cg_n[c] = budget;              /* budget for now */
+        cg_need += budget;
+        ds_need += 4 * span + 16 * budget + 64;
+        do_need += 2 * span + budget + 8;
+        if (ex[3] - ex[2] > ts_need) ts_need = ex[3] - ex[2];
+    }
+    if (grow8((void **)&ts->cgb, &ts->cgb_sz, cg_need, 4) < 0 ||
+        grow8((void **)&ts->dsb, &ts->dsb_sz, ds_need, 1) < 0 ||
+        grow8((void **)&ts->dob, &ts->dob_sz, do_need, 8) < 0 ||
+        grow8((void **)&ts->tsq, &ts->tsq_sz, ts_need, 1) < 0)
+        return -1;
+    /* pass 2: cigar + tseq + ds per chain (arenas fixed; pointers
+     * into them are stable) */
+    int64_t cg_used = 0, ds_used = 0, do_used = 0;
+    for (c = 0; c < n2; ++c) {
+        const int64_t *ex = g_extra + 8 * c;
+        int64_t budget, off_a0, na, n, st4[4], aplen, j, tl;
+        int64_t nds, noff, span;
+        if ((c != sel_parent[c] && !print_2nd) || g_cnt[c] == 0)
+            continue;
+        budget = cg_n[c];
+        off_a0 = o_loff[g_off[c]];
+        na = g_na[c];
+        n = mgt_gchain_cigar(ts->o_ax, ts->o_ay, off_a0, na,
+                             o_lv, o_loff, o_lcnt, g_off[c], g_cnt[c],
+                             b->seg_seqp, b->gseg_len, q,
+                             ts->cgb + cg_used, budget, st4);
+        if (n < 0) return -1;
+        aplen = st4[2];
+        if (st4[3] != ex[1] - ex[0] || aplen != ex[3] - ex[2])
+            return -1;
+        cg_p[c] = ts->cgb + cg_used;
+        cg_n[c] = n;
+        cg_st[4 * c] = st4[0];
+        cg_st[4 * c + 1] = st4[1];
+        cg_st[4 * c + 2] = st4[2];
+        cg_st[4 * c + 3] = st4[3];
+        cg_used += budget;
+        /* path target sequence over the chain's vertex run
+         * (gchain_gen_ds, align/cigar.py:292-300) */
+        {
+            int64_t span0 = (int64_t)((ts->o_ay[off_a0] >> 32) & 0xFF);
+            int64_t ss = (int32_t)ts->o_ax[off_a0] + 1 - span0;
+            int64_t ee = (int32_t)ts->o_ax[off_a0 + na - 1] + 1;
+            tl = 0;
+            for (j = 0; j < g_cnt[c]; ++j) {
+                int64_t v = o_lv[g_off[c] + j];
+                int64_t st = j > 0 ? 0 : ss;
+                int64_t en = j < g_cnt[c] - 1
+                    ? b->gseg_len[v >> 1] : ee;
+                if (en - st < 0 || tl + (en - st) > ts->tsq_sz)
+                    return -1;
+                memcpy(ts->tsq + tl, b->seg_seqp[v] + st,
+                       (size_t)(en - st));
+                tl += en - st;
+            }
+            if (tl != aplen) return -1;
+        }
+        span = aplen + (ex[1] - ex[0]);
+        nds = mgt_gen_ds(cg_p[c], n, (const uint8_t *)ts->tsq, aplen,
+                         (const uint8_t *)q, ex[0], ex[1],
+                         ts->dsb + ds_used, 4 * span + 16 * budget + 64,
+                         ts->dob + do_used, 2 * span + budget + 8,
+                         &noff);
+        if (nds < 0) return -1;
+        dsp[c] = ts->dsb + ds_used;
+        dsn[c] = nds;
+        dop[c] = ts->dob + do_used;
+        don[c] = noff;
+        ds_used += 4 * span + 16 * budget + 64;
+        do_used += 2 * span + budget + 8;
     }
     return 0;
 }
@@ -332,6 +496,20 @@ static void *worker(void *vp)
                 sel + 3 * ts.gc_cap);
             if (n2 < 0) continue;
         }
+        const uint32_t *const *f_cgp = 0;
+        const int64_t *f_cgn = 0, *f_cgst = 0;
+        const char *const *f_dsp = 0;
+        const int64_t *f_dsn = 0, *f_don = 0;
+        const int64_t *const *f_dop = 0;
+        if (b->do_cigar && n2 > 0) {
+            if (cigar_stage(b, &ts, i, n2, o_lv, o_loff, o_lcnt,
+                            g_off, g_cnt, g_na, g_extra, sel,
+                            P[P_GAF_FLAGS] & 1) < 0)
+                continue;              /* bail to exact per-read path */
+            CTAB_CARVE(&ts);
+            f_cgp = cg_p; f_cgn = cg_n; f_cgst = cg_st;
+            f_dsp = dsp; f_dsn = dsn; f_dop = dop; f_don = don;
+        }
         for (;;) {
             int64_t flags = P[P_GAF_FLAGS];
             int64_t n = mgt_format_gaf(
@@ -343,6 +521,7 @@ static void *worker(void *vp)
                 g_off, g_cnt, g_na, g_sc, g_extra,
                 sel, sel + ts.gc_cap, sel + 3 * ts.gc_cap,
                 flags & 1, (flags >> 1) & 1, (flags >> 2) & 1,
+                f_cgp, f_cgn, f_cgst, f_dsp, f_dsn, f_dop, f_don,
                 ts.gb + ts.gb_len, ts.gb_cap - ts.gb_len);
             if (n >= 0) {
                 b->r_len[i] = n;
@@ -362,6 +541,8 @@ static void *worker(void *vp)
     free(ts.ax); free(ts.ay); free(ts.tab);
     free(ts.o_ax); free(ts.o_ay); free(ts.g_hash);
     free(ts.mv); free(ts.mp);
+    free(ts.cgb); free(ts.dsb); free(ts.dob); free(ts.tsq);
+    free(ts.ctab);
     return 0;
 }
 
@@ -385,6 +566,8 @@ int64_t mgt_map_tail_batch(
     int64_t do_collect, int64_t idx_w, int64_t idx_k, int64_t max_occ,
     const uint64_t *keys, const int64_t *key_start,
     const int64_t *key_cnt, int64_t n_keys, const uint64_t *pos,
+    /* -c mode: non-zero do_cigar + fwd/rc segment byte strings */
+    int64_t do_cigar, const char **seg_seqp,
     const char *qseq_blob, const int64_t *qseq_off,
     const char *qname_blob, const int64_t *qname_off,
     const int64_t *gidx, const int64_t *arc_w, const int64_t *arc_lv,
@@ -409,6 +592,7 @@ int64_t mgt_map_tail_batch(
     b.max_occ = max_occ; b.n_keys = n_keys;
     b.keys = keys; b.key_start = key_start; b.key_cnt = key_cnt;
     b.pos = pos;
+    b.do_cigar = do_cigar; b.seg_seqp = seg_seqp;
     b.qseq_blob = qseq_blob; b.qseq_off = qseq_off;
     b.qname_blob = qname_blob; b.qname_off = qname_off;
     b.gidx = gidx; b.arc_w = arc_w; b.arc_lv = arc_lv;

@@ -182,8 +182,9 @@ int64_t mgt_gchain_cigar(
     uint32_t *cig_out, int64_t cig_cap,
     int64_t *stats_out /* [4]: mlen, blen, aplen, qtot */)
 {
-    static char *scratch = 0;
-    static int64_t scratch_cap = 0;
+    /* __thread: the batch driver runs this from its worker pool */
+    static __thread char *scratch = 0;
+    static __thread int64_t scratch_cap = 0;
     int64_t l0 = gc_off, j0 = 0, j, n = 0, i;
     int64_t mlen = 0, blen = 0, aplen = 0, qtot = 0;
 

@@ -48,6 +48,17 @@ static inline void gb_div(gbuf_t *b, float dv)
     gb_mem(b, tmp, n);
 }
 
+/* IUPAC complement (graph/gfa.py COMP_TABLE: identity outside the
+ * alphabet, case preserved) */
+static inline char gaf_comp(uint8_t ch)
+{
+    static const char dst[] = "TVGHEFCDIJMLKNOPQYSAABWXRZ";
+    if (ch >= 'A' && ch <= 'Z') return dst[ch - 'A'];
+    if (ch >= 'a' && ch <= 'z') return (char)(dst[ch - 'a'] + 32);
+    return (char)ch;
+}
+
+
 /* Returns bytes written, or -1 when `cap` is too small (caller grows
  * the buffer and retries). */
 int64_t mgt_format_gaf(
@@ -67,6 +78,15 @@ int64_t mgt_format_gaf(
     const int64_t *sel_parent, const int64_t *sel_mapq,
     const int64_t *sel_subsc,
     int64_t print_2nd, int64_t no_comp_path, int64_t show_unmap,
+    /* optional per-chain base-level results (-c mode); all NULL when
+     * absent.  cig_p[c]: CIGAR words, cig_n[c] their count;
+     * cig_stats[4c..]: mlen, blen, aplen, qtot; ds_p[c]: ds token
+     * stream, ds_n[c] its length, ds_off_p[c]/ds_noff[c] the token
+     * offsets (for the reverse-complement transform). */
+    const uint32_t *const *cig_p, const int64_t *cig_n,
+    const int64_t *cig_stats,
+    const char *const *ds_p, const int64_t *ds_n,
+    const int64_t *const *ds_off_p, const int64_t *ds_noff,
     char *buf, int64_t cap)
 {
     gbuf_t b = { buf, buf + cap, 0 };
@@ -199,14 +219,23 @@ int64_t mgt_format_gaf(
             gb_c(&b, '\t');
             gb_i(&b, ex[3]);           /* pe */
         }
-        gb_c(&b, '\t');
-        gb_i(&b, ex[6]);               /* mlen */
-        gb_c(&b, '\t');
-        gb_i(&b, ex[5]);               /* blen */
-        gb_c(&b, '\t');
-        gb_i(&b, sel_mapq[c]);
-        gb_mem(&b, "\ttp:A:", 6);
-        gb_c(&b, c == sel_parent[c] ? 'P' : 'S');
+        {
+            int has_cig = cig_p != 0 && cig_p[c] != 0;
+            int64_t mlen = has_cig ? cig_stats[4 * c] : ex[6];
+            int64_t blen = has_cig ? cig_stats[4 * c + 1] : ex[5];
+            gb_c(&b, '\t');
+            gb_i(&b, mlen);
+            gb_c(&b, '\t');
+            gb_i(&b, blen);
+            gb_c(&b, '\t');
+            gb_i(&b, sel_mapq[c]);
+            gb_mem(&b, "\ttp:A:", 6);
+            gb_c(&b, c == sel_parent[c] ? 'P' : 'S');
+            if (has_cig) {
+                gb_mem(&b, "\tNM:i:", 6);
+                gb_i(&b, blen - mlen);
+            }
+        }
         gb_mem(&b, "\tcm:i:", 6);
         gb_i(&b, g_na[c]);
         gb_mem(&b, "\ts1:i:", 6);
@@ -226,6 +255,48 @@ int64_t mgt_format_gaf(
             if (dv >= 0.0f && dv <= 1.0f) {
                 gb_mem(&b, "\tdv:f:", 6);
                 gb_div(&b, dv);
+            }
+        }
+        if (cig_p != 0 && cig_p[c] != 0) {
+            /* cg:Z (reversed on a compact reverse-strand line) and
+             * ds:Z (token-wise reverse complement likewise); mirrors
+             * seqio/gaf.py write_gaf / format.c:221-249 */
+            static const char ops[] = "MIDNSHP=XB";
+            const uint32_t *cg = cig_p[c];
+            int64_t ncg = cig_n[c], j;
+            gb_mem(&b, "\tcg:Z:", 6);
+            for (j = 0; j < ncg; ++j) {
+                uint32_t w = cg[rev_sign ? ncg - 1 - j : j];
+                gb_i(&b, (int64_t)(w >> 4));
+                gb_c(&b, ops[w & 0xF]);
+            }
+            if (ds_p != 0 && ds_p[c] != 0 && ds_n[c] > 0) {
+                const char *ds = ds_p[c];
+                gb_mem(&b, "\tds:Z:", 6);
+                if (!rev_sign) gb_mem(&b, ds, ds_n[c]);
+                else {
+                    const int64_t *doff = ds_off_p[c];
+                    int64_t no = ds_noff[c], t;
+                    for (t = no - 1; t >= 0; --t) {
+                        int64_t st = doff[t];
+                        int64_t en = t + 1 < no ? doff[t + 1] : ds_n[c];
+                        char tok = ds[st];
+                        gb_c(&b, tok);
+                        if (tok == ':') gb_mem(&b, ds + st + 1,
+                                               en - st - 1);
+                        else if (tok == '*') {
+                            for (j = st + 1; j < en; ++j)
+                                gb_c(&b, gaf_comp((uint8_t)ds[j]));
+                        } else {
+                            for (j = en - 1; j > st; --j) {
+                                char ch = ds[j];
+                                gb_c(&b, ch == '[' ? ']'
+                                     : ch == ']' ? '['
+                                     : gaf_comp((uint8_t)ch));
+                            }
+                        }
+                    }
+                }
             }
         }
         gb_c(&b, '\n');
