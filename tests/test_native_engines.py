@@ -460,3 +460,59 @@ def test_sketch_many_fuzz_vs_single():
         x, y = sketch(s, 11, 17, i)
         assert np.array_equal(res[i][0], x), f"seg {i} x"
         assert np.array_equal(res[i][1], y), f"seg {i} y"
+
+
+def test_batch_driver_matches_per_read_paths():
+    """The one-call batch driver (mgt_map_tail_batch) must reproduce
+    the per-read path byte-for-byte in all three modes: precomputed
+    anchors, host-collect (seed stage in the workers), and -c
+    host-collect (base-level CIGAR + ds in the workers), at 1 and 4
+    threads (gmap.c:99 + map-algo.c:340 + galign.c:39-293)."""
+    from minigraph_tpu.graph.gfa_io import read_gfa
+    from minigraph_tpu.index.midx import build_index
+    from minigraph_tpu.mapping.mapper import _map_batch_native, map_frag
+    from minigraph_tpu.options import (MG_M_CIGAR, GGOptions, IndexOptions,
+                                       MapOptions, opt_check, opt_set)
+    from minigraph_tpu.seqio.gaf import write_gaf
+
+    g = read_gfa(str(REF_DIR / "test" / "MT.gfa"))
+    io_, mo, go = IndexOptions(), MapOptions(), GGOptions()
+    opt_set(None, io_, mo, go)
+    opt_check(io_, mo, go)
+    gi = build_index(g, io_.k, io_.w, mo)
+
+    ref = "".join((s.seq or "") for s in g.seg if s.rank == 0)
+    rng = np.random.default_rng(53)
+    reads = []
+    for i in range(32):
+        L = int(rng.integers(400, 2500))
+        st = int(rng.integers(0, len(ref) - L))
+        s = list(ref[st:st + L])
+        for p in rng.integers(0, len(s), len(s) // 15):
+            s[p] = "ACGT"[int(rng.integers(0, 4))]
+        reads.append((f"r{i}", "".join(s)))
+
+    for cigar in (False, True):
+        mc = MapOptions()
+        opt_set(None, io_, mc, go)
+        if cigar:
+            mc.flag |= MG_M_CIGAR
+        opt_check(io_, mc, go)
+        want = []
+        for name, seq in reads:
+            gcs = map_frag(gi, [len(seq)], [seq], mc, name,
+                           fast_emit=not cigar)
+            want.append(write_gaf(gi.g, gcs, 1, [len(seq)], name,
+                                  mc.flag) or "")
+        items = [(i, name, seq, None)
+                 for i, (name, seq) in enumerate(reads)]
+        for nt in (1, 4):
+            res = _map_batch_native(gi, mc, items, nt,
+                                    host_collect=True)
+            assert res is not None, "batch driver unavailable"
+            n_ok = sum(1 for v in res.values() if v is not None)
+            assert n_ok >= len(reads) - 2, f"too many bailed: {n_ok}"
+            for i, w in enumerate(want):
+                got = res.get(i)
+                if got is not None:
+                    assert got == w, f"read {i} cigar={cigar} nt={nt}"
