@@ -447,6 +447,7 @@ def _map_batch_native(gi, opt, items, n_threads, host_collect=False):
             + [ct.c_void_p] * 12                      # per-read arrays
             + [ct.c_int64] * 4 + [ct.c_void_p] * 3
             + [ct.c_int64, ct.c_void_p]               # host-collect ctx
+            + [ct.c_void_p, ct.c_int64]               # probe table
             + [ct.c_int64, ct.c_void_p]               # -c ctx
             + [ct.c_char_p, ct.c_void_p, ct.c_char_p, ct.c_void_p]
             + [ct.c_void_p] * 4 + [ct.c_int64, ct.c_void_p]
@@ -557,9 +558,10 @@ def _map_batch_native(gi, opt, items, n_threads, host_collect=False):
         from .seeds import get_collect_ctx
         cptr = get_collect_ctx(gi)
         col_args = (1, gi.w, gi.k, opt.occ_max1,
-                    cptr[0], cptr[1], cptr[2], cptr[3], cptr[4])
+                    cptr[0], cptr[1], cptr[2], cptr[3], cptr[4],
+                    cptr[6], cptr[7])
     else:
-        col_args = (0, 0, 0, 0, None, None, None, 0, None)
+        col_args = (0, 0, 0, 0, None, None, None, 0, None, None, 0)
     if opt.flag & MG_M_CIGAR:
         from ..align.cigar import _es_tables
         seqp, _sl = _es_tables(gi.es)

@@ -270,9 +270,13 @@ _CTLS = _threading.local()
 
 def get_collect_ctx(gi):
     """Flat index-table pointers for the native collectors, cached on
-    the index (keys/key_start/key_cnt/n_keys/pos/seg_len)."""
+    the index (keys/key_start/key_cnt/n_keys/pos/seg_len), plus the
+    O(1) open-addressing probe table (built once per index)."""
     ctx = getattr(gi, "_collect_ctx", None)
     if ctx is None:
+        import ctypes as ct
+
+        from ..utils.native import get_lib
         seg_len = getattr(gi, "_seg_len_arr", None)
         if seg_len is None or len(seg_len) != gi.g.n_seg:
             seg_len = np.asarray([t.len for t in gi.g.seg],
@@ -282,9 +286,22 @@ def get_collect_ctx(gi):
         kst = np.ascontiguousarray(gi.key_start, dtype=np.int64)
         kcn = np.ascontiguousarray(gi.key_cnt, dtype=np.int64)
         pos = np.ascontiguousarray(gi.pos, dtype=np.uint64)
+        lib = get_lib()
+        htab, n_slots = None, 0
+        if lib is not None and hasattr(lib, "mgt_collect_hash_build") \
+                and len(keys) > 0:
+            n_slots = 1 << max(6, int(2 * len(keys) - 1).bit_length())
+            htab = np.empty(2 * n_slots, dtype=np.uint64)
+            lib.mgt_collect_hash_build(
+                ct.c_void_p(keys.ctypes.data),
+                ct.c_void_p(kst.ctypes.data),
+                ct.c_void_p(kcn.ctypes.data), ct.c_int64(len(keys)),
+                ct.c_void_p(htab.ctypes.data), ct.c_int64(n_slots))
         ctx = ((keys.ctypes.data, kst.ctypes.data, kcn.ctypes.data,
-                len(keys), pos.ctypes.data, seg_len.ctypes.data),
-               (keys, kst, kcn, pos, seg_len))
+                len(keys), pos.ctypes.data, seg_len.ctypes.data,
+                htab.ctypes.data if htab is not None else None,
+                n_slots),
+               (keys, kst, kcn, pos, seg_len, htab))
         gi._collect_ctx = ctx
     return ctx[0]
 
@@ -308,6 +325,7 @@ def collect_native(gi: MinimizerIndex, opt: MapOptions, max_occ: int,
         lib.mgt_collect.argtypes = (
             [ct.c_char_p] + [ct.c_int64] * 4
             + [ct.c_void_p] * 3 + [ct.c_int64, ct.c_void_p, ct.c_void_p]
+            + [ct.c_void_p, ct.c_int64]               # probe table
             + [ct.c_void_p, ct.c_int64]
             + [ct.c_void_p] * 2 + [ct.c_int64]
             + [ct.c_void_p, ct.c_int64] + [ct.c_void_p])
@@ -329,6 +347,7 @@ def collect_native(gi: MinimizerIndex, opt: MapOptions, max_occ: int,
         r = lib.mgt_collect(
             qb, qlen, gi.w, gi.k, max_occ,
             cptr[0], cptr[1], cptr[2], cptr[3], cptr[4], cptr[5],
+            cptr[6], cptr[7],
             mv.ctypes.data, len(mv) // 2,
             ax.ctypes.data, ay.ctypes.data, len(ax),
             mp.ctypes.data, len(mp), meta.ctypes.data)

@@ -20,6 +20,7 @@ extern int64_t mgt_collect(
     const uint64_t *keys, const int64_t *key_start,
     const int64_t *key_cnt, int64_t n_keys, const uint64_t *pos,
     const int64_t *seg_len,
+    const uint64_t *htab, int64_t n_slots,
     uint64_t *mv, int64_t mv_cap,
     uint64_t *ax, uint64_t *ay, int64_t a_cap,
     int64_t *mini_pos, int64_t mp_cap,
@@ -148,6 +149,8 @@ typedef struct {
     const uint64_t *keys;
     const int64_t *key_start, *key_cnt;
     const uint64_t *pos;
+    const uint64_t *htab;              /* collect probe table */
+    int64_t n_slots;
     /* -c mode: per-chain CIGAR + ds generated in the worker;
      * seg_seqp[2s]/[2s+1] = fwd/rc byte strings of segment s */
     int64_t do_cigar;
@@ -410,6 +413,7 @@ static void *worker(void *vp)
                                  b->idx_k, b->max_occ, b->keys,
                                  b->key_start, b->key_cnt, b->n_keys,
                                  b->pos, b->gseg_len,
+                                 b->htab, b->n_slots,
                                  ts.mv, ts.mv_sz,
                                  ts.ax, ts.ay, ts.a_sz,
                                  ts.mp, ts.mp_sz, meta);
@@ -566,6 +570,7 @@ int64_t mgt_map_tail_batch(
     int64_t do_collect, int64_t idx_w, int64_t idx_k, int64_t max_occ,
     const uint64_t *keys, const int64_t *key_start,
     const int64_t *key_cnt, int64_t n_keys, const uint64_t *pos,
+    const uint64_t *htab, int64_t n_slots,
     /* -c mode: non-zero do_cigar + fwd/rc segment byte strings */
     int64_t do_cigar, const char **seg_seqp,
     const char *qseq_blob, const int64_t *qseq_off,
@@ -592,6 +597,7 @@ int64_t mgt_map_tail_batch(
     b.max_occ = max_occ; b.n_keys = n_keys;
     b.keys = keys; b.key_start = key_start; b.key_cnt = key_cnt;
     b.pos = pos;
+    b.htab = htab; b.n_slots = n_slots;
     b.do_cigar = do_cigar; b.seg_seqp = seg_seqp;
     b.qseq_blob = qseq_blob; b.qseq_off = qseq_off;
     b.qname_blob = qname_blob; b.qname_off = qname_off;

@@ -31,6 +31,61 @@ static inline int64_t key_find(const uint64_t *keys, int64_t n,
     return lo;
 }
 
+/* Open-addressing probe table over the sorted key array: one O(1)
+ * lookup instead of a ~19-step cache-missy binary search per
+ * minimizer (the reference probes a bucket hash, index.c:77).
+ * Slot = (key, start<<24 | cnt) with cnt saturated at 2^24-1
+ * (occ_max caps far below); empty slots hold key = ~0. */
+#define HSLOT_EMPTY (~0ULL)
+
+static inline uint64_t h64(uint64_t key)
+{                                      /* kh_hash64 finalizer */
+    key = ~key + (key << 21);
+    key = key ^ (key >> 24);
+    key = (key + (key << 3)) + (key << 8);
+    key = key ^ (key >> 14);
+    key = (key + (key << 2)) + (key << 4);
+    key = key ^ (key >> 28);
+    key = key + (key << 31);
+    return key;
+}
+
+/* Fill `tab` (2*n_slots u64, n_slots a power of two >= 2*n_keys). */
+void mgt_collect_hash_build(const uint64_t *keys,
+                            const int64_t *key_start,
+                            const int64_t *key_cnt, int64_t n_keys,
+                            uint64_t *tab, int64_t n_slots)
+{
+    int64_t i;
+    uint64_t mask = (uint64_t)n_slots - 1;
+    for (i = 0; i < 2 * n_slots; i += 2) tab[i] = HSLOT_EMPTY;
+    for (i = 0; i < n_keys; ++i) {
+        uint64_t s = h64(keys[i]) & mask;
+        uint64_t cnt = key_cnt[i] < 0xFFFFFF
+            ? (uint64_t)key_cnt[i] : 0xFFFFFFULL;
+        while (tab[2 * s] != HSLOT_EMPTY) s = (s + 1) & mask;
+        tab[2 * s] = keys[i];
+        tab[2 * s + 1] = (uint64_t)key_start[i] << 24 | cnt;
+    }
+}
+
+static inline void hash_probe(const uint64_t *tab, uint64_t mask,
+                              uint64_t m, int64_t *st, int64_t *cnt)
+{
+    uint64_t s = h64(m) & mask;
+    for (;;) {
+        uint64_t k = tab[2 * s];
+        if (k == m) {
+            uint64_t v = tab[2 * s + 1];
+            *st = (int64_t)(v >> 24);
+            *cnt = (int64_t)(v & 0xFFFFFF);
+            return;
+        }
+        if (k == HSLOT_EMPTY) { *st = *cnt = 0; return; }
+        s = (s + 1) & mask;
+    }
+}
+
 /* out_meta: [0]=n_a, [1]=n_mv, [2]=rep_len, [3]=n_mini.
  * Returns 0 ok, -1 caps too small (needed sizes in out_meta; caller
  * grows + retries), -2 allocation failure. */
@@ -40,6 +95,7 @@ int64_t mgt_collect(
     const uint64_t *keys, const int64_t *key_start,
     const int64_t *key_cnt, int64_t n_keys, const uint64_t *pos,
     const int64_t *seg_len,
+    const uint64_t *htab, int64_t n_slots,
     uint64_t *mv, int64_t mv_cap,
     uint64_t *ax, uint64_t *ay, int64_t a_cap,
     int64_t *mini_pos, int64_t mp_cap,
@@ -64,8 +120,14 @@ int64_t mgt_collect(
     /* pass 1: probe + repeat-length accounting + output sizes */
     for (i = 0; i < n_mv; ++i) {
         uint64_t m = mv[2 * i] >> 8;
-        int64_t p = key_find(keys, n_keys, m), cnt = 0, st = 0;
-        if (p < n_keys && keys[p] == m) cnt = key_cnt[p], st = key_start[p];
+        int64_t cnt = 0, st = 0;
+        if (htab != 0) {
+            hash_probe(htab, (uint64_t)n_slots - 1, m, &st, &cnt);
+        } else {
+            int64_t p = key_find(keys, n_keys, m);
+            if (p < n_keys && keys[p] == m)
+                cnt = key_cnt[p], st = key_start[p];
+        }
         minier[i] = m, pcnt[i] = cnt, pstart[i] = st;
         if (cnt >= max_occ) {
             /* repeat-length over high-occ minimizers (map-algo.c:72) */
