@@ -418,7 +418,8 @@ def _ema(prev, x, alpha=0.4):
     return x if prev is None else prev + alpha * (x - prev)
 
 
-def _map_batch_native(gi, opt, items, n_threads, host_collect=False):
+def _map_batch_native(gi, opt, items, n_threads, host_collect=False,
+                      blob=None):
     """Map a batch of reads anchors -> GAF text in ONE native call
     (native/mgt_batch.c: work-stealing pthread loop over mgt_map_tail
     + mgt_select_chains + mgt_format_gaf).  items is a list of
@@ -435,7 +436,8 @@ def _map_batch_native(gi, opt, items, n_threads, host_collect=False):
                            MG_M_SHOW_UNMAP, MG_MAX_SHORT_K)
     from ..utils.native import get_lib
     from .gchain import _get_gaf_ctx, _get_gfull_ctx
-    if DBG["flag"] or (opt.flag & _EMIT_BAIL_NOCIG) or not items:
+    if DBG["flag"] or (opt.flag & _EMIT_BAIL_NOCIG) \
+            or (not items and blob is None):
         return None
     lib = get_lib()
     if lib is None or not hasattr(lib, "mgt_map_tail_batch"):
@@ -459,7 +461,9 @@ def _map_batch_native(gi, opt, items, n_threads, host_collect=False):
         lib.mgt_buf_free.argtypes = [ct.c_void_p]
         _batch_cfg = True
 
-    n = len(items)
+    n = len(items) if blob is None else blob[0]
+    if n == 0:
+        return {}
     is_sr = bool(opt.flag & MG_M_SR)
     is_splice = bool(opt.flag & MG_M_SPLICE)
     is_rmq = bool(opt.flag & MG_M_RMQ)
@@ -502,6 +506,36 @@ def _map_batch_native(gi, opt, items, n_threads, host_collect=False):
     qname_off = np.zeros(n + 1, dtype=np.int64)
     keep = []
     seq_parts, name_parts = [], []
+    if blob is not None:
+        # arenas come straight from the native reader: no per-read
+        # Python objects on the hot path (host-collect implied)
+        _nr, sq_addr, sq_off_v, nm_addr, nm_off_v, skip = blob
+        qseq_off[:] = sq_off_v
+        qname_off[:] = nm_off_v
+        qlen[:] = qseq_off[1:] - qseq_off[:-1]
+        n_a[:] = n_mv[:] = rep_len[:] = 0
+        axp[:] = ayp[:] = mpp[:] = 0
+        if is_rmq:
+            mode[:] = 2
+            mdx[:] = opt.max_gap
+            mdy[:] = 0
+        else:
+            mode[:] = 1
+            if mdx_dp is not None:
+                mdx[:] = mdx_dp
+            else:
+                np.maximum(opt.max_frag_len - qlen, opt.max_gap,
+                           out=mdx)
+            if is_sr:
+                np.maximum(qlen, opt.max_gap, out=mdy)
+            else:
+                mdy[:] = opt.max_gap
+        if skip is not None:
+            mode[skip] = -1
+        qseq_blob = ct.cast(sq_addr, ct.c_char_p)
+        qname_blob = ct.cast(nm_addr, ct.c_char_p)
+        host_collect = True
+        items = ()
     for k, (fi, qname, seq, fr) in enumerate(items):
         ql = len(seq)
         qlen[k] = ql
@@ -545,8 +579,9 @@ def _map_batch_native(gi, opt, items, n_threads, host_collect=False):
         name_parts.append(qname or "")
         qseq_off[k + 1] = qseq_off[k] + ql
         qname_off[k + 1] = qname_off[k] + len(name_parts[-1])
-    qseq_blob = "".join(seq_parts).encode("latin-1")
-    qname_blob = "".join(name_parts).encode("latin-1")
+    if blob is None:
+        qseq_blob = "".join(seq_parts).encode("latin-1")
+        qname_blob = "".join(name_parts).encode("latin-1")
 
     args0 = _get_gfull_ctx(gi.g, gi.es)
     gctx = _get_gaf_ctx(gi.g)
@@ -588,12 +623,70 @@ def _map_batch_native(gi, opt, items, n_threads, host_collect=False):
     txt = ct.string_at(pbuf, total).decode("latin-1") if total else ""
     lib.mgt_buf_free(pbuf)
     res = {}
+    if blob is not None:
+        for k in range(n):
+            res[k] = (txt[int(o_off[k]): int(o_off[k]) + int(o_len[k])]
+                      if status[k] == 0 else None)
+        return res
     for k, (fi, _, _, _) in enumerate(items):
         if status[k] == 0:
             res[fi] = txt[int(o_off[k]): int(o_off[k]) + int(o_len[k])]
         else:
             res[fi] = None
     return res
+
+
+def _map_file_native(gi, opt, rdr, out, n_threads):
+    """All-native single-file mapping loop: C reader arenas -> C batch
+    driver -> GAF bytes; Python touches only fallback reads (engine
+    bailouts, zero-length, over-max_qlen)."""
+    import ctypes as ct
+
+    while True:
+        arena = rdr.read_batch_arena(opt.mini_batch_size)
+        if arena is None:
+            return
+        n, sq_addr, sq_off, nm_addr, nm_off = arena
+        qlen = sq_off[1:] - sq_off[:-1]
+        skip = qlen <= 0
+        if opt.max_qlen > 0:
+            skip = skip | (qlen > opt.max_qlen)
+        skipw = np.nonzero(skip)[0]
+        res = _map_batch_native(
+            gi, opt, None, n_threads,
+            blob=(n, sq_addr, sq_off, nm_addr, nm_off,
+                  skipw if len(skipw) else None))
+
+        def rec(k):
+            name = ct.string_at(
+                nm_addr + int(nm_off[k]),
+                int(nm_off[k + 1] - nm_off[k])).decode("latin-1")
+            seq = ct.string_at(
+                sq_addr + int(sq_off[k]),
+                int(sq_off[k + 1] - sq_off[k])).decode("latin-1")
+            return name, seq
+
+        if res is None:
+            # driver unavailable: exact per-read path for the batch
+            for k in range(n):
+                name, seq = rec(k)
+                gcs = map_frag(gi, [len(seq)], [seq], opt, name,
+                               fast_emit=not (opt.flag & MG_M_CIGAR))
+                txt = write_gaf(gi.g, gcs, 1, [len(seq)], name,
+                                opt.flag)
+                if txt:
+                    out.write(txt)
+            continue
+        for k in range(n):
+            txt = res.get(k)
+            if txt is None:
+                name, seq = rec(k)
+                gcs = map_frag(gi, [len(seq)], [seq], opt, name,
+                               fast_emit=not (opt.flag & MG_M_CIGAR))
+                txt = write_gaf(gi.g, gcs, 1, [len(seq)], name,
+                                opt.flag)
+            if txt:
+                out.write(txt)
 
 
 # --- fork-based worker pool (kt_for analog; index shared copy-on-write) ---
@@ -660,9 +753,26 @@ def _map_file_frag(gi: MinimizerIndex, fns: List[str], opt: MapOptions,
                    front=None, gwfa_pool=None) -> None:
     """3-step read→map→write pipeline semantics (gmap.c:66-177)."""
     frag_mode = len(fns) > 1 or bool(opt.flag & MG_M_FRAG_MODE)
+    from ..options import DBG as _DBGm
+    # all-native fast loop: single plain file, no device, no special
+    # output shape -> C reader + C batch driver, no per-read Python
+    if (front is None and gwfa_pool is None and not _DBGm["flag"]
+            and len(fns) == 1 and not frag_mode
+            and not (opt.flag & (_EMIT_BAIL_NOCIG | MG_M_HEAP_SORT
+                                 | MG_M_INDEPEND_SEG | _MG_M_NO_DIAG))):
+        try:
+            from ..seqio.bseq import NativeSeqReader
+            rdr = NativeSeqReader(fns[0])
+        except OSError:
+            rdr = None
+        if rdr is not None:
+            try:
+                _map_file_native(gi, opt, rdr, out, n_threads)
+                return
+            finally:
+                rdr.close()
     fps = [BSeqFile(fn) for fn in fns]
     pe_ori = opt.pe_ori
-    from ..options import DBG as _DBGm
 
     # heterogeneous split: while the device runs the seed stage for its
     # share of a batch, a background thread maps the remaining reads

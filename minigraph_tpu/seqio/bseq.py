@@ -155,3 +155,57 @@ def read_all(fn: str) -> List[BSeq]:
 
 def toupper(s: str) -> str:
     return s.upper()
+
+
+class NativeSeqReader:
+    """Arena batch reader over native/mgt_seqio.c: records land in C
+    buffers (uppercased, U->T) consumed directly by the native batch
+    mapping driver; per-read Python objects exist only for fallback
+    reads.  Batch boundary rule matches BSeqFile.read_batch."""
+
+    def __init__(self, fn: str):
+        import ctypes as ct
+
+        import numpy as np
+
+        from ..utils.native import get_lib
+        lib = get_lib()
+        if lib is None or not hasattr(lib, "mgt_seq_open"):
+            raise OSError("native reader unavailable")
+        if not getattr(NativeSeqReader, "_cfg", False):
+            lib.mgt_seq_open.restype = ct.c_void_p
+            lib.mgt_seq_open.argtypes = [ct.c_char_p]
+            lib.mgt_seq_read_batch.restype = ct.c_int64
+            lib.mgt_seq_read_batch.argtypes = [ct.c_void_p, ct.c_int64,
+                                               ct.c_void_p]
+            lib.mgt_seq_close.restype = None
+            lib.mgt_seq_close.argtypes = [ct.c_void_p]
+            NativeSeqReader._cfg = True
+        self._ct, self._np = ct, np
+        self._lib = lib
+        self._h = lib.mgt_seq_open(fn.encode())
+        if not self._h:
+            raise OSError(f"cannot open {fn}")
+
+    def read_batch_arena(self, max_bp: int):
+        """Returns (n, sq_addr, sq_off, nm_addr, nm_off) or None at
+        EOF.  The arenas and offset views are valid only until the
+        next call."""
+        ct, np = self._ct, self._np
+        ptrs = np.zeros(4, dtype=np.uint64)
+        n = self._lib.mgt_seq_read_batch(self._h, max_bp,
+                                         ct.c_void_p(ptrs.ctypes.data))
+        if n < 0:
+            raise MemoryError("native reader allocation failure")
+        if n == 0:
+            return None
+        sq_off = np.ctypeslib.as_array(
+            (ct.c_int64 * (n + 1)).from_address(int(ptrs[1])))
+        nm_off = np.ctypeslib.as_array(
+            (ct.c_int64 * (n + 1)).from_address(int(ptrs[3])))
+        return int(n), int(ptrs[0]), sq_off, int(ptrs[2]), nm_off
+
+    def close(self):
+        if self._h:
+            self._lib.mgt_seq_close(self._h)
+            self._h = None

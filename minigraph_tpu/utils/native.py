@@ -41,7 +41,7 @@ def build() -> bool:
                   if not p.name.endswith("_selftest.c"))
     if not srcs:
         return False
-    cmd = ["gcc", "-O3", "-march=native", "-funroll-loops", "-ffp-contract=off", "-shared", "-fPIC", "-o", str(_SO_PATH), *srcs, "-lm", "-lpthread"]
+    cmd = ["gcc", "-O3", "-march=native", "-funroll-loops", "-ffp-contract=off", "-shared", "-fPIC", "-o", str(_SO_PATH), *srcs, "-lm", "-lpthread", "-lz"]
     try:
         subprocess.run(cmd, check=True, capture_output=True)
         return True

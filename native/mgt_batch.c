@@ -394,6 +394,7 @@ static void *worker(void *vp)
         b->r_tid[i] = w->tid;
         b->r_off[i] = ts.gb_len;
         b->r_len[i] = 0;
+        if (b->mode[i] < 0) continue; /* caller-marked: per-read path */
         if (b->do_collect) {
             /* sketch + probe + anchors inside the worker */
             const char *sq = b->qseq_blob + b->qseq_off[i];

@@ -1,0 +1,227 @@
+/* Native FASTA/FASTQ batch reader (bseq.c:61-98 semantics, gzip
+ * transparent via zlib).  Feeds the batch mapping driver directly:
+ * records land in reusable name/sequence arenas (offset-indexed),
+ * already uppercased with U->T, so the hot path never builds
+ * per-read Python objects.  Batch boundary rule matches
+ * seqio/bseq.py BSeqFile.read_batch (append records until total
+ * bases >= max_bp, including the crossing record; no pending).
+ */
+#include <stdint.h>
+#include <stdlib.h>
+#include <string.h>
+#include <zlib.h>
+
+typedef struct {
+    gzFile fp;
+    char *buf;                  /* raw line buffer window */
+    int64_t len, pos, cap;
+    int eof;
+    char *sq;                   /* sequence arena (transformed) */
+    int64_t sq_cap;
+    char *nm;                   /* name arena */
+    int64_t nm_cap;
+    int64_t *sq_off, *nm_off;
+    int64_t off_cap;
+    int have_hdr;               /* lookahead: header line pending */
+    char *hdr; int64_t hdr_len, hdr_cap;
+} mgt_sr_t;
+
+static unsigned char sr_map[256];
+static int sr_map_ready = 0;
+
+static void sr_map_init(void)
+{
+    int i;
+    for (i = 0; i < 256; ++i)
+        sr_map[i] = (unsigned char)(i >= 'a' && i <= 'z' ? i - 32 : i);
+    sr_map['u'] = sr_map['U'] = 'T';
+    sr_map_ready = 1;
+}
+
+void *mgt_seq_open(const char *fn)
+{
+    mgt_sr_t *r = (mgt_sr_t *)calloc(1, sizeof(mgt_sr_t));
+    if (!r) return 0;
+    if (!sr_map_ready) sr_map_init();
+    r->fp = gzopen(fn, "rb");
+    if (!r->fp) { free(r); return 0; }
+    gzbuffer(r->fp, 1 << 20);
+    r->cap = 1 << 20;
+    r->buf = (char *)malloc((size_t)r->cap);
+    if (!r->buf) { gzclose(r->fp); free(r); return 0; }
+    return r;
+}
+
+void mgt_seq_close(void *h)
+{
+    mgt_sr_t *r = (mgt_sr_t *)h;
+    if (!r) return;
+    if (r->fp) gzclose(r->fp);
+    free(r->buf); free(r->sq); free(r->nm);
+    free(r->sq_off); free(r->nm_off); free(r->hdr);
+    free(r);
+}
+
+/* Next line [start, end) within r->buf (trailing \n / \r stripped);
+ * returns 0 at EOF.  The window is compacted+refilled as needed, so
+ * returned pointers are valid only until the next call. */
+static int sr_line(mgt_sr_t *r, char **st, int64_t *ln)
+{
+    for (;;) {
+        char *nl = memchr(r->buf + r->pos, '\n',
+                          (size_t)(r->len - r->pos));
+        if (nl) {
+            char *s = r->buf + r->pos;
+            int64_t n = nl - s;
+            r->pos = (nl - r->buf) + 1;
+            if (n > 0 && s[n - 1] == '\r') --n;
+            *st = s, *ln = n;
+            return 1;
+        }
+        if (r->eof) {
+            if (r->len > r->pos) {      /* last line without \n */
+                char *s = r->buf + r->pos;
+                int64_t n = r->len - r->pos;
+                r->pos = r->len;
+                if (n > 0 && s[n - 1] == '\r') --n;
+                *st = s, *ln = n;
+                return 1;
+            }
+            return 0;
+        }
+        /* compact + refill */
+        if (r->pos > 0) {
+            memmove(r->buf, r->buf + r->pos,
+                    (size_t)(r->len - r->pos));
+            r->len -= r->pos;
+            r->pos = 0;
+        }
+        if (r->len == r->cap) {         /* line longer than window */
+            char *nb = (char *)realloc(r->buf, (size_t)(r->cap * 2));
+            if (!nb) return 0;
+            r->buf = nb;
+            r->cap *= 2;
+        }
+        {
+            int n = gzread(r->fp, r->buf + r->len,
+                           (unsigned)(r->cap - r->len));
+            if (n <= 0) r->eof = 1;
+            else r->len += n;
+        }
+    }
+}
+
+static int sr_grow(void **p, int64_t *cap, int64_t need, int64_t esz)
+{
+    if (need <= *cap) return 0;
+    int64_t want = need + (need >> 1) + 4096;
+    void *np = realloc(*p, (size_t)(want * esz));
+    if (!np) return -1;
+    *p = np;
+    *cap = want;
+    return 0;
+}
+
+/* Read records until total bases >= max_bp or EOF.  Returns the
+ * record count (0 at EOF, -1 on alloc failure) and writes arena
+ * addresses into out_ptrs[0..3]: seq blob, seq offsets (n+1), name
+ * blob, name offsets (n+1).  Arenas are valid until the next call. */
+int64_t mgt_seq_read_batch(void *h, int64_t max_bp, uint64_t *out_ptrs)
+{
+    mgt_sr_t *r = (mgt_sr_t *)h;
+    int64_t n = 0, sq_len = 0, nm_len = 0;
+    char *line; int64_t ln;
+
+    if (sr_grow((void **)&r->sq_off, &r->off_cap, 1, 8) < 0) return -1;
+    /* nm_off shares off_cap bookkeeping: allocate together */
+    if (!r->nm_off) {
+        r->nm_off = (int64_t *)malloc((size_t)(r->off_cap * 8));
+        if (!r->nm_off) return -1;
+    }
+    r->sq_off[0] = r->nm_off[0] = 0;
+
+    for (;;) {
+        /* header: either the lookahead or the next line */
+        int64_t i, name_len;
+        char fq;
+        if (r->have_hdr) {
+            line = r->hdr, ln = r->hdr_len;
+            r->have_hdr = 0;
+        } else {
+            int got = 0;
+            while ((got = sr_line(r, &line, &ln)) != 0)
+                if (ln > 0 && (line[0] == '>' || line[0] == '@'))
+                    break;
+            if (!got) break;            /* EOF */
+        }
+        fq = line[0] == '@';
+        for (name_len = 0; name_len + 1 < ln; ++name_len)
+            if (line[1 + name_len] == ' ' || line[1 + name_len] == '\t')
+                break;
+        if (sr_grow((void **)&r->nm, &r->nm_cap, nm_len + name_len + 1,
+                    1) < 0)
+            return -1;
+        memcpy(r->nm + nm_len, line + 1, (size_t)name_len);
+        nm_len += name_len;
+        /* sequence lines */
+        {
+            int64_t rec_len = 0;
+            if (!fq) {
+                while (sr_line(r, &line, &ln)) {
+                    if (ln > 0 && (line[0] == '>' || line[0] == '@')) {
+                        /* stash the header: `line` dies on refill */
+                        if (sr_grow((void **)&r->hdr, &r->hdr_cap, ln,
+                                    1) < 0)
+                            return -1;
+                        memcpy(r->hdr, line, (size_t)ln);
+                        r->hdr_len = ln;
+                        r->have_hdr = 1;
+                        break;
+                    }
+                    if (sr_grow((void **)&r->sq, &r->sq_cap,
+                                sq_len + rec_len + ln, 1) < 0)
+                        return -1;
+                    for (i = 0; i < ln; ++i)
+                        r->sq[sq_len + rec_len + i] =
+                            (char)sr_map[(unsigned char)line[i]];
+                    rec_len += ln;
+                }
+            } else {
+                while (sr_line(r, &line, &ln)) {
+                    if (ln > 0 && line[0] == '+') break;
+                    if (sr_grow((void **)&r->sq, &r->sq_cap,
+                                sq_len + rec_len + ln, 1) < 0)
+                        return -1;
+                    for (i = 0; i < ln; ++i)
+                        r->sq[sq_len + rec_len + i] =
+                            (char)sr_map[(unsigned char)line[i]];
+                    rec_len += ln;
+                }
+                /* skip quality bytes totaling rec_len */
+                {
+                    int64_t q = 0;
+                    while (q < rec_len && sr_line(r, &line, &ln))
+                        q += ln;
+                }
+            }
+            sq_len += rec_len;
+            ++n;
+            if (sr_grow((void **)&r->sq_off, &r->off_cap, n + 1, 8) < 0)
+                return -1;
+            {   /* nm_off tracks off_cap (may have been reallocated) */
+                int64_t *no = (int64_t *)realloc(
+                    r->nm_off, (size_t)(r->off_cap * 8));
+                if (!no) return -1;
+                r->nm_off = no;
+            }
+            r->sq_off[n] = sq_len;
+            r->nm_off[n] = nm_len;
+            if (sq_len >= max_bp) break;
+        }
+    }
+    out_ptrs[0] = (uint64_t)(uintptr_t)r->sq;
+    out_ptrs[1] = (uint64_t)(uintptr_t)r->sq_off;
+    out_ptrs[2] = (uint64_t)(uintptr_t)r->nm;
+    out_ptrs[3] = (uint64_t)(uintptr_t)r->nm_off;
+    return n;
+}

@@ -308,7 +308,7 @@ def test_asan_selftest():
         r = subprocess.run(
             ["gcc", "-O1", "-g", "-fsanitize=address,undefined",
              "-fno-sanitize-recover=all", "-ffp-contract=off",
-             "-o", exe, *srcs, "-lm"],
+             "-o", exe, *srcs, "-lm", "-lz", "-lpthread"],
             capture_output=True, text=True)
         assert r.returncode == 0, r.stderr[-2000:]
         r = subprocess.run([exe], capture_output=True, text=True,
