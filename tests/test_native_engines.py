@@ -516,3 +516,82 @@ def test_batch_driver_matches_per_read_paths():
                 got = res.get(i)
                 if got is not None:
                     assert got == w, f"read {i} cigar={cigar} nt={nt}"
+
+
+def test_native_seq_reader_matches_python():
+    """The native FASTA/FASTQ reader must produce the same records as
+    the Python parser (+ the mapper's toupper) across formats:
+    multiline FASTA, FASTQ with '@'-leading quality lines, CRLF,
+    lowercase and U bases, comments, gzip (bseq.c:61-98)."""
+    import ctypes as ct
+    import gzip as _gz
+    import tempfile
+    from pathlib import Path
+
+    from minigraph_tpu.seqio.bseq import (BSeqFile, NativeSeqReader,
+                                          toupper)
+
+    rng = np.random.default_rng(11)
+
+    def rand_seq(n):
+        return "".join(rng.choice(list("ACGTNacgtnuU"), n))
+
+    fa_lines = []
+    fq_lines = []
+    for i in range(40):
+        L = int(rng.integers(0, 900))
+        s = rand_seq(L)
+        fa_lines.append(f">fa{i} some comment {i}")
+        for j in range(0, max(L, 1), 60):
+            fa_lines.append(s[j:j + 60])
+        q = "".join(rng.choice(list("!@+>#IJK"), L))
+        fq_lines.append(f"@fq{i}")
+        for j in range(0, max(L, 1), 70):
+            fq_lines.append(s[j:j + 70])
+        fq_lines.append("+")
+        for j in range(0, max(L, 1), 70):
+            fq_lines.append(q[j:j + 70])
+
+    cases = {
+        "plain.fa": "\n".join(fa_lines) + "\n",
+        "crlf.fa": "\r\n".join(fa_lines) + "\r\n",
+        "noeol.fa": "\n".join(fa_lines),           # no final newline
+        "plain.fq": "\n".join(fq_lines) + "\n",
+    }
+    with tempfile.TemporaryDirectory() as td:
+        for name, text in cases.items():
+            p = Path(td) / name
+            p.write_text(text)
+            pgz = Path(td) / (name + ".gz")
+            with _gz.open(pgz, "wt") as f:
+                f.write(text)
+            for path in (p, pgz):
+                fp = BSeqFile(str(path))
+                want = []
+                while True:
+                    b = fp.read_batch(1 << 30, False)
+                    if not b:
+                        break
+                    want += [(s.name, toupper(s.seq)) for s in b]
+                fp.close()
+                r = NativeSeqReader(str(path))
+                got = []
+                while True:
+                    arena = r.read_batch_arena(5000)   # small batches
+                    if arena is None:
+                        break
+                    n, sq_addr, sq_off, nm_addr, nm_off = arena
+                    for k in range(n):
+                        nm = ct.string_at(
+                            nm_addr + int(nm_off[k]),
+                            int(nm_off[k + 1] - nm_off[k])).decode()
+                        sq = ct.string_at(
+                            sq_addr + int(sq_off[k]),
+                            int(sq_off[k + 1] - sq_off[k])).decode()
+                        got.append((nm, sq))
+                r.close()
+                assert len(got) == len(want), (name, path.suffix,
+                                               len(got), len(want))
+                for a, b in zip(got, want):
+                    assert a == b, (name, a[0], b[0], a[1][:40],
+                                    b[1][:40])
