@@ -266,32 +266,29 @@ int64_t mgt_lchain_dp(int32_t max_dist_x, int32_t max_dist_y, int32_t bw,
         }
         lo = i - lo_d > max_iter ? i - max_iter : lo_d;
 
-        /* chunked scan, descending from i-1; stop = anchor where the
-         * replay broke (exclusive), or lo when it ran dry */
+        /* descending scan from i-1; stop = anchor where the scan
+         * broke (exclusive), or lo when it ran dry.  Single pass:
+         * score + decision fused per candidate so nothing past the
+         * skip break is ever scored. */
         stop = lo - 1;
-        for (c0 = i - 1; c0 >= lo && !broke; c0 -= LC_CHUNK) {
-            int64_t cend = c0 - LC_CHUNK + 1 < lo ? lo : c0 - LC_CHUNK + 1;
-            int64_t m = c0 - cend + 1, z;
-            for (z = 0; z < m; ++z)      /* score pass */
-                sc_buf[z] = comput_sc(ax[i], ay[i], ax[c0 - z], ay[c0 - z],
-                                      max_dist_x, max_dist_y, bw,
-                                      chn_pen_gap, chn_pen_skip,
-                                      is_cdna, n_seg);
-            for (z = 0; z < m; ++z) {    /* replay pass */
-                int64_t tot;
-                j = c0 - z;
-                ++n_iter;
-                if (sc_buf[z] == I32_MIN) continue;
-                tot = sc_buf[z] + f[j];
-                if (tot > best) {
-                    best = tot, best_j = j;
-                    if (pending > 0) --pending;
-                } else if (mark[j] == (int32_t)i) {
-                    if (++pending > max_skip) { stop = j; broke = 1; break; }
-                }
-                if (p[j] >= 0) mark[p[j]] = (int32_t)i;
+        for (j = i - 1; j >= lo; --j) {
+            int64_t sc, tot;
+            ++n_iter;
+            sc = comput_sc(ax[i], ay[i], ax[j], ay[j],
+                           max_dist_x, max_dist_y, bw,
+                           chn_pen_gap, chn_pen_skip,
+                           is_cdna, n_seg);
+            if (sc == I32_MIN) continue;
+            tot = sc + f[j];
+            if (tot > best) {
+                best = tot, best_j = j;
+                if (pending > 0) --pending;
+            } else if (mark[j] == (int32_t)i) {
+                if (++pending > max_skip) { stop = j; broke = 1; break; }
             }
+            if (p[j] >= 0) mark[p[j]] = (int32_t)i;
         }
+        (void)c0;
 
         /* long-range candidate cache (max_ii, lchain.c:191-204): a
          * live cache is always >= lo_d, so staleness is an index test */

@@ -81,26 +81,38 @@ static int64_t heap_pop(heap_t *h)
     return ret;
 }
 
-/* ---- open-addressing map: vertex -> per-vertex state slot ---- */
+/* ---- open-addressing map: vertex -> per-vertex state slot ----
+ * Generation-stamped so the thread-local instance resets in O(1)
+ * per call instead of a memset: a slot is live iff stamp == gen. */
 typedef struct {
-    int64_t *key;      /* vertex (-1 empty) */
+    int64_t *key;      /* vertex */
     int32_t *cnt;      /* nodes held */
+    int32_t *stamp;    /* generation mark */
     int64_t *nodes;    /* hcap * max_k node indices */
     int64_t hcap, used;
-    int32_t max_k;
+    int32_t max_k, gen;
 } vmap_t;
 
 static int vmap_init(vmap_t *m, int64_t cap0, int32_t max_k)
 {
     int64_t c = 64;
     while (c < cap0 * 2) c <<= 1;
-    m->hcap = c, m->used = 0, m->max_k = max_k;
+    m->hcap = c, m->used = 0, m->max_k = max_k, m->gen = 1;
     m->key = (int64_t *)malloc(c * sizeof(int64_t));
-    m->cnt = (int32_t *)calloc(c, sizeof(int32_t));
+    m->cnt = (int32_t *)malloc(c * sizeof(int32_t));
+    m->stamp = (int32_t *)calloc(c, sizeof(int32_t));
     m->nodes = (int64_t *)malloc(c * max_k * sizeof(int64_t));
-    if (!m->key || !m->cnt || !m->nodes) return -1;
-    memset(m->key, 0xFF, c * sizeof(int64_t));
+    if (!m->key || !m->cnt || !m->stamp || !m->nodes) return -1;
     return 0;
+}
+
+static void vmap_reset(vmap_t *m)
+{
+    m->used = 0;
+    if (++m->gen == 0x7FFFFFFF) {
+        memset(m->stamp, 0, m->hcap * sizeof(int32_t));
+        m->gen = 1;
+    }
 }
 
 static int64_t vmap_slot(vmap_t *m, int64_t v, int create);
@@ -110,13 +122,13 @@ static int vmap_grow(vmap_t *m)
     vmap_t nm;
     if (vmap_init(&nm, m->hcap * 2, m->max_k) < 0) return -1;
     for (int64_t i = 0; i < m->hcap; ++i) {
-        if (m->key[i] < 0) continue;
+        if (m->stamp[i] != m->gen) continue;
         int64_t s = vmap_slot(&nm, m->key[i], 1);
         nm.cnt[s] = m->cnt[i];
         memcpy(nm.nodes + s * m->max_k, m->nodes + i * m->max_k,
                m->cnt[i] * sizeof(int64_t));
     }
-    free(m->key); free(m->cnt); free(m->nodes);
+    free(m->key); free(m->cnt); free(m->stamp); free(m->nodes);
     *m = nm;
     return 0;
 }
@@ -125,16 +137,34 @@ static int64_t vmap_slot(vmap_t *m, int64_t v, int create)
 {
     uint64_t h = kh_hash_u32((uint32_t)v) & (uint64_t)(m->hcap - 1);
     for (;;) {
-        if (m->key[h] == v) return (int64_t)h;
-        if (m->key[h] < 0) {
+        if (m->stamp[h] == m->gen) {
+            if (m->key[h] == v) return (int64_t)h;
+        } else {
             if (!create) return -1;
             m->key[h] = v;
+            m->cnt[h] = 0;
+            m->stamp[h] = m->gen;
             m->used++;
             return (int64_t)h;
         }
         h = (h + 1) & (uint64_t)(m->hcap - 1);
     }
 }
+
+/* Per-thread reusable scratch: mgt_shortest_k runs once per linear
+ * chain, so per-call malloc/free of every buffer dominated the graph
+ * DP on long reads. */
+static __thread vmap_t tls_vm;
+static __thread heap_t tls_heap;
+static __thread node_t *tls_nodes;
+static __thread int64_t tls_m_nodes;
+static __thread int64_t *tls_outl;
+static __thread int64_t tls_m_out;
+static __thread int64_t *tls_ord;
+static __thread int8_t *tls_done;
+static __thread int64_t tls_m_ord;
+static __thread int64_t *tls_trans;
+static __thread int64_t tls_m_trans;
 
 int64_t mgt_shortest_k(
     const int64_t *gidx,       /* (n_vtx, 2) [start, cnt] */
@@ -164,8 +194,14 @@ int64_t mgt_shortest_k(
     if (max_k > 15) max_k = 15;
 
     /* stable order of destinations by vertex */
-    int64_t *order = (int64_t *)malloc(n_dst * sizeof(int64_t));
-    if (!order) return -3;
+    if (n_dst > tls_m_ord) {
+        tls_m_ord = n_dst + (n_dst >> 1) + 16;
+        tls_ord = (int64_t *)realloc(tls_ord,
+                                     tls_m_ord * sizeof(int64_t));
+        tls_done = (int8_t *)realloc(tls_done, (size_t)tls_m_ord);
+        if (!tls_ord || !tls_done) { tls_m_ord = 0; return -3; }
+    }
+    int64_t *order = tls_ord;
     for (i = 0; i < n_dst; ++i) order[i] = i;
     for (i = 1; i < n_dst; ++i) {        /* insertion sort, stable */
         int64_t t = order[i];
@@ -173,15 +209,23 @@ int64_t mgt_shortest_k(
             order[j] = order[j - 1];
         order[j] = t;
     }
-    int8_t *dst_done = (int8_t *)calloc(n_dst, 1);
+    int8_t *dst_done = tls_done;
+    memset(dst_done, 0, (size_t)n_dst);
 
-    node_t *nodes = NULL;
-    int64_t n_nodes = 0, m_nodes = 0;
-    int64_t *outl = NULL;
-    int64_t n_out = 0, m_out = 0;
-    heap_t heap = {0};
+    node_t *nodes = tls_nodes;
+    int64_t n_nodes = 0, m_nodes = tls_m_nodes;
+    int64_t *outl = tls_outl;
+    int64_t n_out = 0, m_out = tls_m_out;
+    heap_t heap = tls_heap;
+    heap.n = 0;
     vmap_t vm;
-    if (vmap_init(&vm, 64, (int32_t)max_k) < 0) goto done;
+    if (tls_vm.hcap == 0) {
+        /* stride is fixed at 16 (max_k is clamped to 15) so the map
+         * can be reused across calls with differing max_k */
+        if (vmap_init(&tls_vm, 64, 16) < 0) goto done;
+    }
+    vmap_reset(&tls_vm);
+    vm = tls_vm;
 
 #define NEW_NODE(vv, dd, pp, hh, z0) ({ \
     if (n_nodes == m_nodes) { \
@@ -297,7 +341,7 @@ int64_t mgt_shortest_k(
                                          + kh_hash_u32((uint32_t)w));
                 uint8_t z0 = arc_rank[ai] > 0 ? 0 : r_is0;
                 int64_t rpre = r_pre;
-                if (vm.cnt[s] < vm.max_k) {
+                if (vm.cnt[s] < max_k) {
                     int64_t ni = NEW_NODE(w, d, rpre, nh, z0);
                     if (heap_push(&heap, nodes[ni].di, ni) < 0) goto done;
                     q[vm.cnt[s]++] = ni;
@@ -326,7 +370,15 @@ int64_t mgt_shortest_k(
         for (i = 0; i < n_dst; ++i)
             if (out_n_path[i] > 0) n_found++;
         if (n_found > 0 && want_path) {
-            int64_t *trans = (int64_t *)calloc(n_out, sizeof(int64_t));
+            int64_t *trans;
+            if (n_out > tls_m_trans) {
+                tls_m_trans = n_out + (n_out >> 1) + 64;
+                tls_trans = (int64_t *)realloc(
+                    tls_trans, tls_m_trans * sizeof(int64_t));
+                if (!tls_trans) { tls_m_trans = 0; ret = -3; goto done; }
+            }
+            trans = tls_trans;
+            memset(trans, 0, (size_t)n_out * sizeof(int64_t));
             for (i = 0; i < n_dst; ++i)
                 if (out_n_path[i] > 0 && dst_target_dist[i] >= 0
                     && out_path_end[i] >= 0)
@@ -349,7 +401,7 @@ int64_t mgt_shortest_k(
             int64_t n = 0;
             for (i = 0; i < n_out; ++i)
                 trans[i] = trans[i] ? n++ : -1;
-            if (n > path_cap) { free(trans); ret = -3; goto done; }
+            if (n > path_cap) { ret = -3; goto done; }
             for (i = 0; i < n_out; ++i) {
                 if (trans[i] < 0) continue;
                 node_t *nd = &nodes[outl[i]];
@@ -361,16 +413,14 @@ int64_t mgt_shortest_k(
                 if (out_path_end[i] >= 0)
                     out_path_end[i] = trans[out_path_end[i]];
             ret = n;
-            free(trans);
         }
     }
 
 done:
-    free(order);
-    free(dst_done);
-    free(nodes);
-    free(outl);
-    free(heap.a);
-    free(vm.key); free(vm.cnt); free(vm.nodes);
+    /* write back the (possibly reallocated) thread-local scratch */
+    tls_nodes = nodes, tls_m_nodes = m_nodes;
+    tls_outl = outl, tls_m_out = m_out;
+    tls_heap = heap;
+    tls_vm = vm;
     return ret;
 }

@@ -11,6 +11,43 @@
 #include <stdint.h>
 #include <stdlib.h>
 #include <string.h>
+#include <time.h>
+
+/* Env-gated stage profiling (MGT_PROF=1): per-stage wall ns summed
+ * atomically across worker threads; mgt_tail_prof_dump reads+resets.
+ * Stages: 0 lchain, 1 rescue, 2 lchain_tail, 3 gchain_full. */
+static int64_t mgt_prof_ns[4];
+static int mgt_prof_on = -1;
+
+static inline int mgt_tail_prof(void)
+{
+    if (mgt_prof_on < 0) {
+        const char *e = getenv("MGT_PROF");
+        mgt_prof_on = e && *e && *e != '0';
+    }
+    return mgt_prof_on;
+}
+
+static inline int64_t mgt_now_ns(void)
+{
+    struct timespec ts;
+    clock_gettime(CLOCK_MONOTONIC, &ts);
+    return (int64_t)ts.tv_sec * 1000000000LL + ts.tv_nsec;
+}
+
+static inline void mgt_prof_add(int k, int64_t ns)
+{
+    __atomic_fetch_add(&mgt_prof_ns[k], ns, __ATOMIC_RELAXED);
+}
+
+void mgt_tail_prof_dump(int64_t *out4)
+{
+    int k;
+    for (k = 0; k < 4; ++k) {
+        out4[k] = __atomic_load_n(&mgt_prof_ns[k], __ATOMIC_RELAXED);
+        __atomic_store_n(&mgt_prof_ns[k], (int64_t)0, __ATOMIC_RELAXED);
+    }
+}
 
 extern void mgt_radix_sort_128x(uint64_t *a, int64_t n);
 extern int64_t mgt_lchain_dp(int32_t max_dist_x, int32_t max_dist_y,
@@ -101,8 +138,10 @@ int64_t mgt_map_tail(
     int64_t *t8 = 0;
     int64_t n_v, n_u, n_lc, ret = -1, i;
     int32_t n_u32 = 0;
+    int64_t tp0 = 0, tp1;
 
     if (n_a == 0) return 0;
+    if (mgt_tail_prof()) tp0 = mgt_now_ns();
     u = (uint64_t *)malloc(8 * (size_t)n_a);
     if (!u) return -1;
     if (mode == 0)
@@ -123,6 +162,7 @@ int64_t mgt_map_tail(
                              (int32_t)min_lc_score, (float)chn_pen_gap,
                              (float)chn_pen_skip, n_a, ax, ay, u, &n_u32);
     n_u = n_u32;
+    if (tp0) { tp1 = mgt_now_ns(); mgt_prof_add(0, tp1 - tp0); tp0 = tp1; }
     if (n_u == 0) { ret = 0; goto done; }
 
     if (do_rescue && n_u > 1) {
@@ -159,6 +199,7 @@ int64_t mgt_map_tail(
             if (n_u == 0) { ret = 0; goto done; }
         }
     }
+    if (tp0) { tp1 = mgt_now_ns(); mgt_prof_add(1, tp1 - tp0); tp0 = tp1; }
 
     t8 = (int64_t *)malloc(8 * 8 * (size_t)n_u);
     if (!t8) goto done;
@@ -167,6 +208,7 @@ int64_t mgt_map_tail(
                            min_lc_cnt, t8, t8 + n_u, t8 + 2 * n_u,
                            t8 + 3 * n_u, t8 + 4 * n_u, t8 + 5 * n_u,
                            t8 + 6 * n_u, t8 + 7 * n_u);
+    if (tp0) { tp1 = mgt_now_ns(); mgt_prof_add(2, tp1 - tp0); tp0 = tp1; }
     if (n_lc < 0) goto done;
     if (n_lc == 0) { ret = 0; goto done; }
 
@@ -183,6 +225,7 @@ int64_t mgt_map_tail(
                           n_segs, llc_cap, a_cap, gc_cap,
                           o_lv, o_loff, o_lcnt, o_lsc, o_led, o_ax, o_ay,
                           g_off, g_cnt, g_na, g_sc, g_hash, g_extra);
+    if (tp0) mgt_prof_add(3, mgt_now_ns() - tp0);
 done:
     free(u); free(t8);
     return ret;
