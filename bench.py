@@ -334,52 +334,98 @@ def device_ok(timeout=240):
         return False
 
 
+def _ref_map_time(args):
+    t0 = time.time()
+    r = subprocess.run([str(ORACLE), "-t", "1", *args],
+                       capture_output=True, text=True, timeout=600)
+    wall = time.time() - t0
+    m = re.findall(r"\[M::mg_index::([0-9.]+)", r.stderr)
+    return wall - (float(m[-1]) if m else 0.0), r.stdout
+
+
 def bench_host(gfa, reads_fa):
     """Fallback metric when the accelerator is unreachable: the pure
-    host path (native batch tails), honest but chip-less."""
+    host path (native reader + batch driver), honest but chip-less.
+    Ours and the reference run INTERLEAVED so the shared host's load
+    swings hit both sides equally."""
     import io
 
     from minigraph_tpu.graph.gfa_io import read_gfa
     from minigraph_tpu.mapping.mapper import _map_file_frag
     from minigraph_tpu.index.midx import build_index
-    from minigraph_tpu.options import (GGOptions, IndexOptions,
-                                       MapOptions, opt_check, opt_set)
+    from minigraph_tpu.options import (MG_M_CIGAR, GGOptions,
+                                       IndexOptions, MapOptions,
+                                       opt_check, opt_set)
     io_, mo, go = IndexOptions(), MapOptions(), GGOptions()
     opt_set("lr", io_, mo, go)
     opt_check(io_, mo, go)
     g = read_gfa(str(gfa))
     gi = build_index(g, io_.k, io_.w, mo)
+    have_ref = ensure_oracle()
 
-    def run_once():
+    def ours_once(opt, fn):
         sink = io.StringIO()
         t0 = time.time()
-        _map_file_frag(gi, [str(reads_fa)], mo, sink, None, None, 1, None)
+        _map_file_frag(gi, [str(fn)], opt, sink, None, None, 1, None)
         return time.time() - t0, sink.getvalue()
 
-    t_meas = None
-    gaf = None
-    for _ in range(3):
-        t_i, gaf = run_once()
-        t_meas = t_i if t_meas is None else min(t_meas, t_i)
-    log(f"HOST-PATH map (device unreachable): {t_meas:.1f}s "
-        f"-> {N_READS / t_meas:.0f} reads/s")
-    return N_READS / t_meas, gaf
+    def measure(tag, opt, fn, n_reads, ref_args):
+        t_our = t_ref = None
+        gaf = ref_gaf = None
+        for _ in range(4):
+            t_i, gaf = ours_once(opt, fn)
+            t_our = t_i if t_our is None else min(t_our, t_i)
+            if have_ref:
+                t_i, ref_gaf = _ref_map_time(ref_args)
+                t_ref = t_i if t_ref is None else min(t_ref, t_i)
+        vs = (t_ref / t_our) if t_ref else None
+        log(f"HOST {tag}: {n_reads / t_our:.0f} reads/s"
+            + (f" vs reference {n_reads / t_ref:.0f} -> {vs:.2f}x"
+               if t_ref else "")
+            + ("  PARITY OK" if ref_gaf is not None and gaf == ref_gaf
+               else ("  PARITY MISMATCH!" if ref_gaf is not None
+                     else "")))
+        return n_reads / t_our, vs, gaf == ref_gaf if ref_gaf else None
+
+    rps, vs, par = measure("lr 2kb", mo, reads_fa, N_READS,
+                           ["-x", "lr", str(gfa), str(reads_fa)])
+    extra = {}
+    try:
+        long_fa = ensure_long_reads()
+        lr_rps, lr_vs, lr_par = measure(
+            "lr 16kb", mo, long_fa, N_LONG,
+            ["-x", "lr", str(gfa), str(long_fa)])
+        extra["long_reads_per_s"] = round(lr_rps, 1)
+        if lr_vs:
+            extra["long_vs_baseline"] = round(lr_vs, 3)
+    except Exception as e:
+        log(f"long-read host bench skipped: {type(e).__name__} {e}")
+    try:
+        import copy
+        mc = copy.copy(mo)
+        mc.flag |= MG_M_CIGAR
+        c_rps, c_vs, c_par = measure(
+            "lr 2kb -c", mc, reads_fa, N_READS,
+            ["-c", "-x", "lr", str(gfa), str(reads_fa)])
+        extra["cigar_reads_per_s"] = round(c_rps, 1)
+        if c_vs:
+            extra["cigar_vs_baseline"] = round(c_vs, 3)
+    except Exception as e:
+        log(f"-c host bench skipped: {type(e).__name__} {e}")
+    return rps, vs, par, extra
 
 
 def host_fallback(gfa, reads_fa, why):
     log(f"WARNING: {why}; benchmarking the HOST path instead")
     import jax
     jax.config.update("jax_platforms", "cpu")
-    rps, gaf = bench_host(gfa, reads_fa)
-    base = None
-    if ensure_oracle():
-        base, gaf_ref = bench_oracle(gfa, reads_fa)
-        log("PARITY OK: host GAF == oracle GAF" if gaf == gaf_ref
-            else "WARNING: GAF parity MISMATCH")
-    print(json.dumps({
+    rps, vs, parity, extra = bench_host(gfa, reads_fa)
+    out = {
         "metric": "reads_per_s_host_fallback", "value": round(rps, 1),
         "unit": "reads/s (1 host core; device unreachable)",
-        "vs_baseline": round(rps / base, 3) if base else None}))
+        "vs_baseline": round(vs, 3) if vs else None}
+    out.update(extra)
+    print(json.dumps(out))
 
 
 def main():
