@@ -1179,6 +1179,7 @@ def _format_gaf_native(lib, g, n_gc, sc, qname, qlen, flag):
             + [ct.c_void_p] * 5          # g_off/g_cnt/g_na/g_sc/g_extra
             + [ct.c_void_p] * 3          # sel parent/mapq/subsc
             + [ct.c_int64] * 3
+            + [ct.c_int64, ct.c_int64, ct.c_void_p]  # frag shape
             + [ct.c_void_p] * 7          # -c cigar/ds tables (NULLs)
             + [ct.c_void_p, ct.c_int64])
         _native_gaf_cfg = True
@@ -1200,6 +1201,7 @@ def _format_gaf_native(lib, g, n_gc, sc, qname, qlen, flag):
             int(bool(flag & MG_M_PRINT_2ND)),
             int(bool(flag & MG_M_NO_COMP_PATH)),
             int(bool(flag & MG_M_SHOW_UNMAP)),
+            1, 0, None,
             None, None, None, None, None, None, None,
             buf.ctypes.data, len(buf))
         if n >= 0:

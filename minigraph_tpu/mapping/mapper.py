@@ -36,6 +36,21 @@ _EMIT_BAIL_FLAGS = (MG_M_CIGAR | MG_M_CAL_COV | MG_M_FRAG_MODE
 # -c no longer bails: the batch driver runs the base-level stage
 # (CIGAR + ds) natively inside the workers
 _EMIT_BAIL_NOCIG = _EMIT_BAIL_FLAGS & ~MG_M_CIGAR
+# the batch driver also handles merged paired-end fragments (heap
+# collection + ql:B:i emission); only these output shapes still bail
+_EMIT_BAIL_BATCH = (MG_M_CAL_COV | MG_M_WRITE_LCHAIN | MG_M_WRITE_MZ
+                    | MG_M_VERTEX_COOR | MG_M_SPLICE)
+
+
+def _batch_mode_ok(flag: int) -> bool:
+    """Flag shapes the native batch driver can serialize."""
+    if flag & _EMIT_BAIL_BATCH:
+        return False
+    if flag & MG_M_FRAG_MODE:
+        # merged-fragment output only; -c with fragments stays Python
+        if not (flag & MG_M_FRAG_MERGE) or (flag & MG_M_CIGAR):
+            return False
+    return True
 
 
 def _i32(v: int) -> int:
@@ -436,7 +451,7 @@ def _map_batch_native(gi, opt, items, n_threads, host_collect=False,
                            MG_M_SHOW_UNMAP, MG_MAX_SHORT_K)
     from ..utils.native import get_lib
     from .gchain import _get_gaf_ctx, _get_gfull_ctx
-    if DBG["flag"] or (opt.flag & _EMIT_BAIL_NOCIG) \
+    if DBG["flag"] or not _batch_mode_ok(opt.flag) \
             or (not items and blob is None):
         return None
     lib = get_lib()
@@ -450,6 +465,7 @@ def _map_batch_native(gi, opt, items, n_threads, host_collect=False,
             + [ct.c_int64] * 4 + [ct.c_void_p] * 3
             + [ct.c_int64, ct.c_void_p]               # host-collect ctx
             + [ct.c_void_p, ct.c_int64]               # probe table
+            + [ct.c_int64, ct.c_void_p, ct.c_void_p]  # frag ctx
             + [ct.c_int64, ct.c_void_p]               # -c ctx
             + [ct.c_char_p, ct.c_void_p, ct.c_char_p, ct.c_void_p]
             + [ct.c_void_p] * 4 + [ct.c_int64, ct.c_void_p]
@@ -478,7 +494,8 @@ def _map_batch_native(gi, opt, items, n_threads, host_collect=False,
                     and not (opt.flag & (MG_M_SPLICE | MG_M_SR)))
     gaf_flags = (int(bool(opt.flag & MG_M_PRINT_2ND))
                  | (int(bool(opt.flag & MG_M_NO_COMP_PATH)) << 1)
-                 | (int(bool(opt.flag & MG_M_SHOW_UNMAP)) << 2))
+                 | (int(bool(opt.flag & MG_M_SHOW_UNMAP)) << 2)
+                 | (int(bool(opt.flag & MG_M_FRAG_MERGE)) << 3))
     P = np.array([
         opt.bw, opt.max_lc_skip, opt.max_lc_iter, opt.min_lc_cnt,
         opt.min_lc_score, int(is_splice), opt.max_gap_pre,
@@ -504,6 +521,9 @@ def _map_batch_native(gi, opt, items, n_threads, host_collect=False,
     mdy = np.empty(n, dtype=np.int64)
     qseq_off = np.zeros(n + 1, dtype=np.int64)
     qname_off = np.zeros(n + 1, dtype=np.int64)
+    n_seg_arr = np.ones(n, dtype=np.int64)
+    seg_mid = np.zeros(n, dtype=np.int64)
+    any_frag = False
     keep = []
     seq_parts, name_parts = [], []
     if blob is not None:
@@ -537,6 +557,13 @@ def _map_batch_native(gi, opt, items, n_threads, host_collect=False,
         host_collect = True
         items = ()
     for k, (fi, qname, seq, fr) in enumerate(items):
+        if isinstance(seq, tuple):
+            # merged paired-end fragment: segments concatenated in the
+            # blob, boundary in seg_mid (collect offsets per segment)
+            n_seg_arr[k] = len(seq)
+            seg_mid[k] = qseq_off[k] + len(seq[0])
+            any_frag = True
+            seq = "".join(seq)
         ql = len(seq)
         qlen[k] = ql
         if host_collect:
@@ -597,6 +624,9 @@ def _map_batch_native(gi, opt, items, n_threads, host_collect=False,
                     cptr[6], cptr[7])
     else:
         col_args = (0, 0, 0, 0, None, None, None, 0, None, None, 0)
+    frag_args = (int(bool(opt.flag & MG_M_HEAP_SORT)),
+                 n_seg_arr.ctypes.data if any_frag else None,
+                 seg_mid.ctypes.data if any_frag else None)
     if opt.flag & MG_M_CIGAR:
         from ..align.cigar import _es_tables
         seqp, _sl = _es_tables(gi.es)
@@ -610,6 +640,7 @@ def _map_batch_native(gi, opt, items, n_threads, host_collect=False,
         n_mv.ctypes.data, mpp.ctypes.data, qlen.ctypes.data,
         rep_len.ctypes.data, mdx.ctypes.data, mdy.ctypes.data,
         *col_args,
+        *frag_args,
         *cig_args,
         qseq_blob, qseq_off.ctypes.data,
         qname_blob, qname_off.ctypes.data,
@@ -758,8 +789,8 @@ def _map_file_frag(gi: MinimizerIndex, fns: List[str], opt: MapOptions,
     # output shape -> C reader + C batch driver, no per-read Python
     if (front is None and gwfa_pool is None and not _DBGm["flag"]
             and len(fns) == 1 and not frag_mode
-            and not (opt.flag & (_EMIT_BAIL_NOCIG | MG_M_HEAP_SORT
-                                 | MG_M_INDEPEND_SEG | _MG_M_NO_DIAG))):
+            and _batch_mode_ok(opt.flag)
+            and not (opt.flag & (MG_M_INDEPEND_SEG | _MG_M_NO_DIAG))):
         try:
             from ..seqio.bseq import NativeSeqReader
             rdr = NativeSeqReader(fns[0])
@@ -879,9 +910,8 @@ def _map_file_frag(gi: MinimizerIndex, fns: List[str], opt: MapOptions,
             # replaces the fork pool when eligible
             host_batch_ok = (
                 front is None and gwfa_pool is None and not _DBGf["flag"]
-                and not (opt.flag & (_EMIT_BAIL_NOCIG
-                                     | MG_M_HEAP_SORT | MG_M_INDEPEND_SEG))
-                and not (opt.flag & _MG_M_NO_DIAG))
+                and _batch_mode_ok(opt.flag)
+                and not (opt.flag & (MG_M_INDEPEND_SEG | _MG_M_NO_DIAG)))
             if host_batch_ok:
                 eff_threads = 1  # C threads replace the fork pool
             if eff_threads > 1 and not (opt.flag & MG_M_INDEPEND_SEG):
@@ -901,6 +931,7 @@ def _map_file_frag(gi: MinimizerIndex, fns: List[str], opt: MapOptions,
             # call (work-stealing threads), per-read Python only for
             # fallbacks (native/mgt_batch.c)
             batch_txt = None
+            flips_done = False
             if front_res and gwfa_pool is None \
                     and not (opt.flag & _EMIT_BAIL_NOCIG):
                 items = [(fi, batch[frags[fi][0]].name,
@@ -913,11 +944,31 @@ def _map_file_frag(gi: MinimizerIndex, fns: List[str], opt: MapOptions,
                         split["t_dev"],
                         (time.perf_counter() - t_dev0) / len(items))
             elif host_batch_ok:
-                items = [(fi, batch[off].name, batch[off].seq, None)
-                         for fi, (off, n_seg) in enumerate(frags)
-                         if n_seg == 1 and batch[off].l_seq > 0
-                         and not (opt.max_qlen > 0
-                                  and batch[off].l_seq > opt.max_qlen)]
+                items = []
+                for fi, (off, n_seg) in enumerate(frags):
+                    if n_seg > 2:
+                        continue
+                    qsum = sum(batch[off + k2].l_seq
+                               for k2 in range(n_seg))
+                    if qsum == 0 or (opt.max_qlen > 0
+                                     and qsum > opt.max_qlen):
+                        continue
+                    if n_seg == 2:
+                        # paired-end orientation flip (gmap.c:38-43);
+                        # flips_done stops compute_frag re-flipping a
+                        # fallback read
+                        if pe_ori >> 1 & 1:
+                            batch[off].seq = _revcomp_str(batch[off].seq)
+                        if pe_ori & 1:
+                            batch[off + 1].seq = \
+                                _revcomp_str(batch[off + 1].seq)
+                        items.append((fi, batch[off].name,
+                                      (batch[off].seq,
+                                       batch[off + 1].seq), None))
+                    else:
+                        items.append((fi, batch[off].name,
+                                      batch[off].seq, None))
+                flips_done = True
                 if items:
                     batch_txt = _map_batch_native(gi, opt, items,
                                                   n_threads,
@@ -951,7 +1002,7 @@ def _map_file_frag(gi: MinimizerIndex, fns: List[str], opt: MapOptions,
 
             def compute_frag(fi, off, n_seg):
                 # paired-end orientation flip (gmap.c:38-43)
-                if pre is None and n_seg == 2:
+                if pre is None and not flips_done and n_seg == 2:
                     if pe_ori >> 1 & 1:
                         batch[off].seq = _revcomp_str(batch[off].seq)
                     if pe_ori & 1:

@@ -14,9 +14,9 @@
 #include <stdlib.h>
 #include <string.h>
 
-extern int64_t mgt_collect(
-    const uint8_t *seq, int64_t qlen, int64_t w, int64_t k,
-    int64_t max_occ,
+extern int64_t mgt_collect_frag(
+    const uint8_t *seq_blob, const int64_t *seg_off, int64_t n_segs,
+    int64_t w, int64_t k, int64_t max_occ, int64_t use_heap,
     const uint64_t *keys, const int64_t *key_start,
     const int64_t *key_cnt, int64_t n_keys, const uint64_t *pos,
     const int64_t *seg_len,
@@ -92,6 +92,7 @@ extern int64_t mgt_format_gaf(
     const int64_t *sel_parent, const int64_t *sel_mapq,
     const int64_t *sel_subsc,
     int64_t print_2nd, int64_t no_comp_path, int64_t show_unmap,
+    int64_t n_seg, int64_t frag_merge, const int64_t *qlens,
     const uint32_t *const *cig_p, const int64_t *cig_n,
     const int64_t *cig_stats,
     const char *const *ds_p, const int64_t *ds_n,
@@ -151,6 +152,9 @@ typedef struct {
     const uint64_t *pos;
     const uint64_t *htab;              /* collect probe table */
     int64_t n_slots;
+    int64_t use_heap;                  /* short-read heap collection */
+    const int64_t *n_segs;             /* per-read segment count (or 0) */
+    const int64_t *seg_mid;            /* 2-seg frag boundary offset */
     /* -c mode: per-chain CIGAR + ds generated in the worker;
      * seg_seqp[2s]/[2s+1] = fwd/rc byte strings of segment s */
     int64_t do_cigar;
@@ -400,6 +404,11 @@ static void *worker(void *vp)
             const char *sq = b->qseq_blob + b->qseq_off[i];
             int64_t sql = b->qseq_off[i + 1] - b->qseq_off[i];
             int64_t meta[4], r2;
+            int64_t nsg = b->n_segs ? b->n_segs[i] : 1;
+            int64_t soff[3];
+            soff[0] = b->qseq_off[i];
+            soff[1] = nsg == 2 ? b->seg_mid[i] : b->qseq_off[i + 1];
+            soff[2] = b->qseq_off[i + 1];
             if (ts.mv_sz < sql + 128) {
                 free(ts.mv); free(ts.mp);
                 ts.mv_sz = sql + (sql >> 1) + 256;
@@ -410,8 +419,10 @@ static void *worker(void *vp)
                                         continue; }
             }
             for (;;) {
-                r2 = mgt_collect((const uint8_t *)sq, sql, b->idx_w,
-                                 b->idx_k, b->max_occ, b->keys,
+                r2 = mgt_collect_frag((const uint8_t *)b->qseq_blob,
+                                 soff, nsg, b->idx_w,
+                                 b->idx_k, b->max_occ, b->use_heap,
+                                 b->keys,
                                  b->key_start, b->key_cnt, b->n_keys,
                                  b->pos, b->gseg_len,
                                  b->htab, b->n_slots,
@@ -471,7 +482,8 @@ static void *worker(void *vp)
             b->mdx[i], b->mdy[i], P[P_BW], P[P_MAX_LC_SKIP],
             P[P_MAX_LC_ITER], P[P_MIN_LC_CNT], P[P_MIN_LC_SCORE],
             PD[D_PEN_GAP], PD[D_PEN_SKIP],
-            P[P_IS_CDNA], 1, P[P_MAX_GAP_PRE], P[P_RMQ_SIZE_CAP],
+            P[P_IS_CDNA], b->n_segs ? b->n_segs[i] : 1,
+            P[P_MAX_GAP_PRE], P[P_RMQ_SIZE_CAP],
             P[P_DO_RESCUE], b->qlen[i], P[P_BW_LONG],
             P[P_RMQ_RESCUE_SIZE], P[P_RESCUE_MAX_DIST],
             PD[D_RESCUE_RATIO],
@@ -517,6 +529,12 @@ static void *worker(void *vp)
         }
         for (;;) {
             int64_t flags = P[P_GAF_FLAGS];
+            int64_t nsg_i = b->n_segs ? b->n_segs[i] : 1;
+            int64_t ql2[2];
+            ql2[0] = nsg_i == 2 ? b->seg_mid[i] - b->qseq_off[i]
+                                : b->qlen[i];
+            ql2[1] = nsg_i == 2 ? b->qseq_off[i + 1] - b->seg_mid[i]
+                                : 0;
             int64_t n = mgt_format_gaf(
                 b->seg_nm, b->seg_nm_off, b->gseg_len, b->seg_snid,
                 b->seg_soff, b->ss_nm, b->ss_nm_off, b->ss_min,
@@ -526,6 +544,7 @@ static void *worker(void *vp)
                 g_off, g_cnt, g_na, g_sc, g_extra,
                 sel, sel + ts.gc_cap, sel + 3 * ts.gc_cap,
                 flags & 1, (flags >> 1) & 1, (flags >> 2) & 1,
+                nsg_i, (flags >> 3) & 1, ql2,
                 f_cgp, f_cgn, f_cgst, f_dsp, f_dsn, f_dop, f_don,
                 ts.gb + ts.gb_len, ts.gb_cap - ts.gb_len);
             if (n >= 0) {
@@ -572,6 +591,9 @@ int64_t mgt_map_tail_batch(
     const uint64_t *keys, const int64_t *key_start,
     const int64_t *key_cnt, int64_t n_keys, const uint64_t *pos,
     const uint64_t *htab, int64_t n_slots,
+    /* fragment support: per-read segment counts (NULL = all single),
+     * 2-seg boundary offsets, and the heap-merge collection switch */
+    int64_t use_heap, const int64_t *n_segs_arr, const int64_t *seg_mid,
     /* -c mode: non-zero do_cigar + fwd/rc segment byte strings */
     int64_t do_cigar, const char **seg_seqp,
     const char *qseq_blob, const int64_t *qseq_off,
@@ -599,6 +621,7 @@ int64_t mgt_map_tail_batch(
     b.keys = keys; b.key_start = key_start; b.key_cnt = key_cnt;
     b.pos = pos;
     b.htab = htab; b.n_slots = n_slots;
+    b.use_heap = use_heap; b.n_segs = n_segs_arr; b.seg_mid = seg_mid;
     b.do_cigar = do_cigar; b.seg_seqp = seg_seqp;
     b.qseq_blob = qseq_blob; b.qseq_off = qseq_off;
     b.qname_blob = qname_blob; b.qname_off = qname_off;

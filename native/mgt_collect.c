@@ -86,31 +86,24 @@ static inline void hash_probe(const uint64_t *tab, uint64_t mask,
     }
 }
 
-/* out_meta: [0]=n_a, [1]=n_mv, [2]=rep_len, [3]=n_mini.
- * Returns 0 ok, -1 caps too small (needed sizes in out_meta; caller
- * grows + retries), -2 allocation failure. */
-int64_t mgt_collect(
-    const uint8_t *seq, int64_t qlen, int64_t w, int64_t k,
-    int64_t max_occ,
+/* Probe + anchor build + order stage shared by the single-read and
+ * fragment entries.  use_heap selects the short-read heap-merge
+ * emission (collect_seed_hits_heap, map-algo.c:93-150) instead of
+ * the build-then-radix-sort order. */
+static int64_t collect_body(
+    uint64_t *mv, int64_t n_mv, int64_t max_occ,
     const uint64_t *keys, const int64_t *key_start,
     const int64_t *key_cnt, int64_t n_keys, const uint64_t *pos,
     const int64_t *seg_len,
-    const uint64_t *htab, int64_t n_slots,
-    uint64_t *mv, int64_t mv_cap,
+    const uint64_t *htab, int64_t n_slots, int64_t use_heap,
     uint64_t *ax, uint64_t *ay, int64_t a_cap,
     int64_t *mini_pos, int64_t mp_cap,
     int64_t *out_meta)
 {
-    int64_t n_mv, i, j, n_a = 0, n_mini = 0, need_a = 0;
+    int64_t i, j, n_a = 0, n_mini = 0, need_a = 0;
     int64_t rep_len = 0, rep_st = 0, rep_en = 0, ret = -2;
     uint64_t *z = 0, *minier = 0, *ay2 = 0;
     int64_t *pcnt = 0, *pstart = 0;
-
-    out_meta[0] = out_meta[1] = out_meta[2] = out_meta[3] = 0;
-    n_mv = mgt_sketch(seq, qlen, w, k, 0, mv, mv_cap);
-    if (n_mv < 0) { out_meta[1] = qlen / 2 + 64; return -1; }
-    out_meta[1] = n_mv;
-    if (n_mv == 0) return 0;
 
     minier = (uint64_t *)malloc(8 * (size_t)n_mv);
     pcnt = (int64_t *)malloc(8 * (size_t)n_mv);
@@ -149,6 +142,100 @@ int64_t mgt_collect(
     out_meta[3] = n_mini;
     if (need_a > a_cap || n_mini > mp_cap) { ret = -1; goto done; }
 
+    if (use_heap) {
+        /* heap-merge emission (collect_seed_hits_heap,
+         * map-algo.c:93-150): anchors come out sorted by construction
+         * — forward filled from the front, reverse from the back in
+         * pop order.  The heap compares hit values only, with the
+         * ksort heapdown shape, so tie layout matches the
+         * reference/Python emulation exactly. */
+        typedef struct { uint64_t x, y; } he_t;
+        he_t *hp = 0;
+        int64_t *k_idx = 0;
+        int64_t hs = 0, n_for = 0, n_rev = 0, mi;
+        n_mini = 0;
+        k_idx = (int64_t *)malloc(8 * (size_t)out_meta[3] + 8);
+        hp = (he_t *)malloc(sizeof(he_t) * (size_t)out_meta[3] + 16);
+        if (!k_idx || !hp) { free(k_idx); free(hp); goto done; }
+        for (i = 0; i < n_mv; ++i) {
+            if (pcnt[i] >= max_occ) continue;
+            mini_pos[n_mini] = (int64_t)((uint32_t)mv[2 * i + 1]) >> 1;
+            k_idx[n_mini] = i;
+            if (pcnt[i] > 0) {
+                hp[hs].x = pos[pstart[i]];
+                hp[hs].y = (uint64_t)n_mini << 32;
+                ++hs;
+            }
+            ++n_mini;
+        }
+        /* ks_heapmake/ks_heapdown with lt = (x >) */
+#define HP_DOWN(i0, n) do {                                         \
+            int64_t ii = (i0), kk = (i0);                           \
+            he_t tmp = hp[ii];                                      \
+            for (;;) {                                              \
+                kk = (kk << 1) + 1;                                 \
+                if (kk >= (n)) break;                               \
+                if (kk != (n) - 1 && hp[kk].x > hp[kk + 1].x) ++kk; \
+                if (hp[kk].x > tmp.x) break;                        \
+                hp[ii] = hp[kk];                                    \
+                ii = kk;                                            \
+            }                                                       \
+            hp[ii] = tmp;                                           \
+        } while (0)
+        for (i = (hs >> 1) - 1; i >= 0; --i) HP_DOWN(i, hs);
+        while (hs > 0) {
+            int64_t kmi = (int64_t)(hp[0].y >> 32);
+            int64_t im = k_idx[kmi];
+            uint64_t r = hp[0].x;
+            int64_t rid = (int64_t)(r >> 32);
+            int64_t rpos = (int64_t)((uint32_t)r >> 1);
+            int64_t q_pos = (int64_t)(uint32_t)mv[2 * im + 1];
+            int64_t span = (int64_t)(mv[2 * im] & 0xFF);
+            int64_t seg = (int64_t)(mv[2 * im + 1] >> 32);
+            int64_t occ = pcnt[im] < 255 ? pcnt[im] : 255;
+            int tandem = (im > 0 && minier[im - 1] == minier[im])
+                || (im + 1 < n_mv && minier[im + 1] == minier[im]);
+            int64_t po;
+            uint64_t x;
+            if (((r ^ (uint64_t)q_pos) & 1) == 0) {
+                x = (uint64_t)rid << 33 | (uint64_t)rpos;
+                po = n_for++;
+            } else {
+                x = (uint64_t)rid << 33 | (1ULL << 32)
+                    | (uint64_t)(seg_len[rid] - (rpos + 1 - span) - 1);
+                po = need_a - ++n_rev;
+            }
+            ax[po] = x;
+            ay[po] = (uint64_t)occ << OCC_SHIFT
+                | (uint64_t)seg << SEG_SHIFT
+                | (tandem ? SEED_TANDEM : 0)
+                | (uint64_t)span << 32
+                | (uint64_t)(q_pos >> 1);
+            {
+                int64_t hit = (int64_t)(uint32_t)hp[0].y;
+                if (hit < pcnt[im] - 1) {
+                    hp[0].y = (uint64_t)kmi << 32
+                        | (uint64_t)(hit + 1);
+                    hp[0].x = pos[pstart[im] + hit + 1];
+                } else {
+                    hp[0] = hp[hs - 1];
+                    --hs;
+                }
+            }
+            HP_DOWN(0, hs);
+        }
+#undef HP_DOWN
+        if (need_a > n_for + n_rev) {
+            memmove(ax + n_for, ax + need_a - n_rev,
+                    8 * (size_t)n_rev);
+            memmove(ay + n_for, ay + need_a - n_rev,
+                    8 * (size_t)n_rev);
+        }
+        out_meta[0] = n_for + n_rev;
+        free(k_idx); free(hp);
+        ret = 0;
+        goto done;
+    }
     if (need_a > 0) {
         z = (uint64_t *)malloc(16 * (size_t)need_a);
         if (!z) goto done;
@@ -204,4 +291,70 @@ int64_t mgt_collect(
 done:
     free(z); free(minier); free(pcnt); free(pstart); free(ay2);
     return ret;
+}
+
+/* out_meta: [0]=n_a, [1]=n_mv, [2]=rep_len, [3]=n_mini.
+ * Returns 0 ok, -1 caps too small (needed sizes in out_meta; caller
+ * grows + retries), -2 allocation failure. */
+int64_t mgt_collect(
+    const uint8_t *seq, int64_t qlen, int64_t w, int64_t k,
+    int64_t max_occ,
+    const uint64_t *keys, const int64_t *key_start,
+    const int64_t *key_cnt, int64_t n_keys, const uint64_t *pos,
+    const int64_t *seg_len,
+    const uint64_t *htab, int64_t n_slots,
+    uint64_t *mv, int64_t mv_cap,
+    uint64_t *ax, uint64_t *ay, int64_t a_cap,
+    int64_t *mini_pos, int64_t mp_cap,
+    int64_t *out_meta)
+{
+    int64_t n_mv;
+    out_meta[0] = out_meta[1] = out_meta[2] = out_meta[3] = 0;
+    n_mv = mgt_sketch(seq, qlen, w, k, 0, mv, mv_cap);
+    if (n_mv < 0) { out_meta[1] = qlen / 2 + 64; return -1; }
+    out_meta[1] = n_mv;
+    if (n_mv == 0) return 0;
+    return collect_body(mv, n_mv, max_occ, keys, key_start, key_cnt,
+                        n_keys, pos, seg_len, htab, n_slots, 0,
+                        ax, ay, a_cap, mini_pos, mp_cap, out_meta);
+}
+
+/* Multi-segment fragment entry (collect_minimizers, map-algo.c:34-45):
+ * each segment is sketched with its ordinal as rid and positions are
+ * offset by the cumulative length; use_heap selects the short-read
+ * heap emission.  seg_off has n_segs+1 offsets into seq_blob. */
+int64_t mgt_collect_frag(
+    const uint8_t *seq_blob, const int64_t *seg_off, int64_t n_segs,
+    int64_t w, int64_t k, int64_t max_occ, int64_t use_heap,
+    const uint64_t *keys, const int64_t *key_start,
+    const int64_t *key_cnt, int64_t n_keys, const uint64_t *pos,
+    const int64_t *seg_len,
+    const uint64_t *htab, int64_t n_slots,
+    uint64_t *mv, int64_t mv_cap,
+    uint64_t *ax, uint64_t *ay, int64_t a_cap,
+    int64_t *mini_pos, int64_t mp_cap,
+    int64_t *out_meta)
+{
+    int64_t n_mv = 0, s, total = 0, qlen_sum;
+    out_meta[0] = out_meta[1] = out_meta[2] = out_meta[3] = 0;
+    qlen_sum = seg_off[n_segs] - seg_off[0];
+    for (s = 0; s < n_segs; ++s) {
+        int64_t sl = seg_off[s + 1] - seg_off[s];
+        int64_t n1 = mgt_sketch(seq_blob + seg_off[s], sl, w, k,
+                                (uint32_t)s, mv + 2 * n_mv,
+                                mv_cap - n_mv);
+        if (n1 < 0) { out_meta[1] = qlen_sum / 2 + 64; return -1; }
+        if (total > 0) {
+            int64_t i;
+            for (i = 0; i < n1; ++i)
+                mv[2 * (n_mv + i) + 1] += (uint64_t)(total << 1);
+        }
+        n_mv += n1;
+        total += sl;
+    }
+    out_meta[1] = n_mv;
+    if (n_mv == 0) return 0;
+    return collect_body(mv, n_mv, max_occ, keys, key_start, key_cnt,
+                        n_keys, pos, seg_len, htab, n_slots, use_heap,
+                        ax, ay, a_cap, mini_pos, mp_cap, out_meta);
 }

@@ -78,6 +78,10 @@ int64_t mgt_format_gaf(
     const int64_t *sel_parent, const int64_t *sel_mapq,
     const int64_t *sel_subsc,
     int64_t print_2nd, int64_t no_comp_path, int64_t show_unmap,
+    /* fragment shape: n_seg query segments (paired-end = 2) with
+     * lengths qlens[]; frag_merge trims a trailing "/1" from the
+     * name and emits the ql:B:i tag (format.c frag rules) */
+    int64_t n_seg, int64_t frag_merge, const int64_t *qlens,
     /* optional per-chain base-level results (-c mode); all NULL when
      * absent.  cig_p[c]: CIGAR words, cig_n[c] their count;
      * cig_stats[4c..]: mlen, blen, aplen, qtot; ds_p[c]: ds token
@@ -92,6 +96,9 @@ int64_t mgt_format_gaf(
     gbuf_t b = { buf, buf + cap, 0 };
     int64_t c;
 
+    if (frag_merge && n_seg == 2 && qname_len > 2
+        && qname[qname_len - 1] == '1' && qname[qname_len - 2] == '/')
+        qname_len -= 2;
     if (n_gc == 0) {
         if (show_unmap) {
             gb_mem(&b, qname, qname_len);
@@ -255,6 +262,14 @@ int64_t mgt_format_gaf(
             if (dv >= 0.0f && dv <= 1.0f) {
                 gb_mem(&b, "\tdv:f:", 6);
                 gb_div(&b, dv);
+            }
+        }
+        if (n_seg > 1) {
+            int64_t s;
+            gb_mem(&b, "\tql:B:i", 7);
+            for (s = 0; s < n_seg; ++s) {
+                gb_c(&b, ',');
+                gb_i(&b, qlens[s]);
             }
         }
         if (cig_p != 0 && cig_p[c] != 0) {

@@ -165,7 +165,7 @@ int64_t mgt_map_tail(
     if (tp0) { tp1 = mgt_now_ns(); mgt_prof_add(0, tp1 - tp0); tp0 = tp1; }
     if (n_u == 0) { ret = 0; goto done; }
 
-    if (do_rescue && n_u > 1) {
+    if (do_rescue && n_segs == 1 && n_u > 1) {
         /* long-join rescue: if the best chain leaves a large part of
          * the query uncovered, re-chain everything with the RMQ
          * engine at bw_long (map-algo.c:407-417) */
