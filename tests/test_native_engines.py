@@ -595,3 +595,43 @@ def test_native_seq_reader_matches_python():
                 for a, b in zip(got, want):
                     assert a == b, (name, a[0], b[0], a[1][:40],
                                     b[1][:40])
+
+
+def test_batch_driver_sr_fragments(oracle, ref_test_dir):
+    """Paired-end short reads through the native batch driver must be
+    byte-identical to the reference binary under -x sr (heap seed
+    collection, fragment merge, ql:B:i; map-algo.c:93-150 +
+    format.c frag rules)."""
+    import subprocess
+    import tempfile
+    from pathlib import Path
+
+    from minigraph_tpu.cli import main as cli_main
+
+    # paired reads straight off the MT reference sequences
+    ref_fa = ref_test_dir / "MT-human.fa"
+    seq = "".join(l.strip() for l in ref_fa.read_text().splitlines()
+                  if not l.startswith(">"))
+    rng = np.random.default_rng(3)
+    comp = str.maketrans("ACGTacgt", "TGCAtgca")
+    recs = []
+    for i in range(200):
+        frag = int(rng.integers(280, 600))
+        st = int(rng.integers(0, len(seq) - frag))
+        r1 = seq[st:st + 125]
+        r2 = seq[st + frag - 125:st + frag].translate(comp)[::-1]
+        recs.append((f"q{i}/1", r1))
+        recs.append((f"q{i}/2", r2))
+    with tempfile.TemporaryDirectory() as td:
+        fa = Path(td) / "sr.fa"
+        fa.write_text("".join(f">{n}\n{s}\n" for n, s in recs))
+        r = subprocess.run(
+            [str(oracle), "-x", "sr", str(ref_test_dir / "MT.gfa"),
+             str(fa)], capture_output=True, text=True, check=True)
+        import io
+        import contextlib
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            cli_main(["-x", "sr", str(ref_test_dir / "MT.gfa"),
+                      str(fa)])
+        assert buf.getvalue() == r.stdout
