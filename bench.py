@@ -129,6 +129,35 @@ def ensure_long_reads():
     return fa
 
 
+N_SR_PAIRS = 2000
+
+
+def ensure_sr_reads():
+    """Cached paired-end short-read set (sr preset regime)."""
+    import numpy as np
+
+    from minigraph_tpu.seqio.bseq import read_all
+    from minigraph_tpu.tools.synth import write_fasta
+    fa = CACHE / "reads_sr.fa"
+    if fa.exists():
+        return fa
+    rng = np.random.default_rng(5)
+    haps = [read_all(str(CACHE / f"hap{h}.fa"))[0].seq
+            for h in range(2)]
+    comp = str.maketrans("ACGTacgt", "TGCAtgca")
+    recs = []
+    for i in range(N_SR_PAIRS):
+        h = haps[i % 2]
+        frag = int(rng.integers(300, 700))
+        st = int(rng.integers(0, len(h) - frag))
+        recs.append((f"p{i}/1", h[st:st + 150]))
+        recs.append((f"p{i}/2",
+                     h[st + frag - 150:st + frag]
+                     .translate(comp)[::-1]))
+    write_fasta(fa, recs)
+    return fa
+
+
 def bench_long(gi, mo, reads_fa):
     """Long-read (15 kb-class) end-to-end throughput via the
     host+device split with the 16 kb device bucket."""
@@ -412,6 +441,44 @@ def bench_host(gfa, reads_fa):
             extra["cigar_vs_baseline"] = round(c_vs, 3)
     except Exception as e:
         log(f"-c host bench skipped: {type(e).__name__} {e}")
+    try:
+        sr_fa = ensure_sr_reads()
+        ms, mos, gos = IndexOptions(), MapOptions(), GGOptions()
+        opt_set("sr", ms, mos, gos)
+        opt_check(ms, mos, gos)
+        # sr wants its own k/w index
+        g2 = read_gfa(str(gfa))
+        gi2 = build_index(g2, ms.k, ms.w, mos)
+
+        def sr_once():
+            sink = io.StringIO()
+            t0 = time.time()
+            _map_file_frag(gi2, [str(sr_fa)], mos, sink, None, None,
+                           1, None)
+            return time.time() - t0, sink.getvalue()
+
+        t_our = t_ref = None
+        gaf = ref_gaf = None
+        for _ in range(4):
+            t_i, gaf = sr_once()
+            t_our = t_i if t_our is None else min(t_our, t_i)
+            if have_ref:
+                t_i, ref_gaf = _ref_map_time(
+                    ["-x", "sr", str(gfa), str(sr_fa)])
+                t_ref = t_i if t_ref is None else min(t_ref, t_i)
+        n_sr = 2 * N_SR_PAIRS
+        vs_sr = (t_ref / t_our) if t_ref else None
+        log(f"HOST sr paired: {n_sr / t_our:.0f} reads/s"
+            + (f" vs reference {n_sr / t_ref:.0f} -> {vs_sr:.2f}x"
+               if t_ref else "")
+            + ("  PARITY OK" if ref_gaf is not None and gaf == ref_gaf
+               else ("  PARITY MISMATCH!" if ref_gaf is not None
+                     else "")))
+        extra["sr_reads_per_s"] = round(n_sr / t_our, 1)
+        if vs_sr:
+            extra["sr_vs_baseline"] = round(vs_sr, 3)
+    except Exception as e:
+        log(f"sr host bench skipped: {type(e).__name__} {e}")
     return rps, vs, par, extra
 
 
