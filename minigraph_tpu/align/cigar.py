@@ -263,20 +263,22 @@ def _gen_ds_native(gc, tseq: bytes, qbytes: bytes):
     span = gc.p.aplen + (gc.qe - gc.qs)
     ds_cap = 4 * span + 16 * len(cig) + 64
     off_cap = 2 * span + len(cig) + 8
-    ds_buf = ctypes.create_string_buffer(ds_cap)
+    # np.empty, not create_string_buffer: the latter zero-fills, which
+    # costs ~1s per whole-contig ds buffer in the ggs driver
+    ds_buf = np.empty(ds_cap, dtype=np.uint8)
     off = np.empty(off_cap, dtype=np.int64)
     n_off = ctypes.c_int64(0)
     n = lib.mgt_gen_ds(
         cig.ctypes.data_as(ctypes.c_void_p), ctypes.c_int64(len(cig)),
         tseq, ctypes.c_int64(gc.p.aplen),
         qbytes, ctypes.c_int64(gc.qs), ctypes.c_int64(gc.qe),
-        ds_buf, ctypes.c_int64(ds_cap),
+        ds_buf.ctypes.data_as(ctypes.c_void_p), ctypes.c_int64(ds_cap),
         off.ctypes.data_as(ctypes.c_void_p), ctypes.c_int64(off_cap),
         ctypes.byref(n_off))
     if n < 0:
         return None
     ds = DsString()
-    ds.ds = ds_buf.raw[:n].decode("latin-1")
+    ds.ds = ds_buf[:n].tobytes().decode("latin-1")
     ds.len = n
     ds.n_off = int(n_off.value)
     ds.off = off[: ds.n_off]

@@ -238,32 +238,43 @@ static void wave_fill(wave_t *w, const src_t *sr, int32_t lo, int32_t hi)
  * gap OPEN beats an extension, E beats F, piece 1 beats piece 2, and
  * mismatch beats any gap. */
 static void wave_fill_tb(wave_t *w, const src_t *sr, int32_t lo, int32_t hi,
-                         uint8_t *bits /* indexed by d */)
+                         uint8_t *bits0 /* indexed by d */)
 {
-    int32_t *E1 = w->c[C_E1], *F1 = w->c[C_F1];
-    int32_t *E2 = w->c[C_E2], *F2 = w->c[C_F2], *H = w->c[C_H];
+    /* vectorized component passes first, then derive the decision
+     * byte elementwise from sources + results (semantically the
+     * fused recurrence; tie order matches miniwfa.c:283-307: on
+     * equality a gap OPEN beats an extension, E beats F, piece 1
+     * beats piece 2, and mismatch beats any gap).  restrict on every
+     * pointer: a plain uint8_t store aliases the int32 planes in the
+     * C model and forces the whole loop scalar. */
+    const int32_t *restrict E1 = w->c[C_E1];
+    const int32_t *restrict F1 = w->c[C_F1];
+    const int32_t *restrict E2 = w->c[C_E2];
+    const int32_t *restrict F2 = w->c[C_F2];
+    const int32_t *restrict Hx = sr->Hx;
+    const int32_t *restrict Ho1 = sr->Ho1;
+    const int32_t *restrict Ho2 = sr->Ho2;
+    const int32_t *restrict sE1 = sr->E1;
+    const int32_t *restrict sF1 = sr->F1;
+    const int32_t *restrict sE2 = sr->E2;
+    const int32_t *restrict sF2 = sr->F2;
+    uint8_t *restrict bits = bits0;
     int32_t d;
+    wave_fill(w, sr, lo, hi);
     VEC_LOOP
     for (d = lo; d <= hi; ++d) {
-        uint8_t x;
-        int32_t e, f, g, st_e, st_f, st;
-        x  = sr->Ho1[d - 1] >= sr->E1[d - 1] ? 0 : TB_X_E1;
-        E1[d] = WF_MAX(sr->Ho1[d - 1], sr->E1[d - 1]);
-        x |= sr->Ho2[d - 1] >= sr->E2[d - 1] ? 0 : TB_X_E2;
-        E2[d] = WF_MAX(sr->Ho2[d - 1], sr->E2[d - 1]);
-        x |= sr->Ho1[d + 1] >= sr->F1[d + 1] ? 0 : TB_X_F1;
-        F1[d] = WF_MAX(sr->Ho1[d + 1], sr->F1[d + 1]) + 1;
-        x |= sr->Ho2[d + 1] >= sr->F2[d + 1] ? 0 : TB_X_F2;
-        F2[d] = WF_MAX(sr->Ho2[d + 1], sr->F2[d + 1]) + 1;
-        st_e = E1[d] >= E2[d] ? 1 : 3;
+        int32_t x, e, f, st_e, st_f, st;
+        x  = (int32_t)(Ho1[d - 1] < sE1[d - 1]) << 4;
+        x |= (int32_t)(Ho2[d - 1] < sE2[d - 1]) << 6;
+        x |= (int32_t)(Ho1[d + 1] < sF1[d + 1]) << 5;
+        x |= (int32_t)(Ho2[d + 1] < sF2[d + 1]) << 7;
+        st_e = 1 + ((int32_t)(E1[d] < E2[d]) << 1);
         e = WF_MAX(E1[d], E2[d]);
-        st_f = F1[d] >= F2[d] ? 2 : 4;
+        st_f = 2 + ((int32_t)(F1[d] < F2[d]) << 1);
         f = WF_MAX(F1[d], F2[d]);
         st = e >= f ? st_e : st_f;
-        g = WF_MAX(e, f);
-        st = sr->Hx[d] + 1 >= g ? 0 : st;
-        H[d] = WF_MAX(sr->Hx[d] + 1, g);
-        bits[d] = x | (uint8_t)st;
+        st = Hx[d] + 1 >= WF_MAX(e, f) ? 0 : st;
+        bits[d] = (uint8_t)(x | st);
     }
 }
 
@@ -282,30 +293,46 @@ static void band_note_edges(pool_t *p, const wave_t *w, int32_t lo,
 /* traceback byte archive (one strip per score)                        */
 /* ------------------------------------------------------------------ */
 
-typedef struct { int32_t lo, hi; uint8_t *b; } tb_strip_t;
+typedef struct { int32_t lo, hi; int64_t off; } tb_strip_t;
 
 typedef struct {
     int32_t n, m;
     tb_strip_t *a;
+    uint8_t *pool;        /* arena backing every strip */
+    int64_t used, cap;
 } tb_log_t;
 
 static uint8_t *tb_log_push(tb_log_t *g, int32_t lo, int32_t hi)
 {
     tb_strip_t *t;
+    int64_t need = hi - lo + 1;
     if (g->n == g->m) {
         g->m += (g->m >> 1) + 8;
         g->a = (tb_strip_t *)realloc(g->a, g->m * sizeof(tb_strip_t));
     }
+    if (g->used + need > g->cap) {
+        /* arena may move: strips store offsets, fixed up on read */
+        int64_t want = g->used + need;
+        g->cap = want + (want >> 1) + 4096;
+        g->pool = (uint8_t *)realloc(g->pool, (size_t)g->cap);
+    }
     t = &g->a[g->n++];
     t->lo = lo, t->hi = hi;
-    t->b = (uint8_t *)calloc(hi - lo + 1, 1);
-    return t->b - lo;
+    t->off = g->used;
+    g->used += need;
+    return g->pool + t->off - lo;
+}
+
+/* strip base pointer (indexed by absolute diagonal) */
+static inline const uint8_t *tb_strip_b(const tb_log_t *g,
+                                        const tb_strip_t *t)
+{
+    return g->pool + t->off - t->lo;
 }
 
 static void tb_log_free(tb_log_t *g)
 {
-    int32_t i;
-    for (i = 0; i < g->n; ++i) free(g->a[i].b);
+    free(g->pool);
     free(g->a);
 }
 
@@ -347,7 +374,7 @@ static uint32_t *tb_walk(const wf_pen_t *pen, const tb_log_t *g,
             if (i < 0 || k < 0) break;
         }
         t = &g->a[s];
-        x = t->b[i - k - t->lo];
+        x = tb_strip_b(g, t)[i - k];
         st = last == 0 ? TB_STATE(x) : last;
         ext = st > 0 ? TB_EXT(x, st) : 0;
         switch (st) {
@@ -592,7 +619,7 @@ int32_t mgt_wfa_exact2(const char *ts0, int32_t tl, const char *qs0,
             if (k == tl - 1 && d + k == ql - 1) {
                 if (k == H[d] && is_tb && tb.n > 0) {
                     const tb_strip_t *t = &tb.a[tb.n - 1];
-                    last_state = TB_STATE(t->b[d - t->lo]);
+                    last_state = TB_STATE(tb_strip_b(&tb, t)[d]);
                 }
                 done = 1;
                 break;
