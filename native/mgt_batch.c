@@ -401,7 +401,6 @@ static void *worker(void *vp)
         if (b->mode[i] < 0) continue; /* caller-marked: per-read path */
         if (b->do_collect) {
             /* sketch + probe + anchors inside the worker */
-            const char *sq = b->qseq_blob + b->qseq_off[i];
             int64_t sql = b->qseq_off[i + 1] - b->qseq_off[i];
             int64_t meta[4], r2;
             int64_t nsg = b->n_segs ? b->n_segs[i] : 1;

@@ -152,7 +152,7 @@ static int64_t collect_body(
         typedef struct { uint64_t x, y; } he_t;
         he_t *hp = 0;
         int64_t *k_idx = 0;
-        int64_t hs = 0, n_for = 0, n_rev = 0, mi;
+        int64_t hs = 0, n_for = 0, n_rev = 0;
         n_mini = 0;
         k_idx = (int64_t *)malloc(8 * (size_t)out_meta[3] + 8);
         hp = (he_t *)malloc(sizeof(he_t) * (size_t)out_meta[3] + 16);

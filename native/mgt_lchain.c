@@ -232,7 +232,6 @@ int64_t mgt_lchain_dp(int32_t max_dist_x, int32_t max_dist_y, int32_t bw,
     int64_t *p, *f, *vv, i, n_v;
     int64_t blk = 0;          /* start of the current (rid,rev) block */
     int64_t cache = -1;       /* argmax-f cache (max_ii analog)       */
-    int64_t sc_buf[LC_CHUNK];
     int32_t *mark;            /* epoch array: mark[j] == i  <=>  t[j] */
     int32_t n_u, max_drop = bw;
     int64_t n_iter = 0, mmax_f = 0;
@@ -250,8 +249,8 @@ int64_t mgt_lchain_dp(int32_t max_dist_x, int32_t max_dist_y, int32_t bw,
 
     for (i = 0; i < n; ++i) {
         int64_t best = (int64_t)(ay[i] >> 32 & 0xff), best_j = -1;
-        int64_t lo_d, lo, stop, j, c0;
-        int32_t pending = 0, broke = 0;
+        int64_t lo_d, lo, stop, j;
+        int32_t pending = 0;
 
         if (ax[i] >> 32 != ax[blk] >> 32) blk = i;
         /* first same-vertex anchor with ax[i] - ax[j] <= max_dist_x */
@@ -284,11 +283,10 @@ int64_t mgt_lchain_dp(int32_t max_dist_x, int32_t max_dist_y, int32_t bw,
                 best = tot, best_j = j;
                 if (pending > 0) --pending;
             } else if (mark[j] == (int32_t)i) {
-                if (++pending > max_skip) { stop = j; broke = 1; break; }
+                if (++pending > max_skip) { stop = j; break; }
             }
             if (p[j] >= 0) mark[p[j]] = (int32_t)i;
         }
-        (void)c0;
 
         /* long-range candidate cache (max_ii, lchain.c:191-204): a
          * live cache is always >= lo_d, so staleness is an index test */

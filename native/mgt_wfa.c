@@ -578,7 +578,7 @@ int32_t mgt_wfa_exact2(const char *ts0, int32_t tl, const char *qs0,
     int32_t n_seg = 0;
     int64_t n_iter = 0;
     pool_t *wp;
-    tb_log_t tb = {0, 0, 0};
+    tb_log_t tb = {0, 0, 0, 0, 0, 0};
     chk_t *seg = 0;
     char *pts, *pqs;
     uint8_t used[256];
