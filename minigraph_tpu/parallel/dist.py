@@ -237,7 +237,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     orig = mapper_mod.map_files
 
     def patched(g, fns, ipt, opt, out=sys.stdout, cov=None, n_threads=1,
-                device=False, front_kwargs=None):
+                device=False, front_kwargs=None, **_kw):
+        # **_kw swallows per-session mapper options the distributed
+        # driver does not forward (e.g. gwfa_device)
         return map_files_distributed(g, fns, ipt, opt, out=out,
                                      device=device,
                                      front_kwargs=front_kwargs)
