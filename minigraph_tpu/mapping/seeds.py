@@ -288,8 +288,11 @@ def get_collect_ctx(gi):
         pos = np.ascontiguousarray(gi.pos, dtype=np.uint64)
         lib = get_lib()
         htab, n_slots = None, 0
+        # 16 B/slot at >= 2x load headroom; above ~128 M keys (a 4 GB
+        # table) the collectors fall back to binary search over the
+        # sorted key array instead of paying the memory
         if lib is not None and hasattr(lib, "mgt_collect_hash_build") \
-                and len(keys) > 0:
+                and 0 < len(keys) <= (1 << 27):
             n_slots = 1 << max(6, int(2 * len(keys) - 1).bit_length())
             htab = np.empty(2 * n_slots, dtype=np.uint64)
             lib.mgt_collect_hash_build(
