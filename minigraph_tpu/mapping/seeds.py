@@ -360,14 +360,23 @@ def collect_native(gi: MinimizerIndex, opt: MapOptions, max_occ: int,
                     mp[:n_mini].copy(), n_mv)
         if r != -1:
             return None
-        bufs = (np.empty(max(len(mv), 2 * (int(meta[1]) + 64)),
-                         dtype=np.uint64),
-                np.empty(max(len(ax) * 2, int(meta[0]) + 64),
-                         dtype=np.uint64),
-                np.empty(max(len(ay) * 2, int(meta[0]) + 64),
-                         dtype=np.uint64),
-                np.empty(max(len(mp) * 2, int(meta[1]) + 64),
-                         dtype=np.int64),
+        # grow only the buffers the engine reported too small
+        # (meta[0]=anchors needed, meta[1]=minimizer records needed);
+        # blind doubling of the others can explode on low-complexity
+        # reads where the mv shortfall repeats
+        need_mv = 2 * (int(meta[1]) + 64)
+        need_a = int(meta[0]) + 64
+        need_mp = int(meta[1]) + 64
+        bufs = (mv if len(mv) >= need_mv
+                else np.empty(need_mv + (need_mv >> 1), dtype=np.uint64),
+                ax if len(ax) >= need_a
+                else np.empty(need_a + (need_a >> 1), dtype=np.uint64),
+                ay if len(ay) >= need_a
+                else np.empty(need_a + (need_a >> 1), dtype=np.uint64),
+                mp if len(mp) >= need_mp
+                else np.empty(need_mp + (need_mp >> 1), dtype=np.int64),
                 meta)
+        if bufs[0] is mv and bufs[1] is ax and bufs[3] is mp:
+            return None      # engine asks for nothing bigger: bail
         _CTLS.col = bufs
         mv, ax, ay, mp, meta = bufs

@@ -195,6 +195,9 @@ class NativeSeqReader:
         ptrs = np.zeros(4, dtype=np.uint64)
         n = self._lib.mgt_seq_read_batch(self._h, max_bp,
                                          ct.c_void_p(ptrs.ctypes.data))
+        if n == -2:
+            raise IOError("sequence input truncated or corrupt "
+                          "(gzip stream error)")
         if n < 0:
             raise MemoryError("native reader allocation failure")
         if n == 0:

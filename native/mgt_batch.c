@@ -14,6 +14,9 @@
 #include <stdlib.h>
 #include <string.h>
 
+extern void mgt_shortk_tls_free(void);
+extern void mgt_cigar_tls_free(void);
+
 extern int64_t mgt_collect_frag(
     const uint8_t *seq_blob, const int64_t *seg_off, int64_t n_segs,
     int64_t w, int64_t k, int64_t max_occ, int64_t use_heap,
@@ -443,11 +446,7 @@ static void *worker(void *vp)
             if (r2 != 0) continue;
             n_a = meta[0], n_mv_i = meta[1], rep_len_i = meta[2];
             mini_pos_i = ts.mp;
-            if (n_a == 0 && meta[3] == 0 && n_mv_i > 0) {
-                /* no usable minimizers: still a valid empty mapping */
-            }
             if (ts_reserve(&ts, n_a) < 0) continue;
-            (void)meta;
         } else {
             n_a = b->n_a[i];
             n_mv_i = b->n_mv[i];
@@ -566,6 +565,10 @@ static void *worker(void *vp)
     free(ts.mv); free(ts.mp);
     free(ts.cgb); free(ts.dsb); free(ts.dob); free(ts.tsq);
     free(ts.ctab);
+    /* the pool spawns fresh threads per batch: release the engines'
+     * thread-local scratch or it leaks at every pthread exit */
+    mgt_shortk_tls_free();
+    mgt_cigar_tls_free();
     return 0;
 }
 

@@ -164,6 +164,17 @@ void mgt_wfa_free(uint32_t *p);
 
 #define MGT_SEED_IGNORE (1ULL << 41)
 
+/* whole-path scratch for multi-vertex gaps; per worker thread */
+static __thread char *tls_cig_scratch;
+static __thread int64_t tls_cig_cap;
+
+void mgt_cigar_tls_free(void)
+{
+    free(tls_cig_scratch);
+    tls_cig_scratch = 0;
+    tls_cig_cap = 0;
+}
+
 static void gc_push1(uint32_t *cig, int64_t *n, int64_t op, int64_t ln)
 {
     if (*n > 0 && (int64_t)(cig[*n - 1] & 0xf) == op)
@@ -182,9 +193,7 @@ int64_t mgt_gchain_cigar(
     uint32_t *cig_out, int64_t cig_cap,
     int64_t *stats_out /* [4]: mlen, blen, aplen, qtot */)
 {
-    /* __thread: the batch driver runs this from its worker pool */
-    static __thread char *scratch = 0;
-    static __thread int64_t scratch_cap = 0;
+
     int64_t l0 = gc_off, j0 = 0, j, n = 0, i;
     int64_t mlen = 0, blen = 0, aplen = 0, qtot = 0;
 
@@ -211,21 +220,24 @@ int64_t mgt_gchain_cigar(
             int64_t need = seg_len[lc_v[l0] >> 1] - (qx32 + 1), k;
             for (k = l0 + 1; k < l; ++k) need += seg_len[lc_v[k] >> 1];
             need += px32 + 1;
-            if (need > scratch_cap) {
-                scratch_cap = need + (need >> 1) + 64;
-                scratch = (char *)realloc(scratch, scratch_cap);
-                if (!scratch) { scratch_cap = 0; return -1; }
+            if (need > tls_cig_cap) {
+                tls_cig_cap = need + (need >> 1) + 64;
+                tls_cig_scratch = (char *)realloc(tls_cig_scratch,
+                                                  tls_cig_cap);
+                if (!tls_cig_scratch) { tls_cig_cap = 0; return -1; }
             }
             l_seq = seg_len[lc_v[l0] >> 1] - (qx32 + 1);
-            memcpy(scratch, seqp[lc_v[l0]] + qx32 + 1, l_seq);
+            memcpy(tls_cig_scratch, seqp[lc_v[l0]] + qx32 + 1,
+                   l_seq);
             for (k = l0 + 1; k < l; ++k) {
-                memcpy(scratch + l_seq, seqp[lc_v[k]],
+                memcpy(tls_cig_scratch + l_seq, seqp[lc_v[k]],
                        seg_len[lc_v[k] >> 1]);
                 l_seq += seg_len[lc_v[k] >> 1];
             }
-            memcpy(scratch + l_seq, seqp[lc_v[l]], px32 + 1);
+            memcpy(tls_cig_scratch + l_seq, seqp[lc_v[l]],
+                   px32 + 1);
             l_seq += px32 + 1;
-            tseq = scratch;
+            tseq = tls_cig_scratch;
         }
         qlen = py32 - qy32;
         if (l_seq <= 0 && qlen <= 0) return -2;

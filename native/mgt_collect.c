@@ -311,7 +311,9 @@ int64_t mgt_collect(
     int64_t n_mv;
     out_meta[0] = out_meta[1] = out_meta[2] = out_meta[3] = 0;
     n_mv = mgt_sketch(seq, qlen, w, k, 0, mv, mv_cap);
-    if (n_mv < 0) { out_meta[1] = qlen / 2 + 64; return -1; }
+    /* overflow estimate must be an upper bound: low-complexity runs
+     * emit ~1 record per base plus first-window ties */
+    if (n_mv < 0) { out_meta[1] = qlen + w + 64; return -1; }
     out_meta[1] = n_mv;
     if (n_mv == 0) return 0;
     return collect_body(mv, n_mv, max_occ, keys, key_start, key_cnt,
@@ -343,7 +345,8 @@ int64_t mgt_collect_frag(
         int64_t n1 = mgt_sketch(seq_blob + seg_off[s], sl, w, k,
                                 (uint32_t)s, mv + 2 * n_mv,
                                 mv_cap - n_mv);
-        if (n1 < 0) { out_meta[1] = qlen_sum / 2 + 64; return -1; }
+        /* upper bound, not an estimate (see mgt_collect) */
+        if (n1 < 0) { out_meta[1] = qlen_sum + n_segs * (w + 64); return -1; }
         if (total > 0) {
             int64_t i;
             for (i = 0; i < n1; ++i)

@@ -15,7 +15,7 @@ typedef struct {
     gzFile fp;
     char *buf;                  /* raw line buffer window */
     int64_t len, pos, cap;
-    int eof;
+    int eof, err;
     char *sq;                   /* sequence arena (transformed) */
     int64_t sq_cap;
     char *nm;                   /* name arena */
@@ -105,8 +105,13 @@ static int sr_line(mgt_sr_t *r, char **st, int64_t *ln)
         {
             int n = gzread(r->fp, r->buf + r->len,
                            (unsigned)(r->cap - r->len));
-            if (n <= 0) r->eof = 1;
-            else r->len += n;
+            if (n < 0) { r->eof = 1; r->err = 1; }
+            else if (n == 0) {
+                int gzerr = 0;
+                gzerror(r->fp, &gzerr);
+                if (gzerr != Z_OK && gzerr != Z_STREAM_END) r->err = 1;
+                r->eof = 1;
+            } else r->len += n;
         }
     }
 }
@@ -206,13 +211,16 @@ int64_t mgt_seq_read_batch(void *h, int64_t max_bp, uint64_t *out_ptrs)
             }
             sq_len += rec_len;
             ++n;
-            if (sr_grow((void **)&r->sq_off, &r->off_cap, n + 1, 8) < 0)
-                return -1;
-            {   /* nm_off tracks off_cap (may have been reallocated) */
-                int64_t *no = (int64_t *)realloc(
-                    r->nm_off, (size_t)(r->off_cap * 8));
-                if (!no) return -1;
-                r->nm_off = no;
+            if (n + 1 > r->off_cap) {      /* grow both offset arrays */
+                if (sr_grow((void **)&r->sq_off, &r->off_cap, n + 1,
+                            8) < 0)
+                    return -1;
+                {
+                    int64_t *no = (int64_t *)realloc(
+                        r->nm_off, (size_t)(r->off_cap * 8));
+                    if (!no) return -1;
+                    r->nm_off = no;
+                }
             }
             r->sq_off[n] = sq_len;
             r->nm_off[n] = nm_len;
@@ -223,5 +231,8 @@ int64_t mgt_seq_read_batch(void *h, int64_t max_bp, uint64_t *out_ptrs)
     out_ptrs[1] = (uint64_t)(uintptr_t)r->sq_off;
     out_ptrs[2] = (uint64_t)(uintptr_t)r->nm;
     out_ptrs[3] = (uint64_t)(uintptr_t)r->nm_off;
+    /* a decompress/read error must not look like EOF: silent
+     * truncation of the input would emit a partial GAF with rc 0 */
+    if (r->err) return -2;
     return n;
 }

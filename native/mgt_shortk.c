@@ -102,7 +102,11 @@ static int vmap_init(vmap_t *m, int64_t cap0, int32_t max_k)
     m->cnt = (int32_t *)malloc(c * sizeof(int32_t));
     m->stamp = (int32_t *)calloc(c, sizeof(int32_t));
     m->nodes = (int64_t *)malloc(c * max_k * sizeof(int64_t));
-    if (!m->key || !m->cnt || !m->stamp || !m->nodes) return -1;
+    if (!m->key || !m->cnt || !m->stamp || !m->nodes) {
+        free(m->key); free(m->cnt); free(m->stamp); free(m->nodes);
+        memset(m, 0, sizeof(*m));   /* hcap 0: not initialized */
+        return -1;
+    }
     return 0;
 }
 
@@ -221,8 +225,10 @@ int64_t mgt_shortest_k(
     vmap_t vm;
     if (tls_vm.hcap == 0) {
         /* stride is fixed at 16 (max_k is clamped to 15) so the map
-         * can be reused across calls with differing max_k */
-        if (vmap_init(&tls_vm, 64, 16) < 0) goto done;
+         * can be reused across calls with differing max_k.  On init
+         * failure return BEFORE the write-back at done: would copy
+         * the uninitialized local vm over the thread-local state. */
+        if (vmap_init(&tls_vm, 64, 16) < 0) return -3;
     }
     vmap_reset(&tls_vm);
     vm = tls_vm;
@@ -423,4 +429,22 @@ done:
     tls_heap = heap;
     tls_vm = vm;
     return ret;
+}
+
+
+/* Free this thread's scratch: the batch driver spawns fresh worker
+ * threads per call, and thread-local buffers would otherwise leak at
+ * every pthread exit. */
+void mgt_shortk_tls_free(void)
+{
+    free(tls_vm.key); free(tls_vm.cnt); free(tls_vm.stamp);
+    free(tls_vm.nodes);
+    memset(&tls_vm, 0, sizeof(tls_vm));
+    free(tls_heap.a);
+    tls_heap.a = 0, tls_heap.n = tls_heap.cap = 0;
+    free(tls_nodes); tls_nodes = 0; tls_m_nodes = 0;
+    free(tls_outl); tls_outl = 0; tls_m_out = 0;
+    free(tls_ord); tls_ord = 0;
+    free(tls_done); tls_done = 0; tls_m_ord = 0;
+    free(tls_trans); tls_trans = 0; tls_m_trans = 0;
 }
