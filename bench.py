@@ -392,17 +392,18 @@ def bench_host(gfa, reads_fa):
     gi = build_index(g, io_.k, io_.w, mo)
     have_ref = ensure_oracle()
 
-    def ours_once(opt, fn):
+    def ours_once(opt, fn, idx=None):
         sink = io.StringIO()
         t0 = time.time()
-        _map_file_frag(gi, [str(fn)], opt, sink, None, None, 1, None)
+        _map_file_frag(idx or gi, [str(fn)], opt, sink, None, None,
+                       1, None)
         return time.time() - t0, sink.getvalue()
 
-    def measure(tag, opt, fn, n_reads, ref_args):
+    def measure(tag, opt, fn, n_reads, ref_args, idx=None):
         t_our = t_ref = None
         gaf = ref_gaf = None
         for _ in range(4):
-            t_i, gaf = ours_once(opt, fn)
+            t_i, gaf = ours_once(opt, fn, idx)
             t_our = t_i if t_our is None else min(t_our, t_i)
             if have_ref:
                 t_i, ref_gaf = _ref_map_time(ref_args)
@@ -449,32 +450,11 @@ def bench_host(gfa, reads_fa):
         # sr wants its own k/w index
         g2 = read_gfa(str(gfa))
         gi2 = build_index(g2, ms.k, ms.w, mos)
-
-        def sr_once():
-            sink = io.StringIO()
-            t0 = time.time()
-            _map_file_frag(gi2, [str(sr_fa)], mos, sink, None, None,
-                           1, None)
-            return time.time() - t0, sink.getvalue()
-
-        t_our = t_ref = None
-        gaf = ref_gaf = None
-        for _ in range(4):
-            t_i, gaf = sr_once()
-            t_our = t_i if t_our is None else min(t_our, t_i)
-            if have_ref:
-                t_i, ref_gaf = _ref_map_time(
-                    ["-x", "sr", str(gfa), str(sr_fa)])
-                t_ref = t_i if t_ref is None else min(t_ref, t_i)
         n_sr = 2 * N_SR_PAIRS
-        vs_sr = (t_ref / t_our) if t_ref else None
-        log(f"HOST sr paired: {n_sr / t_our:.0f} reads/s"
-            + (f" vs reference {n_sr / t_ref:.0f} -> {vs_sr:.2f}x"
-               if t_ref else "")
-            + ("  PARITY OK" if ref_gaf is not None and gaf == ref_gaf
-               else ("  PARITY MISMATCH!" if ref_gaf is not None
-                     else "")))
-        extra["sr_reads_per_s"] = round(n_sr / t_our, 1)
+        sr_rps, vs_sr, _p = measure(
+            "sr paired", mos, sr_fa, n_sr,
+            ["-x", "sr", str(gfa), str(sr_fa)], idx=gi2)
+        extra["sr_reads_per_s"] = round(sr_rps, 1)
         if vs_sr:
             extra["sr_vs_baseline"] = round(vs_sr, 3)
     except Exception as e:
