@@ -635,3 +635,70 @@ def test_batch_driver_sr_fragments(oracle, ref_test_dir):
             cli_main(["-x", "sr", str(ref_test_dir / "MT.gfa"),
                       str(fa)])
         assert buf.getvalue() == r.stdout
+
+
+@pytest.mark.slow
+def test_batch_driver_asan_multithread(ref_test_dir):
+    """The full multithreaded batch driver (collect + tails + -c +
+    GAF) under AddressSanitizer: the worker pool's grow-and-retry
+    paths have twice hidden memory bugs that only ASan catches."""
+    import os
+    import subprocess
+    import tempfile
+    from pathlib import Path
+
+    nat = Path(__file__).resolve().parents[1] / "native"
+    srcs = sorted(str(p) for p in nat.glob("*.c")
+                  if not p.name.endswith("_selftest.c"))
+    asan_rt = subprocess.run(
+        ["gcc", "-print-file-name=libasan.so"],
+        capture_output=True, text=True).stdout.strip()
+    driver = r"""
+import io, sys
+sys.path.insert(0, {repo!r})
+from minigraph_tpu.graph.gfa_io import read_gfa
+from minigraph_tpu.index.midx import build_index
+from minigraph_tpu.options import (IndexOptions, MapOptions, GGOptions,
+                                   opt_set, opt_check, MG_M_CIGAR)
+from minigraph_tpu.mapping.mapper import _map_file_frag
+import minigraph_tpu.utils.native as nat
+import ctypes
+nat._lib = ctypes.CDLL({so!r})
+nat._tried = True
+io_, mo, go = IndexOptions(), MapOptions(), GGOptions()
+opt_set(None, io_, mo, go)
+opt_check(io_, mo, go)
+g = read_gfa({gfa!r})
+gi = build_index(g, io_.k, io_.w, mo)
+for cigar in (False, True):
+    mo2 = MapOptions()
+    opt_set(None, io_, mo2, go)
+    if cigar:
+        mo2.flag |= MG_M_CIGAR
+    opt_check(io_, mo2, go)
+    sink = io.StringIO()
+    _map_file_frag(gi, [{reads!r}], mo2, sink, None, None, 4, None)
+    assert sink.getvalue()
+print("asan batch ok")
+"""
+    with tempfile.TemporaryDirectory() as td:
+        so = str(Path(td) / "libmgt_asan.so")
+        r = subprocess.run(
+            ["gcc", "-O1", "-g", "-fsanitize=address",
+             "-fno-omit-frame-pointer", "-shared", "-fPIC", "-o", so,
+             *srcs, "-lm", "-lpthread", "-lz"],
+            capture_output=True, text=True)
+        assert r.returncode == 0, r.stderr[-2000:]
+        script = Path(td) / "drv.py"
+        script.write_text(driver.format(
+            repo=str(REPO), so=so,
+            gfa=str(ref_test_dir / "MT.gfa"),
+            reads=str(ref_test_dir / "MT-orangA.fa")))
+        env = dict(os.environ,
+                   LD_PRELOAD=asan_rt,
+                   ASAN_OPTIONS="detect_leaks=0",
+                   JAX_PLATFORMS="cpu")
+        r = subprocess.run(["python", str(script)], capture_output=True,
+                           text=True, timeout=300, env=env)
+        assert r.returncode == 0, (r.stdout[-500:], r.stderr[-3000:])
+        assert "asan batch ok" in r.stdout
