@@ -68,13 +68,14 @@ def _native_gwfa(g, es, qseq, v0, end0, v1, end1, max_ed):
             ctypes.c_uint32, ctypes.c_int32,
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
             ctypes.c_int32, ctypes.c_int64,
-            i32p, i32p,
+            i32p, ctypes.c_int32, i32p,
         ]
         _cfg = True
     arc_start, arc_cnt, arc_w, arc_ow, seq_off, seq_len, seq_buf = \
         _flat_graph(g, es)
     qb = qseq.encode("latin-1") if isinstance(qseq, str) else qseq
-    walk = np.zeros(len(qb) + 64, dtype=np.int32)
+    # walk length is bounded by query span + edit distance
+    walk = np.zeros(len(qb) + max_ed + 64, dtype=np.int32)
     n_walk = ctypes.c_int32(0)
 
     def P(a, t):
@@ -86,7 +87,9 @@ def _native_gwfa(g, es, qseq, v0, end0, v1, end1, max_ed):
         P(seq_off, ctypes.c_int64), P(seq_len, ctypes.c_int32), seq_buf,
         len(qb), qb, v0, end0, v1, end1,
         max_ed, 1, 1000, 1000, max_ed // 2, 500_000_000,
-        P(walk, ctypes.c_int32), ctypes.byref(n_walk))
+        P(walk, ctypes.c_int32), len(walk), ctypes.byref(n_walk))
+    if s == -2:
+        return None      # overflow: use the exact Python engine
     return s, [int(x) for x in walk[: n_walk.value]]
 
 

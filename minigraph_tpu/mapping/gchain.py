@@ -302,7 +302,10 @@ def gchain1_dp(g, lc: List[LChain], qlen: int, max_dist_g: int,
         x = li.qs + bw
         if x > qlen:
             x = qlen
-        # find_max: largest index with srt < x (gchain1.c:16-29)
+        # find_max (gchain1.c:16-29): replicates the reference's code,
+        # which in the mixed case returns the FIRST index with
+        # srt >= x (its comment claims largest-below; parity follows
+        # the code, not the comment)
         lo, hi = 0, i
         if i == 0:
             xj = -1

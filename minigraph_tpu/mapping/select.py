@@ -60,7 +60,12 @@ def gchain_set_parent(mask_level: float, gcs_gc: List, sub_diff: int,
                 ol = 0 if ei < sj else (ei - sj if ei < ej else ej - sj)
             else:
                 ol = 0 if ej < si else (ej - si if ej < ei else ei - si)
-            if ol / mn - uncov_len / mx > mask_level:
+            # float32 like the reference (gcmisc.c:114) and the native
+            # engine, so fallback and fused paths can never diverge on
+            # a ulp-edge comparison
+            if np.float32(ol) / np.float32(mn) \
+                    - np.float32(uncov_len) / np.float32(mx) \
+                    > np.float32(mask_level):
                 ri.parent = rp.parent
                 rp.subsc = max(rp.subsc, ri.score)
                 if ri.cnt >= rp.cnt:
@@ -88,7 +93,8 @@ def gchain_flt_sub(pri_ratio: float, min_diff: int, best_n: int,
             if p == i:
                 r.flt = 0
                 k += 1
-            elif (r.score >= rp.score * pri_ratio
+            elif (np.float32(r.score)
+                  >= np.float32(rp.score) * np.float32(pri_ratio)
                   or r.score + min_diff >= rp.score) and n_2nd < best_n:
                 if not (r.qs == rp.qs and r.qe == rp.qe and r.ps == rp.ps
                         and r.pe == rp.pe):

@@ -315,7 +315,6 @@ int64_t mgt_format_gaf(
             }
         }
         gb_c(&b, '\n');
-        (void)rev_sign;
     }
     return b.ovf ? -1 : (int64_t)(b.p - buf);
 }

@@ -160,7 +160,11 @@ int64_t mgt_gchain1_dp(
         int64_t xj, n_dst = 0, n_skip = 0, rsk;
         int64_t max_f = lscore[li], max_j = -1, max_d = -1, max_inner = 0;
         uint32_t max_hash = 0;
-        /* find_max (gchain1.c:16-29), n = i over sorted srt keys */
+        /* find_max (gchain1.c:16-29), n = i over sorted srt keys.
+         * NOTE: replicates the reference's actual behavior, which in
+         * the mixed case returns the FIRST index with srt >= x (one
+         * candidate past the < x run); its own comment says otherwise
+         * but byte parity follows the code. */
         if (i == 0) xj = -1;
         else if (z[2 * (i - 1)] < x) xj = i - 1;
         else if (z[0] >= x) xj = -1;
@@ -367,7 +371,7 @@ extern int32_t mgt_gwfa_ed(
     int32_t ql, const char *q, uint32_t v0, int32_t off0, uint32_t v1,
     int32_t off1, int32_t s_term, int32_t traceback, int32_t max_chk,
     int32_t bw_dyn, int32_t max_lag, int64_t i_term,
-    int32_t *walk, int32_t *n_walk);
+    int32_t *walk, int32_t walk_cap, int32_t *n_walk);
 
 extern int64_t mgt_gchain_extra(const uint64_t *ax, const uint64_t *ay,
                                 const int64_t *lc_v, const int64_t *lc_off,
@@ -560,7 +564,11 @@ int64_t mgt_gchain_gen(
     z.by = (uint64_t *)malloc(8 * (size_t)a_cap);
     gc_off0 = (int64_t *)malloc(8 * (size_t)gc_cap);
     gc_na0 = (int64_t *)malloc(8 * (size_t)gc_cap);
-    walk = (int32_t *)malloc(4 * ((size_t)qseq_len + 64));
+    /* the optimal bridge walk is bounded by query span + edit
+     * distance (net deletions thread extra vertices), not by the
+     * query length alone */
+    walk = (int32_t *)malloc(4 * ((size_t)qseq_len + (size_t)gdp_max_ed
+                                  + 64));
     pv_v = (int64_t *)malloc(8 * (size_t)pv_cap);
     pv_d = (int64_t *)malloc(8 * (size_t)pv_cap);
     pv_p = (int64_t *)malloc(8 * (size_t)pv_cap);
@@ -643,7 +651,10 @@ int64_t mgt_gchain_gen(
                                         (int32_t)(srs[l1] + kmer - 1),
                                         (int32_t)gdp_max_ed, 1, 1000, 1000,
                                         (int32_t)(gdp_max_ed / 2),
-                                        500000000, walk, &n_walk);
+                                        500000000, walk,
+                                        (int32_t)(qseq_len + gdp_max_ed
+                                                  + 64), &n_walk);
+                        if (s == -2) { ret = -3; goto done; }
                         if (s >= 0) {
                             int64_t q2;
                             for (q2 = 1; q2 < (int64_t)n_walk - 1; ++q2) {
@@ -813,7 +824,7 @@ int64_t mgt_gchain_full(
     uint64_t *u = 0;
     int64_t *order = 0, *dpre = 0, *ipre = 0;
     uint32_t *hpre = 0;
-    int64_t *s8 = 0;            /* gathered slot tables, 10 planes */
+    int64_t *s8 = 0;            /* gathered slot tables, 8 planes */
     int64_t *sdp = 0;
     uint32_t *shp = 0;
 
@@ -831,7 +842,7 @@ int64_t mgt_gchain_full(
                          u, order, dpre, hpre, ipre);
     if (n_u < 0) goto done;
     for (i = 0; i < n_u; ++i) n_slots += (int64_t)(uint32_t)u[i];
-    s8 = (int64_t *)malloc(8 * 9 * (size_t)(n_slots ? n_slots : 1));
+    s8 = (int64_t *)malloc(8 * 8 * (size_t)(n_slots ? n_slots : 1));
     sdp = (int64_t *)malloc(8 * (size_t)(n_slots ? n_slots : 1));
     shp = (uint32_t *)malloc(4 * (size_t)(n_slots ? n_slots : 1));
     if (!s8 || !sdp || !shp) goto done;

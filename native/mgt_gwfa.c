@@ -477,8 +477,10 @@ static int gwf_step1(gwf_t *z, uint32_t v1, int32_t off1, uint32_t *end_v,
     return 0;
 }
 
-/* Full search.  Returns score s >= 0 on success, -1 otherwise; fills
- * walk[] (vertex ids, up to walk_cap) and *n_walk. */
+/* Full search.  Returns score s >= 0 on success, -1 when no
+ * alignment was found, -2 when the optimal walk exceeds walk_cap
+ * (caller must fall back; the walk length is bounded only by
+ * query_len + edit_distance, not by query_len). */
 int32_t mgt_gwfa_ed(
     /* graph */
     int64_t *arc_start, int32_t *arc_cnt, uint32_t *arc_w, int32_t *arc_ow,
@@ -490,7 +492,7 @@ int32_t mgt_gwfa_ed(
     int32_t s_term, int32_t traceback, int32_t max_chk, int32_t bw_dyn,
     int32_t max_lag, int64_t i_term,
     /* out */
-    int32_t *walk, int32_t *n_walk)
+    int32_t *walk, int32_t walk_cap, int32_t *n_walk)
 {
     ggraph_t g = {arc_start, arc_cnt, arc_w, arc_ow, seq_off, seq_len, seq};
     gwf_t z;
@@ -522,12 +524,14 @@ int32_t mgt_gwfa_ed(
         ++z.s;
     }
     if (traceback && found) {
-        int32_t i = z.end_tb, n = 0, j;
+        int32_t i = z.end_tb, n = 0, j, ovf = 0;
         walk[n++] = end_v;
         while (i >= 0 && z.trace[i].v >= 0) {
+            if (n >= walk_cap) { ovf = 1; break; }
             walk[n++] = z.trace[i].v;
             i = z.trace[i].pre;
         }
+        if (ovf) found = -1;          /* walk truncated: overflow */
         for (j = 0; j < n >> 1; ++j) {
             int32_t t2 = walk[j];
             walk[j] = walk[n - 1 - j];
@@ -535,7 +539,7 @@ int32_t mgt_gwfa_ed(
         }
         *n_walk = n;
     }
-    ret = found ? z.s : -1;
+    ret = found > 0 ? z.s : found < 0 ? -2 : -1;
     free(z.a.a);
     free(z.intv.a);
     free(z.tmp.a);
