@@ -74,25 +74,39 @@ static void gi_push(gintv_v *a, uint64_t vd0)
 typedef struct { uint64_t key, val; } gpair_t;
 extern void mgt_radix_sort_128x(uint64_t *a, int64_t n);
 
-/* ---- simple open-addressing uint64 hash set / map ---- */
-typedef struct { uint64_t *keys; int32_t *vals; int64_t cap, n; } ghash_t;
+/* ---- simple open-addressing uint64 hash set / map ----
+ * Generation-stamped: gh_clear is O(1) (the visited set is cleared
+ * every wavefront step, and a memset over the grown capacity used to
+ * dominate the bridge engine). */
+typedef struct {
+    uint64_t *keys;
+    int32_t *vals, *gen;
+    int64_t cap, n;
+    int32_t cur;
+} ghash_t;
 
 static void gh_init(ghash_t *h, int64_t cap0)
 {
     int64_t c = 16;
     while (c < cap0 * 2) c <<= 1;
-    h->cap = c, h->n = 0;
+    h->cap = c, h->n = 0, h->cur = 1;
     h->keys = (uint64_t *)malloc(sizeof(uint64_t) * c);
     h->vals = (int32_t *)malloc(sizeof(int32_t) * c);
-    memset(h->keys, 0xff, sizeof(uint64_t) * c);
+    h->gen = (int32_t *)calloc(c, sizeof(int32_t));
 }
 
-static void gh_free(ghash_t *h) { free(h->keys); free(h->vals); }
+static void gh_free(ghash_t *h)
+{
+    free(h->keys); free(h->vals); free(h->gen);
+}
 
 static void gh_clear(ghash_t *h)
 {
-    memset(h->keys, 0xff, sizeof(uint64_t) * h->cap);
     h->n = 0;
+    if (++h->cur == 0x7FFFFFFF) {
+        memset(h->gen, 0, sizeof(int32_t) * h->cap);
+        h->cur = 1;
+    }
 }
 
 static inline uint64_t gh_hash(uint64_t k)
@@ -109,7 +123,7 @@ static void gh_grow(ghash_t *h)
     int64_t i;
     gh_init(&nh, h->cap);
     for (i = 0; i < h->cap; ++i)
-        if (h->keys[i] != UINT64_MAX) {
+        if (h->gen[i] == h->cur) {
             int ab;
             int64_t j = gh_put(&nh, h->keys[i], &ab);
             nh.vals[j] = h->vals[i];
@@ -124,10 +138,10 @@ static int64_t gh_put(ghash_t *h, uint64_t key, int *absent)
     if (h->n * 4 >= h->cap * 3) gh_grow(h);
     mask = h->cap - 1;
     i = gh_hash(key) & mask;
-    while (h->keys[i] != UINT64_MAX && h->keys[i] != key)
+    while (h->gen[i] == h->cur && h->keys[i] != key)
         i = (i + 1) & mask;
-    *absent = (h->keys[i] == UINT64_MAX);
-    if (*absent) h->keys[i] = key, ++h->n;
+    *absent = (h->gen[i] != h->cur);
+    if (*absent) h->keys[i] = key, h->gen[i] = h->cur, ++h->n;
     return i;
 }
 
