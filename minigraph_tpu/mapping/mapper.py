@@ -461,7 +461,7 @@ def _map_batch_native(gi, opt, items, n_threads, host_collect=False,
         lib.mgt_map_tail_batch.restype = ct.c_int64
         lib.mgt_map_tail_batch.argtypes = (
             [ct.c_int64, ct.c_int64, ct.c_void_p, ct.c_void_p]
-            + [ct.c_void_p] * 12                      # per-read arrays
+            + [ct.c_void_p] * 13                      # per-read arrays
             + [ct.c_int64] * 4 + [ct.c_void_p] * 3
             + [ct.c_int64, ct.c_void_p]               # host-collect ctx
             + [ct.c_void_p, ct.c_int64]               # probe table
@@ -514,6 +514,7 @@ def _map_batch_native(gi, opt, items, n_threads, host_collect=False,
     fpp = np.zeros(n, dtype=np.uint64)
     ppp = np.zeros(n, dtype=np.uint64)
     n_mv = np.empty(n, dtype=np.int64)
+    n_mini = np.zeros(n, dtype=np.int64)
     mpp = np.empty(n, dtype=np.uint64)
     qlen = np.empty(n, dtype=np.int64)
     rep_len = np.empty(n, dtype=np.int64)
@@ -567,7 +568,7 @@ def _map_batch_native(gi, opt, items, n_threads, host_collect=False,
         ql = len(seq)
         qlen[k] = ql
         if host_collect:
-            n_a[k] = n_mv[k] = rep_len[k] = 0
+            n_a[k] = n_mv[k] = n_mini[k] = rep_len[k] = 0
             axp[k] = ayp[k] = mpp[k] = 0
         else:
             ax, ay = fr.ax, fr.ay
@@ -584,6 +585,7 @@ def _map_batch_native(gi, opt, items, n_threads, host_collect=False,
             ayp[k] = ay.ctypes.data
             mpp[k] = mp.ctypes.data
             n_mv[k] = fr.n_mv
+            n_mini[k] = len(mp)
             rep_len[k] = fr.rep_len
         if is_rmq:
             mode[k] = 2
@@ -637,7 +639,8 @@ def _map_batch_native(gi, opt, items, n_threads, host_collect=False,
         n, max(1, n_threads), P.ctypes.data, PD.ctypes.data,
         mode.ctypes.data, n_a.ctypes.data, axp.ctypes.data,
         ayp.ctypes.data, fpp.ctypes.data, ppp.ctypes.data,
-        n_mv.ctypes.data, mpp.ctypes.data, qlen.ctypes.data,
+        n_mv.ctypes.data, n_mini.ctypes.data, mpp.ctypes.data,
+        qlen.ctypes.data,
         rep_len.ctypes.data, mdx.ctypes.data, mdy.ctypes.data,
         *col_args,
         *frag_args,

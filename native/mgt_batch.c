@@ -144,7 +144,8 @@ typedef struct {
     int64_t n_reads;
     const int64_t *P;
     const double *PD;
-    const int64_t *mode, *n_a, *n_mv, *qlen, *rep_len, *mdx, *mdy;
+    const int64_t *mode, *n_a, *n_mv, *n_minis, *qlen, *rep_len,
+        *mdx, *mdy;
     const uint64_t *axp, *ayp, *fpp, *ppp, *mpp;  /* per-read addrs */
     /* host-collect mode: anchors built in the worker from the read
      * itself (qseq blob) via mgt_collect; per-read anchor inputs are
@@ -395,7 +396,7 @@ static void *worker(void *vp)
     for (;;) {
         int64_t i = __atomic_fetch_add(&b->next, 1, __ATOMIC_RELAXED);
         if (i >= b->n_reads) break;
-        int64_t n_a, n_mv_i, rep_len_i;
+        int64_t n_a, n_mv_i, n_mini_i, rep_len_i;
         const int64_t *mini_pos_i;
         b->status[i] = 1;             /* assume fallback until done */
         b->r_tid[i] = w->tid;
@@ -445,11 +446,13 @@ static void *worker(void *vp)
             }
             if (r2 != 0) continue;
             n_a = meta[0], n_mv_i = meta[1], rep_len_i = meta[2];
+            n_mini_i = meta[3];
             mini_pos_i = ts.mp;
             if (ts_reserve(&ts, n_a) < 0) continue;
         } else {
             n_a = b->n_a[i];
             n_mv_i = b->n_mv[i];
+            n_mini_i = b->n_minis[i];
             rep_len_i = b->rep_len[i];
             mini_pos_i = (const int64_t *)(uintptr_t)b->mpp[i];
             if (ts_reserve(&ts, n_a) < 0) continue;
@@ -486,7 +489,7 @@ static void *worker(void *vp)
             P[P_RMQ_RESCUE_SIZE], P[P_RESCUE_MAX_DIST],
             PD[D_RESCUE_RATIO],
             n_a, ts.ax, ts.ay,
-            mini_pos_i, n_mv_i,
+            mini_pos_i, n_mini_i,
             P[P_LC_MAX_OCC], P[P_LC_MAX_TRIM], P[P_MAX_GAP_HALF],
             b->gidx, b->arc_w, b->arc_lv, b->arc_rank, b->n_vtx,
             b->gseg_len, b->gw_arc_start, b->gw_arc_cnt, b->gw_arc_w,
@@ -584,7 +587,8 @@ int64_t mgt_map_tail_batch(
     const int64_t *mode, const int64_t *n_a,
     const uint64_t *axp, const uint64_t *ayp,
     const uint64_t *fpp, const uint64_t *ppp,
-    const int64_t *n_mv, const uint64_t *mpp,
+    const int64_t *n_mv, const int64_t *n_mini_arr,
+    const uint64_t *mpp,
     const int64_t *qlen, const int64_t *rep_len,
     const int64_t *mdx, const int64_t *mdy,
     /* host-collect mode (anchors built in the workers); pass
@@ -616,6 +620,7 @@ int64_t mgt_map_tail_batch(
     b.n_reads = n_reads;
     b.P = P; b.PD = PD;
     b.mode = mode; b.n_a = n_a; b.n_mv = n_mv;
+    b.n_minis = n_mini_arr;
     b.qlen = qlen; b.rep_len = rep_len; b.mdx = mdx; b.mdy = mdy;
     b.axp = axp; b.ayp = ayp; b.fpp = fpp; b.ppp = ppp; b.mpp = mpp;
     b.do_collect = do_collect; b.idx_w = idx_w; b.idx_k = idx_k;
@@ -658,13 +663,16 @@ int64_t mgt_map_tail_batch(
         pthread_t th[64];
         warg_t wa[64];
         int64_t t;
+        int started[64];
         for (t = 0; t < n_threads; ++t) {
             wa[t].b = &b;
             wa[t].tid = (int)t;
-            pthread_create(&th[t], 0, worker, &wa[t]);
+            started[t] = pthread_create(&th[t], 0, worker,
+                                        &wa[t]) == 0;
+            if (!started[t]) worker(&wa[t]);   /* EAGAIN: run inline */
         }
         for (t = 0; t < n_threads; ++t)
-            pthread_join(th[t], 0);
+            if (started[t]) pthread_join(th[t], 0);
     }
     /* assemble per-thread buffers into one ordered output buffer */
     int64_t total = 0, t, i;

@@ -31,6 +31,18 @@ typedef struct {   /* graph view (vertex-oriented) */
     const char *seq;
 } ggraph_t;
 
+/* OOM inside the engine must not dereference NULL: failed grows set
+ * this per-thread flag, the push is dropped, and mgt_gwfa_ed reports
+ * -2 so the caller takes the exact fallback path. */
+static __thread int gwf_oom;
+
+static void *gwf_grow(void *p, size_t sz)
+{
+    void *np = realloc(p, sz);
+    if (!np) gwf_oom = 1;
+    return np ? np : p;
+}
+
 static inline uint64_t gen_vd(uint32_t v, int32_t d)
 {
     return (uint64_t)v << 32 | (uint32_t)(GWF_SHIFT + d);
@@ -41,8 +53,10 @@ static void gd_push(gdiag_v *a, uint32_t v, int32_t d, int32_t k,
 {
     gdiag_t *p;
     if (a->n == a->m) {
-        a->m += (a->m >> 1) + 16;
-        a->a = (gdiag_t *)realloc(a->a, sizeof(gdiag_t) * a->m);
+        int64_t m2 = a->m + (a->m >> 1) + 16;
+        a->a = (gdiag_t *)gwf_grow(a->a, sizeof(gdiag_t) * m2);
+        if (gwf_oom) return;
+        a->m = m2;
     }
     p = &a->a[a->n++];
     p->vd = gen_vd(v, d), p->k = k, p->xo = x << 1 | ooo, p->t = t;
@@ -63,8 +77,10 @@ static void gi_push(gintv_v *a, uint64_t vd0)
 {
     gintv_t *p;
     if (a->n == a->m) {
-        a->m += (a->m >> 1) + 16;
-        a->a = (gintv_t *)realloc(a->a, sizeof(gintv_t) * a->m);
+        int64_t m2 = a->m + (a->m >> 1) + 16;
+        a->a = (gintv_t *)gwf_grow(a->a, sizeof(gintv_t) * m2);
+        if (gwf_oom) return;
+        a->m = m2;
     }
     p = &a->a[a->n++];
     p->vd0 = vd0, p->vd1 = vd0 + 1;
@@ -93,6 +109,7 @@ static void gh_init(ghash_t *h, int64_t cap0)
     h->keys = (uint64_t *)malloc(sizeof(uint64_t) * c);
     h->vals = (int32_t *)malloc(sizeof(int32_t) * c);
     h->gen = (int32_t *)calloc(c, sizeof(int32_t));
+    if (!h->keys || !h->vals || !h->gen) gwf_oom = 1;
 }
 
 static void gh_free(ghash_t *h)
@@ -209,6 +226,7 @@ static int32_t gwf_dedup(gwf_t *z, int32_t n_a, gdiag_t *a)
             qsort(z->tmp.a, z->tmp.n, sizeof(gintv_t), gintv_cmp);
         mg.m = z->intv.n + z->tmp.n;
         mg.a = (gintv_t *)malloc(sizeof(gintv_t) * (mg.m ? mg.m : 1));
+        if (!mg.a) { gwf_oom = 1; return 0; }
         for (j = k = 0; j < z->intv.n || k < z->tmp.n;) {
             if (k == z->tmp.n || (j < z->intv.n
                                   && z->intv.a[j].vd0 <= z->tmp.a[k].vd0))
@@ -241,11 +259,13 @@ static int32_t gwf_dedup(gwf_t *z, int32_t n_a, gdiag_t *a)
         gdiag_t *b = (gdiag_t *)malloc(sizeof(gdiag_t) * n_a);
         gdiag_t *c = (gdiag_t *)malloc(sizeof(gdiag_t) * n_a);
         uint64_t *pairs;
+        if (!b || !c) { free(b); free(c); gwf_oom = 1; return 0; }
         for (i = 0; i < n_a; ++i) {
             if (a[i].xo & 1) c[n_c++] = a[i];
             else b[n_b++] = a[i];
         }
         pairs = (uint64_t *)malloc(16 * (size_t)(n_c ? n_c : 1));
+        if (!pairs) { free(b); free(c); gwf_oom = 1; return 0; }
         for (i = 0; i < n_c; ++i)
             pairs[2 * i] = c[i].vd, pairs[2 * i + 1] = i;
         mgt_radix_sort_128x(pairs, n_c);
@@ -318,7 +338,6 @@ static void extend_batch(gwf_t *z, int32_t n, gdiag_t *a, gdiag_v *B,
     uint32_t v = a->vd >> 32;
     int32_t vl = g->seq_len[v];
     const char *ts = g->seq + g->seq_off[v];
-    gdiag_t b2[2];
     gdiag_v bb = {0, 0, 0};
 
     for (j = 0; j < n; ++j) {
@@ -443,18 +462,8 @@ static int gwf_step1(gwf_t *z, uint32_t v1, int32_t off1, uint32_t *end_v,
                        &absent);
                 if (z->q[iq + 1] == g->seq[g->seq_off[w] + ol]) {
                     ++n_ext;
-                    if (absent) {
-                        if (A.n == A.m) {
-                            A.m += (A.m >> 1) + 16;
-                            A.a = (gdiag_t *)realloc(A.a,
-                                                     sizeof(gdiag_t) * A.m);
-                        }
-                        A.a[A.n].vd = gen_vd(w, iq + 1 - ol);
-                        A.a[A.n].k = ol;
-                        A.a[A.n].xo = (x0 + 2) << 1 | 1;
-                        A.a[A.n].t = tw;
-                        ++A.n;
-                    }
+                    if (absent)
+                        gd_push(&A, w, iq + 1 - ol, ol, x0 + 2, 1, tw);
                 } else if (absent) {
                     gd_push(&B, w, iq - ol, ol, x0 + 1, 1, tw);
                     gd_push(&B, w, iq + 1 - ol, ol, x0 + 2, 1, tw);
@@ -514,6 +523,7 @@ int32_t mgt_gwfa_ed(
     int32_t end_off = -1, found = 0, ret;
     int64_t n_iter = 0;
 
+    gwf_oom = 0;
     memset(&z, 0, sizeof(z));
     z.g = &g, z.ql = ql, z.q = q;
     z.traceback = traceback, z.max_chk = max_chk;
@@ -539,7 +549,8 @@ int32_t mgt_gwfa_ed(
     }
     if (traceback && found) {
         int32_t i = z.end_tb, n = 0, j, ovf = 0;
-        walk[n++] = end_v;
+        if (walk_cap < 1) { ovf = 1; i = -1; }
+        else walk[n++] = end_v;
         while (i >= 0 && z.trace[i].v >= 0) {
             if (n >= walk_cap) { ovf = 1; break; }
             walk[n++] = z.trace[i].v;
@@ -554,6 +565,7 @@ int32_t mgt_gwfa_ed(
         *n_walk = n;
     }
     ret = found > 0 ? z.s : found < 0 ? -2 : -1;
+    if (gwf_oom) ret = -2;          /* engine state unreliable */
     free(z.a.a);
     free(z.intv.a);
     free(z.tmp.a);

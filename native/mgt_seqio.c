@@ -103,8 +103,10 @@ static int sr_line(mgt_sr_t *r, char **st, int64_t *ln)
             r->cap *= 2;
         }
         {
-            int n = gzread(r->fp, r->buf + r->len,
-                           (unsigned)(r->cap - r->len));
+            int64_t want64 = r->cap - r->len;
+            unsigned want = want64 > (1 << 30) ? (1u << 30)
+                                               : (unsigned)want64;
+            int n = gzread(r->fp, r->buf + r->len, want);
             if (n < 0) { r->eof = 1; r->err = 1; }
             else if (n == 0) {
                 int gzerr = 0;
