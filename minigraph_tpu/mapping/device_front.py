@@ -36,7 +36,7 @@ class FrontResult:
     ax: np.ndarray        # (n_a,) uint64 anchors sorted by x
     ay: np.ndarray
     rep_len: int
-    mini_pos: np.ndarray  # (n_mini_pos,) int32
+    mini_pos: np.ndarray  # (n_mini_pos,) int32 or int64 by path
     n_mv: int
     f: Optional[np.ndarray] = None  # (n_a,) int32 device chain DP scores
     p: Optional[np.ndarray] = None  # (n_a,) int32 parents
@@ -144,8 +144,11 @@ class DeviceFront:
     def _fn(self, pad_len: int):
         fn = self._fns.get(pad_len)
         if fn is None:
-            # the dense-plane qpos field is 17 bits (reads <= 128 kb)
-            assert pad_len <= (1 << 17)
+            # the dense-plane qpos field is 17 bits, and the packed
+            # chain fp word (f << 14 | p+1) holds parents < 16383,
+            # so acap = pad_len//4 must stay <= 8192
+            assert pad_len <= (1 << 15), \
+                "device bucket too long for the packed planes"
             import jax
             import jax.numpy as jnp
             from functools import partial
@@ -334,6 +337,11 @@ class DeviceFront:
             return False
         if opt.max_qlen > 0 and qlen_sum > opt.max_qlen:
             return False
+        if opt.occ_max1 > 255:
+            # the device occurrence plane saturates at uint8, so the
+            # host's cnt >= occ_max1 repeat test (computed pre-
+            # saturation) cannot be reproduced; take the host path
+            return False
         return True
 
     def submit(self, seqs: List[str]):
@@ -366,8 +374,10 @@ class DeviceFront:
                 # start the device->host transfer now so it overlaps
                 # the host tail work of the PREVIOUS batch (the fetch
                 # is the largest serial cost on a tunneled chip);
-                # gated until the first-call wedge probe has drained
-                if self._async_ok:
+                # gated until the first-call wedge probe has drained.
+                # Redundant when the background device_get thread does
+                # the fetch (the default), so only used without it.
+                if self._async_ok and not self.thread_fetch:
                     for a in res.values():
                         try:
                             a.copy_to_host_async()
@@ -490,7 +500,8 @@ class DeviceFront:
             mlog("device_front",
                  f"device seed stage: {self.n_device}/{tot} reads on "
                  f"device, {self.n_fallback} host fallbacks, "
-                 f"{self.n_chain_unsure} chain-DP host reruns")
+                 f"{self.n_chain_unsure} chain-DP host reruns, "
+                 f"{self.n_flat_ovf} flat-plane refetches")
         if self._wfa_pool is not None:
             mlog("device_front",
                  f"device -c gap WFA: {self._wfa_pool.n_device} on "
