@@ -167,7 +167,11 @@ def lchain_dp_exact(ax, ay, n_a, max_dist_x, max_dist_y, bw, max_skip,
         f_mii = jnp.where(stale, jnp.where(any_win, Mf, I32(0)), f_mii)
 
         has_mii = max_ii >= 0
-        tmp = _pick(jnp.where(valid, sc, NEG_BIG), max_ii)
+        # the reference evaluates comput_sc(a[i], a[max_ii]) with NO
+        # window restriction (lchain.c:198): a live max_ii can sit
+        # BELOW the max_iter-clamped window start, which is the whole
+        # point of the candidate.  Mask with score validity only.
+        tmp = _pick(jnp.where(valid0 & before, sc, NEG_BIG), max_ii)
         cand_ok = has_mii & (tmp > NEG_BIG)
         delta = cand_ok & (max_f < tmp + f_mii)
         # fires under every possible end_j (end_j >= st_win - 1)
@@ -301,7 +305,12 @@ def lchain_dp_exact_win(ax, ay, n_a, max_dist_x, max_dist_y, bw, max_skip,
 
             has_mii = max_ii >= 0
             mii_col = jg == max_ii[:, None]
-            tmp = jnp.max(jnp.where(mii_col & valid, sc, NEG_BIG), axis=1)
+            # score validity only, NOT the scan window: the candidate
+            # exists precisely to reach below the max_iter clamp
+            # (lchain.c:198); a max_ii below the slice is covered by
+            # the overflow flag
+            tmp = jnp.max(jnp.where(mii_col & valid0, sc, NEG_BIG),
+                          axis=1)
             cand_ok = has_mii & (tmp > NEG_BIG)
             delta = cand_ok & (max_f < tmp + f_mii)
             fire_sure = has_mii & (max_ii < st_win - 1)

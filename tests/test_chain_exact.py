@@ -113,3 +113,61 @@ def test_chain_exact_windowed(mt_anchors):
         f, p, sure = map(np.asarray, (f, p, sure))
         _check(mo, host_axy, cpg, cps, f, p, sure,
                require_sure=20 if window == 128 else 5)
+
+
+def test_chain_exact_max_iter_clamp(mt_anchors):
+    """With a tiny max_iter the scan window clamps and the max_ii
+    long-range candidate decides scores (lchain.c:191-198).  The
+    construction pins the candidate: a chainable backbone every 30
+    anchors with pairwise-incompatible noise between (dd > bw), so
+    the best predecessor is only reachable through max_ii, which
+    must be masked by score validity alone, not window membership
+    (the pre-fix kernel reported sure=True with unchained
+    backbones here)."""
+    mo, host_axy, cpg, cps = mt_anchors
+    n = 120
+    ax = np.zeros(n, np.uint64)
+    ay = np.zeros(n, np.uint64)
+    span = 17
+    x = 100
+    for i in range(n):
+        q = x if i % 30 == 0 else x + 3000 + (i % 30) * 700
+        ax[i] = np.uint64(x)
+        ay[i] = (np.uint64(span) << np.uint64(32)) \
+            | np.uint64(q & 0xFFFFFFFF)
+        x += 11
+    max_iter = 16
+    hx, hy, hnu, hu = lchain_dp(
+        5000, 5000, 500, 25, max_iter, 3, 40, cpg, cps, False, 1,
+        ax.copy(), ay.copy())
+    assert hnu >= 1          # the host chains the backbone
+    Nn = 128
+    AX = np.full((1, Nn), np.uint64(0xFFFFFFFFFFFFFFFF))
+    AY = AX.copy()
+    AX[0, :n] = ax
+    AY[0, :n] = ay
+    NA = np.array([n], np.int32)
+    f, p, v, sure = jax.jit(lchain_dp_exact)(
+        jnp.asarray(AX), jnp.asarray(AY), jnp.asarray(NA),
+        jnp.int32(5000), jnp.int32(5000), jnp.int32(500),
+        jnp.int32(25), jnp.int32(max_iter), jnp.float32(cpg),
+        jnp.float32(cps))
+    f, p, sure = map(np.asarray, (f, p, sure))
+    assert sure[0]
+    dx, dy, dnu, du = lchain_dp_from_fp(
+        f[0, :n], p[0, :n], 500, 25, 3, 40, False, ax.copy(),
+        ay.copy())
+    assert dnu == hnu and np.array_equal(du, hu)
+    assert np.array_equal(dx, hx) and np.array_equal(dy, hy)
+    # the windowed production kernel must agree too
+    f, p, v, sure = lchain_dp_exact_win(
+        jnp.asarray(AX), jnp.asarray(AY), jnp.asarray(NA),
+        jnp.int32(5000), jnp.int32(5000), jnp.int32(500),
+        jnp.int32(25), jnp.int32(max_iter), jnp.float32(cpg),
+        jnp.float32(cps), window=128, tile=8)
+    f, p, sure = map(np.asarray, (f, p, sure))
+    if sure[0]:
+        dx, dy, dnu, du = lchain_dp_from_fp(
+            f[0, :n], p[0, :n], 500, 25, 3, 40, False, ax.copy(),
+            ay.copy())
+        assert dnu == hnu and np.array_equal(du, hu)
