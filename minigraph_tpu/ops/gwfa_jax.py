@@ -467,6 +467,10 @@ def gwfa_batch(gd: GwfaGraph, q, ql, v0, off0, v1, off1, max_ed,
             flags = flags | jnp.where(vovf, F_FCAP, 0)
             # matching winners become next-wave queue states
             na_sel = act & (em == 1)
+            # flag instead of silently truncating: > dcap winners in
+            # one wave means dropped match chains (exact-or-flag)
+            flags = flags | jnp.where(
+                jnp.sum(na_sel, axis=-1) > dcap, F_DCAP, 0)
             # order new states by host queue order (event order)
             nord = jnp.argsort(jnp.where(na_sel, eo, I32(1 << 30)),
                                axis=-1, stable=True)[..., :dcap]
@@ -558,8 +562,15 @@ def gwfa_batch(gd: GwfaGraph, q, ql, v0, off0, v1, off1, max_ed,
         runk = jnp.take_along_axis(k_s, head_idx, axis=-1)
         runt = jnp.take_along_axis(t_s, head_idx, axis=-1)
         # a same-(vd,k) duplicate with a different trace means the
-        # host queue order picks the surviving lineage: taint
-        tie = va_s & (k_s == runk) & (t_s != runt)
+        # host queue order picks the surviving lineage: taint.  The
+        # host only dedups on steps whose A queue was non-empty
+        # (gwfa_exact.py:295); on other steps a dominated duplicate
+        # survives there and can equalize via extension next step, so
+        # without boundary states ANY dropped different-trace
+        # duplicate taints the run (conservative).
+        had_A = jnp.any(boundary, axis=-1)
+        tie = va_s & (t_s != runt) \
+            & ((k_s == runk) | ~had_A[:, None])
         tie_run = jnp.zeros((J, ccap + 1), dtype=I32)
         tie_run = tie_run.at[rows, jnp.where(tie, head_idx, ccap)].max(
             1, mode="drop")
