@@ -95,6 +95,10 @@ def harvest_read(g, es, qseq: str, gt: GChains, qname: Optional[str],
                     break
                 l += 1
             assert l < gc.off + gc.cnt
+            # same sanity check as the host walk (align/cigar.py): a
+            # corrupt anchor offset fails HERE, not as an opaque
+            # length mismatch in finalize_read
+            assert _i32(qx) < es[gt.lc[l0].v >> 1].len
             if l == l0:
                 l_seq = _i32(px) - _i32(qx)
                 seq = _es_seq(es, gt.lc[l0].v)[
@@ -177,16 +181,17 @@ class DeviceWfaPool:
         self.n_host = 0
 
     def run(self, jobs: List[Tuple[bytes, bytes]]) -> Dict[int, List[int]]:
-        import jax
         from ..ops.wfa_jax import (decode_walk, encode_pairs, wfa_device,
                                    wfa_tb_walk)
 
         results: Dict[int, List[int]] = {}
         by_bucket: Dict[int, List[int]] = {}
         host_jobs: List[int] = []
+        # custom buckets smaller than MIN_DEV_LEN stay reachable
+        min_dev = min([MIN_DEV_LEN] + [b[0] for b in self.buckets])
         for i, (t, q) in enumerate(jobs):
             ln = max(len(t), len(q))
-            if ln < MIN_DEV_LEN:
+            if ln < min_dev:
                 host_jobs.append(i)
                 continue
             for bi, (lmax, s_cap, bsz) in enumerate(self.buckets):

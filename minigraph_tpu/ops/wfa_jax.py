@@ -319,7 +319,6 @@ def decode_walk(ops_col: np.ndarray, fin_i: int, fin_k: int) -> List[int]:
         ends = np.concatenate([change + 1, [n]])
         for s0, e0 in zip(starts.tolist(), ends.tolist()):
             op = int(seq[s0])
-            op = 7 if op == 7 else (8 if op == 8 else op)
             cig.append((e0 - s0) << 4 | op)
     if fin_i >= 0:
         cig.append((fin_i + 1) << 4 | 1)
