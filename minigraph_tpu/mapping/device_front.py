@@ -155,7 +155,35 @@ class DeviceFront:
             from ..ops import u32
             from ..ops.anchors_jax import collect_anchors_exact
             from ..ops.chain_exact import lchain_dp_exact_win
-            from ..ops.sketch_jax4 import sketch_planes
+            # Sketch kernel: the Pallas whole-sketch kernel is
+            # bitwise-identical to the XLA one (incl. the tie planes
+            # and the emission-order corner flag; pinned by
+            # tests/test_join_pipeline.py::test_sketch_pallas_matches_xla)
+            # and ~5x faster on the chip — the XLA graph's ~290 kernels
+            # each pay 50-150 us of per-kernel runtime overhead.  On
+            # CPU backends (the test mesh) Pallas would need interpret
+            # mode, so keep the XLA sketch there; chip-path GAF parity
+            # vs the oracle is asserted in bench.py on every run.
+            use_pallas = jax.default_backend() not in ("cpu",)
+            if use_pallas:
+                from ..ops.sketch_jax4 import SketchPlanes
+                from ..ops.sketch_pallas import sketch_planes_pallas_traced
+
+                def sketch_planes(codes, lens, w, k):
+                    # long-read buckets have small batches (16-64);
+                    # pad to a full 128-lane block for Mosaic (the
+                    # wasted rows cost ~nothing — the sketch is
+                    # bandwidth-trivial next to collect)
+                    B = codes.shape[0]
+                    if B < 128:
+                        codes = jnp.pad(codes, ((0, 128 - B), (0, 0)),
+                                        constant_values=4)
+                        lens = jnp.pad(lens, (0, 128 - B))
+                        sp = sketch_planes_pallas_traced(codes, lens, w, k)
+                        return SketchPlanes(*(a[:B] for a in sp))
+                    return sketch_planes_pallas_traced(codes, lens, w, k)
+            else:
+                from ..ops.sketch_jax4 import sketch_planes
             # caps scale with the bucket: qcap covers ~2L/w emissions
             # (~L/6 at w=11), acap a few hits per emission; overflow-
             # flagged reads fall back to host, so caps trade only
@@ -188,6 +216,10 @@ class DeviceFront:
                         hbits=self.ji.hbits, occ_cap=self.occ_cap,
                         qcap=qcap, acap=acap, b_chunk=self.b_chunk)
                     res["overflow"] = res["overflow"] | sp.overflow
+                    # cnt <= 255 decides every occurrence test
+                    # (max_occ caps at 250); u8 shrinks the fetch
+                    res["q_cnt"] = jnp.clip(res["q_cnt"], 0, 255) \
+                        .astype(jnp.uint8)
                     return res
 
                 tables = (self.ji.tag, self.ji.pay, self.ji.p_rid,
@@ -202,6 +234,8 @@ class DeviceFront:
                         occ_cap=self.occ_cap, qcap=qcap, acap=acap,
                         b_chunk=self.b_chunk)
                     res["overflow"] = res["overflow"] | sp.overflow
+                    res["q_cnt"] = jnp.clip(res["q_cnt"], 0, 255) \
+                        .astype(jnp.uint8)
                     return res
 
                 tables = (self.ji.keymat, self.ji.keyext)
@@ -301,12 +335,25 @@ class DeviceFront:
                     out["f_fp"] = flat(fp)
                 return out
 
+            def run_collect(codes, lens, max_occ):
+                if not use_pallas:
+                    return collect(*tables, codes, lens, max_occ)
+                # Pallas under x64 is rejected by the axon remote
+                # compiler (and Mosaic cannot lower the i64 indices
+                # x64 introduces); the whole collect path is u32, so
+                # trace/call it with x64 off.  The flag is part of the
+                # jit cache key, so it must be off on EVERY call.
+                prev = jax.config.jax_enable_x64
+                if prev:
+                    jax.config.update("jax_enable_x64", False)
+                try:
+                    return collect(*tables, codes, lens, max_occ)
+                finally:
+                    if prev:
+                        jax.config.update("jax_enable_x64", True)
+
             def step(codes, lens, max_occ):
-                res = collect(*tables, codes, lens, max_occ)
-                # cnt <= 255 decides every occurrence test (max_occ
-                # caps at 250); u8 shrinks the fetch
-                res["q_cnt"] = jnp.clip(res["q_cnt"], 0, 255) \
-                    .astype(jnp.uint8)
+                res = run_collect(codes, lens, max_occ)
                 if do_chain:
                     fp, sure = chain(res["axh"], res["axl"],
                                      res["ayh"], res["ayl"], res["n_a"])
