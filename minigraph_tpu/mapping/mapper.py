@@ -829,9 +829,15 @@ def _map_file_frag(gi: MinimizerIndex, fns: List[str], opt: MapOptions,
         front._split_state = split
 
     def _host_batch_timed(items):
+        # thread CPU time (the n_threads=1 native call runs inline in
+        # this thread) gives the host engine's per-read cost free of
+        # core-contention distortion — the wall clock is time-sliced
+        # against the device path's host-side work on small hosts
         t0 = time.perf_counter()
+        c0 = time.thread_time()
         txt = _map_batch_native(gi, opt, items, 1, host_collect=True)
-        return txt, time.perf_counter() - t0, len(items)
+        return (txt, time.perf_counter() - t0, time.thread_time() - c0,
+                len(items))
     def _read_prep():
         """Read + encode + DISPATCH the next batch (pipeline stage 0).
 
@@ -875,10 +881,14 @@ def _map_file_frag(gi: MinimizerIndex, fns: List[str], opt: MapOptions,
                 n_steal = int(len(front_idx) * split["share"])
                 if n_steal >= len(front_idx):
                     # device currently unprofitable: host takes all,
-                    # but every 8th batch probes a small device slice
-                    # so a recovered/unwedged device can win work back
+                    # but every 8th batch probes a device slice so a
+                    # recovered/unwedged (or genuinely faster, for the
+                    # collapsed single-core state) device can win work
+                    # back; a quarter-batch probe amortizes the fixed
+                    # dispatch cost enough for a fair t_dev estimate
                     split["nb"] = split.get("nb", 0) + 1
-                    n_steal = max(0, len(front_idx) - 8) \
+                    probe = max(8, len(front_idx) // 4)
+                    n_steal = max(0, len(front_idx) - probe) \
                         if split["nb"] % 8 == 0 else len(front_idx)
                 if n_steal > 0:
                     host_set += front_idx[:n_steal]
@@ -977,18 +987,60 @@ def _map_file_frag(gi: MinimizerIndex, fns: List[str], opt: MapOptions,
                                                   n_threads,
                                                   host_collect=True)
             if host_fut is not None:
-                h_txt, h_wall, h_n = host_fut.result()
+                h_txt, h_wall, h_cpu, h_n = host_fut.result()
                 if h_txt:
                     batch_txt = h_txt if batch_txt is None \
                         else {**batch_txt, **h_txt}
                 if h_n:
                     split["t_host"] = _ema(split["t_host"], h_wall / h_n)
+                    split["t_host_cpu"] = _ema(
+                        split.get("t_host_cpu"), h_cpu / h_n)
+                # measured blended throughput over the last full batch
+                # cycle (reads of ALL paths / wall since the previous
+                # balance point); compile-length cycles are skipped
+                now = time.perf_counter()
+                t_last = split.get("t_last")
+                split["t_last"] = now
+                if (t_last is not None and frags
+                        and not split.get("collapsed")
+                        and split["share"] < 1.0):
+                    cyc = now - t_last
+                    if cyc / len(frags) < 0.05:  # not a compile cycle
+                        split["rate_mix"] = _ema(
+                            split.get("rate_mix"), len(frags) / cyc)
+                        split["nb_mix"] = split.get("nb_mix", 0) + 1
                 # balance: host takes t_dev/(t_dev+t_host) of the work
                 if split["t_dev"] and split["t_host"]:
                     tgt = split["t_dev"] / (split["t_dev"]
                                             + split["t_host"])
-                    split["share"] = 1.0 if tgt > 0.95 \
+                    share = 1.0 if tgt > 0.95 \
                         else min(0.9, max(0.0, tgt))
+                    # single-core correction: finish-together assumes
+                    # the host engine and the device path's host-side
+                    # work run on separate cores.  When they contend
+                    # for one core (or a tunneled chip's dispatch cost
+                    # exceeds a full host mapping), the blend is
+                    # SLOWER than host-only — detected by comparing
+                    # the measured blended rate with the host engine's
+                    # contention-free CPU rate.  Collapse to host-all;
+                    # the every-8th-batch probe keeps t_dev fresh so a
+                    # locally-attached chip wins the work back when
+                    # tgt drops below 0.45.
+                    if split.get("collapsed"):
+                        if tgt <= 0.45:
+                            split["collapsed"] = False
+                            split["rate_mix"] = None
+                            split["nb_mix"] = 0
+                        else:
+                            share = 1.0
+                    elif (share < 1.0 and split.get("rate_mix")
+                          and split.get("nb_mix", 0) >= 3
+                          and split.get("t_host_cpu")
+                          and 1.0 / split["t_host_cpu"]
+                          > 1.08 * split["rate_mix"]):
+                        split["collapsed"] = True
+                        share = 1.0
+                    split["share"] = share
             # device -c mode: defer per-gap WFAs of device-front reads
             # into one batch pool, align on device, then finalize
             cigar_sink = None
