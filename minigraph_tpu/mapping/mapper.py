@@ -986,6 +986,10 @@ def _map_file_frag(gi: MinimizerIndex, fns: List[str], opt: MapOptions,
                     batch_txt = _map_batch_native(gi, opt, items,
                                                   n_threads,
                                                   host_collect=True)
+            if split_ok:
+                # reads since the last balance point (a cycle can span
+                # several batches when some run without a host share)
+                split["n_since"] = split.get("n_since", 0) + len(frags)
             if host_fut is not None:
                 h_txt, h_wall, h_cpu, h_n = host_fut.result()
                 if h_txt:
@@ -1000,14 +1004,16 @@ def _map_file_frag(gi: MinimizerIndex, fns: List[str], opt: MapOptions,
                 # balance point); compile-length cycles are skipped
                 now = time.perf_counter()
                 t_last = split.get("t_last")
+                n_cyc = split.get("n_since", 0)
                 split["t_last"] = now
-                if (t_last is not None and frags
+                split["n_since"] = 0
+                if (t_last is not None and n_cyc > 0
                         and not split.get("collapsed")
                         and split["share"] < 1.0):
                     cyc = now - t_last
-                    if cyc / len(frags) < 0.05:  # not a compile cycle
+                    if cyc / n_cyc < 0.05:  # not a compile cycle
                         split["rate_mix"] = _ema(
-                            split.get("rate_mix"), len(frags) / cyc)
+                            split.get("rate_mix"), n_cyc / cyc)
                         split["nb_mix"] = split.get("nb_mix", 0) + 1
                 # balance: host takes t_dev/(t_dev+t_host) of the work
                 if split["t_dev"] and split["t_host"]:
