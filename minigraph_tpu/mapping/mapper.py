@@ -670,12 +670,21 @@ def _map_batch_native(gi, opt, items, n_threads, host_collect=False,
     return res
 
 
-def _map_file_native(gi, opt, rdr, out, n_threads):
+def _map_file_native(gi, opt, rdr, out, n_threads, front=None,
+                     split=None):
     """All-native single-file mapping loop: C reader arenas -> C batch
     driver -> GAF bytes; Python touches only fallback reads (engine
-    bailouts, zero-length, over-max_qlen)."""
+    bailouts, zero-length, over-max_qlen).
+
+    With a collapsed device front attached (front/split), every 8th
+    arena batch probes a quarter slice through the device (submitted
+    BEFORE the blob call so device exec overlaps the C mapping) to
+    keep t_dev fresh; when the finish-together target drops below
+    0.45 the collapsed flag clears and the NEXT _map_file_frag call
+    re-enters the adaptive split loop."""
     import ctypes as ct
 
+    nb = 0
     while True:
         arena = rdr.read_batch_arena(opt.mini_batch_size)
         if arena is None:
@@ -685,11 +694,6 @@ def _map_file_native(gi, opt, rdr, out, n_threads):
         skip = qlen <= 0
         if opt.max_qlen > 0:
             skip = skip | (qlen > opt.max_qlen)
-        skipw = np.nonzero(skip)[0]
-        res = _map_batch_native(
-            gi, opt, None, n_threads,
-            blob=(n, sq_addr, sq_off, nm_addr, nm_off,
-                  skipw if len(skipw) else None))
 
         def rec(k):
             name = ct.string_at(
@@ -699,6 +703,55 @@ def _map_file_native(gi, opt, rdr, out, n_threads):
                 sq_addr + int(sq_off[k]),
                 int(sq_off[k + 1] - sq_off[k])).decode("latin-1")
             return name, seq
+
+        nb += 1
+        handle = cand = None
+        if front is not None and split is not None and nb % 8 == 0:
+            p = max(8, n // 4)
+            cand = [k for k in range(n) if not skip[k]
+                    and front.eligible(opt, 1, int(qlen[k]))][:p]
+            if cand:
+                handle = front.submit([rec(k)[1] for k in cand])
+                skip = skip.copy()
+                skip[cand] = True
+        skipw = np.nonzero(skip)[0]
+        c0 = time.thread_time()
+        t0 = time.perf_counter()
+        res = _map_batch_native(
+            gi, opt, None, n_threads,
+            blob=(n, sq_addr, sq_off, nm_addr, nm_off,
+                  skipw if len(skipw) else None))
+        n_host = int(n - len(skipw))
+        if split is not None and res is not None and n_host > 0:
+            split["t_host"] = _ema(
+                split["t_host"], (time.perf_counter() - t0) / n_host)
+            split["t_host_cpu"] = _ema(
+                split.get("t_host_cpu"),
+                (time.thread_time() - c0) / n_host)
+        if handle is not None:
+            t0 = time.perf_counter()
+            probe_res = dict(zip(cand, front.gather(handle)))
+            items = [(k,) + rec(k) + (fr,)
+                     for k, fr in probe_res.items() if fr is not None]
+            ptxt = _map_batch_native(gi, opt, items, n_threads) \
+                if items else {}
+            if items:
+                split["t_dev"] = _ema(
+                    split["t_dev"],
+                    (time.perf_counter() - t0) / len(items))
+                if split["t_dev"] and split["t_host"]:
+                    tgt = split["t_dev"] / (split["t_dev"]
+                                            + split["t_host"])
+                    if tgt <= 0.45:   # device profitable again
+                        split["collapsed"] = False
+                        split["rate_mix"] = None
+                        split["nb_mix"] = 0
+            # merge probe results (fallback reads keep res None so the
+            # shared per-read fallback below handles them)
+            if res is None:
+                res = {}
+            for k in cand:
+                res[k] = (ptxt or {}).get(k)
 
         if res is None:
             # driver unavailable: exact per-read path for the batch
@@ -789,11 +842,21 @@ def _map_file_frag(gi: MinimizerIndex, fns: List[str], opt: MapOptions,
     frag_mode = len(fns) > 1 or bool(opt.flag & MG_M_FRAG_MODE)
     from ..options import DBG as _DBGm
     # all-native fast loop: single plain file, no device, no special
-    # output shape -> C reader + C batch driver, no per-read Python
-    if (front is None and gwfa_pool is None and not _DBGm["flag"]
+    # output shape -> C reader + C batch driver, no per-read Python.
+    # A device front whose split has COLLAPSED (the device lost the
+    # host/device balance on this hardware) rides this loop too — it
+    # skips the Python reader the split path needs, and keeps probing
+    # the device every 8th batch so the split re-opens when the chip
+    # wins the economics back.
+    _split_st = getattr(front, "_split_state", None) if front is not None \
+        else None
+    if (gwfa_pool is None and not _DBGm["flag"]
             and len(fns) == 1 and not frag_mode
             and _batch_mode_ok(opt.flag)
-            and not (opt.flag & (MG_M_INDEPEND_SEG | _MG_M_NO_DIAG))):
+            and not (opt.flag & (MG_M_INDEPEND_SEG | _MG_M_NO_DIAG))
+            and (front is None
+                 or (_split_st is not None and _split_st.get("collapsed")
+                     and not (opt.flag & _EMIT_BAIL_NOCIG)))):
         try:
             from ..seqio.bseq import NativeSeqReader
             rdr = NativeSeqReader(fns[0])
@@ -801,7 +864,8 @@ def _map_file_frag(gi: MinimizerIndex, fns: List[str], opt: MapOptions,
             rdr = None
         if rdr is not None:
             try:
-                _map_file_native(gi, opt, rdr, out, n_threads)
+                _map_file_native(gi, opt, rdr, out, n_threads,
+                                 front=front, split=_split_st)
                 return
             finally:
                 rdr.close()

@@ -202,3 +202,55 @@ def test_threaded_tails_parity():
         _map_file_frag(gi, [fa.name], mo, sink, None, None, nt, front)
         outs.append(sink.getvalue())
     assert outs[0] and outs[0] == outs[1]
+
+
+def test_collapsed_split_native_loop_parity(monkeypatch):
+    """A front whose split state has COLLAPSED rides the all-native
+    reader loop (no Python parse) with a quarter-batch device probe
+    every 8th batch — output must be byte-identical to the pure host
+    path, and the probe must refresh t_dev."""
+    import io
+    import tempfile
+
+    import minigraph_tpu.mapping.mapper as M
+    from minigraph_tpu.mapping.mapper import _map_file_frag
+    from minigraph_tpu.options import opt_check
+
+    g = read_gfa(MT_GFA)
+    ref = "".join((s.seq or "") for s in g.seg if s.rank == 0)
+    rng = np.random.default_rng(17)
+    fa = tempfile.NamedTemporaryFile("w", suffix=".fa", delete=False)
+    for i in range(60):
+        L = int(rng.integers(300, 900))
+        st = int(rng.integers(0, len(ref) - L))
+        s = list(ref[st:st + L])
+        for p in rng.integers(0, len(s), len(s) // 16):
+            s[p] = "ACGT"[int(rng.integers(0, 4))]
+        fa.write(f">r{i}\n{''.join(s)}\n")
+    fa.close()
+    io_, mo, go = _opts()
+    opt_check(io_, mo, go)
+    mo.mini_batch_size = 2000   # ~2-3 reads/batch -> >= 8 batches
+    gi = build_index(g, io_.k, io_.w, mo)
+
+    sink = io.StringIO()
+    _map_file_frag(gi, [fa.name], mo, sink, None, None, 1, None)
+    want = sink.getvalue()
+
+    called = {}
+    orig = M._map_file_native
+
+    def spy(*a, **kw):
+        called["native"] = True
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(M, "_map_file_native", spy)
+    front = DeviceFront(gi, mo, buckets=((1024, 64),))
+    front._split_state = {"share": 1.0, "collapsed": True,
+                          "t_host": None, "t_dev": None}
+    sink = io.StringIO()
+    _map_file_frag(gi, [fa.name], mo, sink, None, None, 1, front)
+    assert sink.getvalue() == want
+    assert called.get("native"), "collapsed front must take the native loop"
+    assert front._split_state["t_dev"] is not None, \
+        "the every-8th-batch device probe must refresh t_dev"
