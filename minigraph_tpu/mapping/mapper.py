@@ -680,11 +680,12 @@ def _map_file_native(gi, opt, rdr, out, n_threads, front=None,
     arena batch probes a quarter slice through the device (submitted
     BEFORE the blob call so device exec overlaps the C mapping) to
     keep t_dev fresh; when the finish-together target drops below
-    0.45 the collapsed flag clears and the NEXT _map_file_frag call
-    re-enters the adaptive split loop."""
+    0.45 on two CONSECUTIVE probes the collapsed flag clears and the
+    NEXT _map_file_frag call re-enters the adaptive split loop.  The
+    probe counter persists in the shared split dict so short files
+    (< 8 arena batches each) still accumulate toward a probe."""
     import ctypes as ct
 
-    nb = 0
     while True:
         arena = rdr.read_batch_arena(opt.mini_batch_size)
         if arena is None:
@@ -704,18 +705,28 @@ def _map_file_native(gi, opt, rdr, out, n_threads, front=None,
                 int(sq_off[k + 1] - sq_off[k])).decode("latin-1")
             return name, seq
 
-        nb += 1
         handle = cand = None
-        if front is not None and split is not None and nb % 8 == 0:
-            p = max(8, n // 4)
-            cand = [k for k in range(n) if not skip[k]
-                    and front.eligible(opt, 1, int(qlen[k]))][:p]
-            if cand:
-                handle = front.submit([rec(k)[1] for k in cand])
-                skip = skip.copy()
-                skip[cand] = True
+        sub_wall = 0.0
+        if front is not None and split is not None:
+            split["nb"] = split.get("nb", 0) + 1
+            if split["nb"] % 8 == 0:
+                p = max(8, n // 4)
+                cand = [k for k in range(n) if not skip[k]
+                        and front.eligible(opt, 1, int(qlen[k]))][:p]
+                if cand:
+                    # dispatch cost is part of what makes a tunneled
+                    # chip lose — charge it to the probe's t_dev
+                    t_sub0 = time.perf_counter()
+                    handle = front.submit([rec(k)[1] for k in cand])
+                    sub_wall = time.perf_counter() - t_sub0
+                    skip = skip.copy()
+                    skip[cand] = True
         skipw = np.nonzero(skip)[0]
-        c0 = time.thread_time()
+        # with n_threads > 1 the blob call runs in worker pthreads and
+        # time.thread_time() (calling thread only) undercounts; summed
+        # process CPU time gives the single-thread-equivalent cost the
+        # split path's n_threads=1 EMAs are comparable with
+        c0 = time.thread_time() if n_threads == 1 else time.process_time()
         t0 = time.perf_counter()
         res = _map_batch_native(
             gi, opt, None, n_threads,
@@ -723,11 +734,14 @@ def _map_file_native(gi, opt, rdr, out, n_threads, front=None,
                   skipw if len(skipw) else None))
         n_host = int(n - len(skipw))
         if split is not None and res is not None and n_host > 0:
+            cpu = (time.thread_time() - c0) if n_threads == 1 \
+                else (time.process_time() - c0)
+            wall = time.perf_counter() - t0
             split["t_host"] = _ema(
-                split["t_host"], (time.perf_counter() - t0) / n_host)
+                split["t_host"],
+                (wall if n_threads == 1 else max(wall, cpu)) / n_host)
             split["t_host_cpu"] = _ema(
-                split.get("t_host_cpu"),
-                (time.thread_time() - c0) / n_host)
+                split.get("t_host_cpu"), cpu / n_host)
         if handle is not None:
             t0 = time.perf_counter()
             probe_res = dict(zip(cand, front.gather(handle)))
@@ -735,17 +749,29 @@ def _map_file_native(gi, opt, rdr, out, n_threads, front=None,
                      for k, fr in probe_res.items() if fr is not None]
             ptxt = _map_batch_native(gi, opt, items, n_threads) \
                 if items else {}
-            if items:
+            if items and ptxt is not None:
                 split["t_dev"] = _ema(
                     split["t_dev"],
-                    (time.perf_counter() - t0) / len(items))
+                    (sub_wall + time.perf_counter() - t0) / len(items))
                 if split["t_dev"] and split["t_host"]:
                     tgt = split["t_dev"] / (split["t_dev"]
                                             + split["t_host"])
+                    # hysteresis: one biased-low probe (device exec
+                    # overlapped the blob call) must not reopen the
+                    # split — require 2 consecutive probes under 0.45
                     if tgt <= 0.45:   # device profitable again
-                        split["collapsed"] = False
-                        split["rate_mix"] = None
-                        split["nb_mix"] = 0
+                        split["reopen"] = split.get("reopen", 0) + 1
+                        if split["reopen"] >= 2:
+                            split["collapsed"] = False
+                            split["rate_mix"] = None
+                            split["nb_mix"] = 0
+                            split["reopen"] = 0
+                    else:
+                        split["reopen"] = 0
+            elif not items:
+                # probe paid dispatch but produced nothing usable;
+                # count it so a wedged front is visible in --dbg
+                split["probe_fail"] = split.get("probe_fail", 0) + 1
             # merge probe results (fallback reads keep res None so the
             # shared per-read fallback below handles them)
             if res is None:
@@ -963,8 +989,13 @@ def _map_file_frag(gi: MinimizerIndex, fns: List[str], opt: MapOptions,
                              for fi in sorted(host_set)]
                     host_fut = host_pool.submit(_host_batch_timed, items)
             if front_idx:
+                t_sub0 = time.perf_counter()
                 handle = front.submit(
                     [batch[frags[fi][0]].seq for fi in front_idx])
+                # host-side dispatch cost is part of the device path's
+                # per-read price; charged to t_dev at the next gather
+                split["sub_wall"] = split.get("sub_wall", 0.0) \
+                    + time.perf_counter() - t_sub0
         return batch, frags, handle, front_idx, host_fut
 
     try:
@@ -1016,10 +1047,11 @@ def _map_file_frag(gi: MinimizerIndex, fns: List[str], opt: MapOptions,
                          for fi, fr in front_res.items()
                          if fr is not None and frags[fi][1] == 1]
                 batch_txt = _map_batch_native(gi, opt, items, n_threads)
-                if items:
+                if items and batch_txt is not None:
                     split["t_dev"] = _ema(
                         split["t_dev"],
-                        (time.perf_counter() - t_dev0) / len(items))
+                        (split.pop("sub_wall", 0.0)
+                         + time.perf_counter() - t_dev0) / len(items))
             elif host_batch_ok:
                 items = []
                 for fi, (off, n_seg) in enumerate(frags):
@@ -1098,10 +1130,16 @@ def _map_file_frag(gi: MinimizerIndex, fns: List[str], opt: MapOptions,
                     # tgt drops below 0.45.
                     if split.get("collapsed"):
                         if tgt <= 0.45:
-                            split["collapsed"] = False
-                            split["rate_mix"] = None
-                            split["nb_mix"] = 0
+                            split["reopen"] = split.get("reopen", 0) + 1
+                            if split["reopen"] >= 2:
+                                split["collapsed"] = False
+                                split["rate_mix"] = None
+                                split["nb_mix"] = 0
+                                split["reopen"] = 0
+                            else:
+                                share = 1.0
                         else:
+                            split["reopen"] = 0
                             share = 1.0
                     elif (share < 1.0 and split.get("rate_mix")
                           and split.get("nb_mix", 0) >= 3
