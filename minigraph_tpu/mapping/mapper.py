@@ -433,6 +433,20 @@ def _ema(prev, x, alpha=0.4):
     return x if prev is None else prev + alpha * (x - prev)
 
 
+def _probe_interval(split):
+    """Batches between device probes while the host owns the work.
+
+    A probe maps ~a quarter batch through the device path, costing
+    ~(n/4)*t_dev against interval*n*t_host of host work; sizing the
+    interval to ~5x the cost ratio caps probe overhead at ~5%
+    regardless of workload (for 15 kb reads t_dev/t_host is ~25x, so
+    the old fixed 8 spent >50% of the wall on probes)."""
+    td, th = split.get("t_dev"), split.get("t_host")
+    if not td or not th:
+        return 8
+    return max(8, min(256, int(5.0 * td / th)))
+
+
 def _map_batch_native(gi, opt, items, n_threads, host_collect=False,
                       blob=None):
     """Map a batch of reads anchors -> GAF text in ONE native call
@@ -709,7 +723,7 @@ def _map_file_native(gi, opt, rdr, out, n_threads, front=None,
         sub_wall = 0.0
         if front is not None and split is not None:
             split["nb"] = split.get("nb", 0) + 1
-            if split["nb"] % 8 == 0:
+            if split["nb"] % _probe_interval(split) == 0:
                 p = max(8, n // 4)
                 cand = [k for k in range(n) if not skip[k]
                         and front.eligible(opt, 1, int(qlen[k]))][:p]
@@ -979,7 +993,8 @@ def _map_file_frag(gi: MinimizerIndex, fns: List[str], opt: MapOptions,
                     split["nb"] = split.get("nb", 0) + 1
                     probe = max(8, len(front_idx) // 4)
                     n_steal = max(0, len(front_idx) - probe) \
-                        if split["nb"] % 8 == 0 else len(front_idx)
+                        if split["nb"] % _probe_interval(split) == 0 \
+                        else len(front_idx)
                 if n_steal > 0:
                     host_set += front_idx[:n_steal]
                     front_idx = front_idx[n_steal:]
@@ -1117,6 +1132,15 @@ def _map_file_frag(gi: MinimizerIndex, fns: List[str], opt: MapOptions,
                                             + split["t_host"])
                     share = 1.0 if tgt > 0.95 \
                         else min(0.9, max(0.0, tgt))
+                    # device per-read cost >19x host, twice in a row:
+                    # unprofitable outright — collapse without waiting
+                    # for the rate_mix comparison (which never updates
+                    # at share==1.0, leaving the slower Python-reader
+                    # loop in charge indefinitely)
+                    if tgt > 0.95:
+                        split["hi_tgt"] = split.get("hi_tgt", 0) + 1
+                    else:
+                        split["hi_tgt"] = 0
                     # single-core correction: finish-together assumes
                     # the host engine and the device path's host-side
                     # work run on separate cores.  When they contend
@@ -1141,6 +1165,9 @@ def _map_file_frag(gi: MinimizerIndex, fns: List[str], opt: MapOptions,
                         else:
                             split["reopen"] = 0
                             share = 1.0
+                    elif split.get("hi_tgt", 0) >= 2:
+                        split["collapsed"] = True
+                        share = 1.0
                     elif (share < 1.0 and split.get("rate_mix")
                           and split.get("nb_mix", 0) >= 3
                           and split.get("t_host_cpu")

@@ -254,3 +254,22 @@ def test_collapsed_split_native_loop_parity(monkeypatch):
     assert called.get("native"), "collapsed front must take the native loop"
     assert front._split_state["t_dev"] is not None, \
         "the every-8th-batch device probe must refresh t_dev"
+
+
+def test_probe_interval_scales_with_cost_ratio():
+    """Probe spacing must grow with the device/host cost ratio so
+    probe overhead stays bounded (~5%) for expensive long-read
+    batches, and stay at the floor while estimates are missing."""
+    from minigraph_tpu.mapping.mapper import _probe_interval
+
+    assert _probe_interval({}) == 8
+    assert _probe_interval({"t_dev": None, "t_host": 1e-3}) == 8
+    # short reads: ~5.7x ratio -> ~28 batches
+    iv = _probe_interval({"t_dev": 1.02e-3, "t_host": 0.18e-3})
+    assert 20 <= iv <= 32
+    # long reads: ~26x ratio -> >= 100 batches
+    iv = _probe_interval({"t_dev": 70e-3, "t_host": 2.7e-3})
+    assert iv >= 100
+    # never below 8, never above 256
+    assert _probe_interval({"t_dev": 1e-6, "t_host": 1.0}) == 8
+    assert _probe_interval({"t_dev": 10.0, "t_host": 1e-4}) == 256
