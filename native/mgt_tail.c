@@ -15,8 +15,10 @@
 
 /* Env-gated stage profiling (MGT_PROF=1): per-stage wall ns summed
  * atomically across worker threads; mgt_tail_prof_dump reads+resets.
- * Stages: 0 lchain, 1 rescue, 2 lchain_tail, 3 gchain_full. */
-static int64_t mgt_prof_ns[4];
+ * Stages: 0 lchain, 1 rescue, 2 lchain_tail, 3 gchain_full.
+ * Counters (mgt_tail_prof_dump8 slots 4-7): 4 rescue calls,
+ * 5 rescue anchors, 6 rescue inner-walk iters, 7 first-pass anchors. */
+static int64_t mgt_prof_ns[8];
 static int mgt_prof_on = -1;
 
 static inline int mgt_tail_prof(void)
@@ -45,6 +47,15 @@ void mgt_tail_prof_dump(int64_t *out4)
     int k;
     for (k = 0; k < 4; ++k) {
         out4[k] = __atomic_load_n(&mgt_prof_ns[k], __ATOMIC_RELAXED);
+        __atomic_store_n(&mgt_prof_ns[k], (int64_t)0, __ATOMIC_RELAXED);
+    }
+}
+
+void mgt_tail_prof_dump8(int64_t *out8)
+{
+    int k;
+    for (k = 0; k < 8; ++k) {
+        out8[k] = __atomic_load_n(&mgt_prof_ns[k], __ATOMIC_RELAXED);
         __atomic_store_n(&mgt_prof_ns[k], (int64_t)0, __ATOMIC_RELAXED);
     }
 }
@@ -162,7 +173,10 @@ int64_t mgt_map_tail(
                              (int32_t)min_lc_score, (float)chn_pen_gap,
                              (float)chn_pen_skip, n_a, ax, ay, u, &n_u32);
     n_u = n_u32;
-    if (tp0) { tp1 = mgt_now_ns(); mgt_prof_add(0, tp1 - tp0); tp0 = tp1; }
+    if (tp0) {
+        tp1 = mgt_now_ns(); mgt_prof_add(0, tp1 - tp0); tp0 = tp1;
+        mgt_prof_add(7, n_a);
+    }
     if (n_u == 0) { ret = 0; goto done; }
 
     if (do_rescue && n_segs == 1 && n_u > 1) {
@@ -196,6 +210,12 @@ int64_t mgt_map_tail(
                                  (float)chn_pen_gap, (float)chn_pen_skip,
                                  na2, ax, ay, u, &n_u32);
             n_u = n_u32;
+            if (tp0) {
+                extern int64_t mgt_lchain_stats[4];
+                mgt_prof_add(4, 1);
+                mgt_prof_add(5, na2);
+                mgt_prof_add(6, mgt_lchain_stats[0]);
+            }
             if (n_u == 0) { ret = 0; goto done; }
         }
     }
