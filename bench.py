@@ -33,6 +33,12 @@ from pathlib import Path
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# Persistent XLA compile cache (shared with the test suite): repeat
+# bench runs skip the 1-5 min bucket compiles entirely.
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+
 REPO = Path(__file__).resolve().parent
 ORACLE = REPO / ".golden" / "minigraph_ref"
 CACHE = REPO / ".bench_cache"

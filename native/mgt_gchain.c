@@ -10,6 +10,34 @@
 #include <stdint.h>
 #include <stdlib.h>
 #include <string.h>
+#include <time.h>
+
+/* Env-gated sub-stage profiling (MGT_PROF=1), same scheme as
+ * mgt_tail.c: ns totals summed atomically across worker threads.
+ * Slots: 0 gchain1_dp, 1 shortest_k-in-DP, 2 gchain_gen, 3 gwfa
+ * bridges, 4 shortk bridges, 5 extras; counters: 6 DP shortk calls,
+ * 7 gwfa bridge calls. */
+static int64_t gcp_ns[8];
+extern int mgt_tail_prof_on(void);
+static inline int64_t gcp_now(void)
+{
+    struct timespec ts;
+    if (!mgt_tail_prof_on()) return 0;
+    clock_gettime(CLOCK_MONOTONIC, &ts);
+    return (int64_t)ts.tv_sec * 1000000000 + ts.tv_nsec;
+}
+static inline void gcp_add(int k, int64_t ns)
+{
+    __atomic_fetch_add(&gcp_ns[k], ns, __ATOMIC_RELAXED);
+}
+void mgt_gchain_prof_dump(int64_t *out8)
+{
+    int k;
+    for (k = 0; k < 8; ++k) {
+        out8[k] = __atomic_load_n(&gcp_ns[k], __ATOMIC_RELAXED);
+        __atomic_store_n(&gcp_ns[k], (int64_t)0, __ATOMIC_RELAXED);
+    }
+}
 
 extern void mgt_radix_sort_128x(uint64_t *a, int64_t n);
 extern int64_t mgt_chain_backtrack_core(int64_t n, const int64_t *f,
@@ -227,11 +255,15 @@ int64_t mgt_gchain1_dp(
             }
             if (p[j] >= 0) t[p[j]] = i;
         }
-        rsk = mgt_shortest_k(
-            gidx, arc_w, arc_lv, arc_rank, n_vtx, lv[li] ^ 1,
-            max_dist_g + (seg_len[lv[li] >> 1] - lrs[li]), max_sk, 0,
-            n_dst, dv, dtd, dth, dch, din,
-            onp, odi, oha, oi0, ope, 0, pvd, pvd, pvd);
+        {
+            int64_t tp = gcp_now();
+            rsk = mgt_shortest_k(
+                gidx, arc_w, arc_lv, arc_rank, n_vtx, lv[li] ^ 1,
+                max_dist_g + (seg_len[lv[li] >> 1] - lrs[li]), max_sk, 0,
+                n_dst, dv, dtd, dth, dch, din,
+                onp, odi, oha, oi0, ope, 0, pvd, pvd, pvd);
+            if (tp) { gcp_add(1, gcp_now() - tp); gcp_add(6, 1); }
+        }
         if (rsk == -3) goto done;   /* engine overflow: Python fallback */
         for (k = 0; k < n_dst; ++k) {
             int64_t sc;
@@ -641,6 +673,7 @@ int64_t mgt_gchain_gen(
                         }
                     }
                     if (!handled) {
+                        int64_t tp = gcp_now();
                         s = mgt_gwfa_ed(gw_arc_start, gw_arc_cnt, gw_arc_w,
                                         gw_arc_ow, gw_seq_off, gw_seq_len,
                                         gw_seq, (int32_t)(qe - qs),
@@ -654,6 +687,7 @@ int64_t mgt_gchain_gen(
                                         500000000, walk,
                                         (int32_t)(qseq_len + gdp_max_ed
                                                   + 64), &n_walk);
+                        if (tp) { gcp_add(3, gcp_now() - tp); gcp_add(7, 1); }
                         if (s == -2) { ret = -3; goto done; }
                         if (s >= 0) {
                             int64_t q2;
@@ -672,12 +706,14 @@ int64_t mgt_gchain_gen(
                     uint32_t dth1 = shash_pre[l1];
                     int64_t onp1, odi1, oi01, ope1, rr;
                     uint32_t oha1;
+                    int64_t tp = gcp_now();
                     if (dtd1 < 0) { ret = -3; goto done; }
                     rr = mgt_shortest_k(gidx, arc_w, arc_lv, arc_rank,
                                         n_vtx, sv[l1] ^ 1, dtd1, max_sk, 1,
                                         1, &dv1, &dtd1, &dth1, &dch1,
                                         &din1, &onp1, &odi1, &oha1, &oi01,
                                         &ope1, pv_cap, pv_v, pv_d, pv_p);
+                    if (tp) gcp_add(4, gcp_now() - tp);
                     if (rr <= 0 || onp1 == 0 || oha1 != dth1) {
                         ret = -3;   /* [W::bridge] warning in Python */
                         goto done;
@@ -717,10 +753,14 @@ int64_t mgt_gchain_gen(
     }
 
     /* extras on the pre-sort layout (order-independent) */
-    for (i = 0; i < n_gc; ++i) {
-        int64_t *row = g_extra + i * 8;
-        row[7] = mgt_gchain_extra(z.bx, z.by, z.lv, z.loff, z.lcnt,
-                                  seg_len, gc_off0[i], g_cnt[i], row);
+    {
+        int64_t tp = gcp_now();
+        for (i = 0; i < n_gc; ++i) {
+            int64_t *row = g_extra + i * 8;
+            row[7] = mgt_gchain_extra(z.bx, z.by, z.lv, z.loff, z.lcnt,
+                                      seg_len, gc_off0[i], g_cnt[i], row);
+        }
+        if (tp) gcp_add(5, gcp_now() - tp);
     }
 
     /* sort by (score<<32|hash) desc + restore_order (gcmisc.c:8-71) */
@@ -835,11 +875,15 @@ int64_t mgt_gchain_full(
     ipre = (int64_t *)malloc(8 * (size_t)n_lc);
     hpre = (uint32_t *)malloc(4 * (size_t)n_lc);
     if (!u || !order || !dpre || !ipre || !hpre) goto done;
-    n_u = mgt_gchain1_dp(gidx, arc_w, arc_lv, arc_rank, n_vtx, seg_len,
-                         n_lc, lv, loff, lcnt, lscore, lqs, lqe, lrs, lre,
-                         ay, qlen, max_dist_g, max_dist_q, bw, max_skip,
-                         ref_bonus, chn_pen_gap, mask_level, max_sk,
-                         u, order, dpre, hpre, ipre);
+    {
+        int64_t tp = gcp_now();
+        n_u = mgt_gchain1_dp(gidx, arc_w, arc_lv, arc_rank, n_vtx, seg_len,
+                             n_lc, lv, loff, lcnt, lscore, lqs, lqe, lrs,
+                             lre, ay, qlen, max_dist_g, max_dist_q, bw,
+                             max_skip, ref_bonus, chn_pen_gap, mask_level,
+                             max_sk, u, order, dpre, hpre, ipre);
+        if (tp) gcp_add(0, gcp_now() - tp);
+    }
     if (n_u < 0) goto done;
     for (i = 0; i < n_u; ++i) n_slots += (int64_t)(uint32_t)u[i];
     s8 = (int64_t *)malloc(8 * 8 * (size_t)(n_slots ? n_slots : 1));
@@ -859,18 +903,22 @@ int64_t mgt_gchain_full(
         sdp[k] = dpre[o];
         shp[k] = hpre[o];
     }
-    n_gc = mgt_gchain_gen(gidx, arc_w, arc_lv, arc_rank, n_vtx, seg_len,
-                          gw_arc_start, gw_arc_cnt, gw_arc_w, gw_arc_ow,
-                          gw_seq_off, gw_seq_len, gw_seq,
-                          n_u, u, s8, s8 + n_slots, s8 + 2 * n_slots,
-                          s8 + 3 * n_slots, s8 + 4 * n_slots,
-                          s8 + 5 * n_slots, s8 + 6 * n_slots,
-                          s8 + 7 * n_slots, sdp, shp,
-                          ax, ay, n_a_total, qseq, qseq_len,
-                          hash0, min_gc_cnt, min_gc_score, gdp_max_ed,
-                          n_seg, max_sk, llc_cap, a_cap, gc_cap,
-                          o_lv, o_loff, o_lcnt, o_lsc, o_led, o_ax, o_ay,
-                          g_off, g_cnt, g_na, g_sc, g_hash, g_extra);
+    {
+        int64_t tp = gcp_now();
+        n_gc = mgt_gchain_gen(gidx, arc_w, arc_lv, arc_rank, n_vtx, seg_len,
+                              gw_arc_start, gw_arc_cnt, gw_arc_w, gw_arc_ow,
+                              gw_seq_off, gw_seq_len, gw_seq,
+                              n_u, u, s8, s8 + n_slots, s8 + 2 * n_slots,
+                              s8 + 3 * n_slots, s8 + 4 * n_slots,
+                              s8 + 5 * n_slots, s8 + 6 * n_slots,
+                              s8 + 7 * n_slots, sdp, shp,
+                              ax, ay, n_a_total, qseq, qseq_len,
+                              hash0, min_gc_cnt, min_gc_score, gdp_max_ed,
+                              n_seg, max_sk, llc_cap, a_cap, gc_cap,
+                              o_lv, o_loff, o_lcnt, o_lsc, o_led, o_ax, o_ay,
+                              g_off, g_cnt, g_na, g_sc, g_hash, g_extra);
+        if (tp) gcp_add(2, gcp_now() - tp);
+    }
     ret = n_gc;
 done:
     free(u); free(order); free(dpre); free(ipre); free(hpre);

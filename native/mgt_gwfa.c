@@ -171,7 +171,14 @@ typedef struct {
     int64_t i_term;
     int32_t s;
     gdiag_v a;
+    gdiag_v As, Bs;     /* per-step scratch, reused across steps */
+    gdiag_t *bb;        /* extend_batch neighbour-wave scratch */
+    int32_t bb_m;
+    gdiag_t *db, *dc;   /* dedup split scratch */
+    uint64_t *dpairs;
+    int32_t db_m;
     gintv_v intv, tmp;
+    gintv_v intv_spare; /* ping-pong buffer for the interval merge */
     ghash_t ha;    /* (w, i) visited */
     ghash_t ht;    /* trace (v,pre) -> idx */
     gtrace_t *trace;
@@ -203,6 +210,17 @@ static inline int32_t gextend1(int32_t d, int32_t k, int32_t vl,
 {
     int32_t max_k = (ql - d < vl ? ql - d : vl) - 1;
     const char *ts_ = ts + 1, *qs_ = qs + d + 1;
+    /* word-at-a-time: XOR 8 bytes, ctz locates the first mismatch.
+     * Loads stay strictly inside the compared range (k+8 <= max_k),
+     * so no overread; memcpy keeps them alignment-safe. */
+    while (k + 8 <= max_k) {
+        uint64_t x, y, df;
+        memcpy(&x, ts_ + k, 8);
+        memcpy(&y, qs_ + k, 8);
+        df = x ^ y;
+        if (df) return k + (int32_t)(__builtin_ctzll(df) >> 3);
+        k += 8;
+    }
     while (k < max_k && ts_[k] == qs_[k]) ++k;
     return k;
 }
@@ -218,15 +236,19 @@ static int32_t gwf_dedup(gwf_t *z, int32_t n_a, gdiag_t *a)
     int32_t i, n, st;
     /* merge finished-diagonal intervals */
     if (z->intv.n + z->tmp.n > 0) {
-        gintv_v mg = {0, 0, 0};
+        gintv_v mg;
         int32_t j, k;
         for (i = 1; i < z->tmp.n; ++i)
             if (z->tmp.a[i - 1].vd0 > z->tmp.a[i].vd0) break;
         if (i < z->tmp.n)
             qsort(z->tmp.a, z->tmp.n, sizeof(gintv_t), gintv_cmp);
-        mg.m = z->intv.n + z->tmp.n;
-        mg.a = (gintv_t *)malloc(sizeof(gintv_t) * (mg.m ? mg.m : 1));
-        if (!mg.a) { gwf_oom = 1; return 0; }
+        if (z->intv.n + z->tmp.n > z->intv_spare.m) {
+            z->intv_spare.m = z->intv.n + z->tmp.n + 64;
+            z->intv_spare.a = (gintv_t *)gwf_grow(
+                z->intv_spare.a, sizeof(gintv_t) * z->intv_spare.m);
+            if (gwf_oom) return 0;
+        }
+        mg.a = z->intv_spare.a, mg.m = z->intv_spare.m, mg.n = 0;
         for (j = k = 0; j < z->intv.n || k < z->tmp.n;) {
             if (k == z->tmp.n || (j < z->intv.n
                                   && z->intv.a[j].vd0 <= z->tmp.a[k].vd0))
@@ -247,7 +269,8 @@ static int32_t gwf_dedup(gwf_t *z, int32_t n_a, gdiag_t *a)
             mg.a[w].vd0 = st0, mg.a[w++].vd1 = en0;
             mg.n = w;
         }
-        free(z->intv.a);
+        z->intv_spare.a = z->intv.a, z->intv_spare.m = z->intv.m;
+        z->intv_spare.n = 0;
         z->intv = mg;
         z->tmp.n = 0;
     }
@@ -256,16 +279,21 @@ static int32_t gwf_dedup(gwf_t *z, int32_t n_a, gdiag_t *a)
         if (a[i - 1].vd > a[i].vd) break;
     if (i < n_a) {
         int32_t n_b = 0, n_c = 0, j, k;
-        gdiag_t *b = (gdiag_t *)malloc(sizeof(gdiag_t) * n_a);
-        gdiag_t *c = (gdiag_t *)malloc(sizeof(gdiag_t) * n_a);
+        gdiag_t *b, *c;
         uint64_t *pairs;
-        if (!b || !c) { free(b); free(c); gwf_oom = 1; return 0; }
+        if (n_a > z->db_m) {
+            z->db_m = n_a + 64;
+            z->db = (gdiag_t *)gwf_grow(z->db, sizeof(gdiag_t) * z->db_m);
+            z->dc = (gdiag_t *)gwf_grow(z->dc, sizeof(gdiag_t) * z->db_m);
+            z->dpairs = (uint64_t *)gwf_grow(z->dpairs,
+                                             16 * (size_t)z->db_m);
+            if (gwf_oom) return 0;
+        }
+        b = z->db, c = z->dc, pairs = z->dpairs;
         for (i = 0; i < n_a; ++i) {
             if (a[i].xo & 1) c[n_c++] = a[i];
             else b[n_b++] = a[i];
         }
-        pairs = (uint64_t *)malloc(16 * (size_t)(n_c ? n_c : 1));
-        if (!pairs) { free(b); free(c); gwf_oom = 1; return 0; }
         for (i = 0; i < n_c; ++i)
             pairs[2 * i] = c[i].vd, pairs[2 * i + 1] = i;
         mgt_radix_sort_128x(pairs, n_c);
@@ -280,7 +308,6 @@ static int32_t gwf_dedup(gwf_t *z, int32_t n_a, gdiag_t *a)
             }
             a[i++] = *src;
         }
-        free(pairs); free(b); free(c);
     }
     /* keep the far end per (v,d) */
     for (i = 1, st = 0, n = 0; i <= n_a; ++i) {
@@ -338,7 +365,7 @@ static void extend_batch(gwf_t *z, int32_t n, gdiag_t *a, gdiag_v *B,
     uint32_t v = a->vd >> 32;
     int32_t vl = g->seq_len[v];
     const char *ts = g->seq + g->seq_off[v];
-    gdiag_v bb = {0, 0, 0};
+    gdiag_v bb;
 
     for (j = 0; j < n; ++j) {
         int32_t k = gextend1((int32_t)a[j].vd - GWF_SHIFT, a[j].k, vl, ts,
@@ -346,8 +373,12 @@ static void extend_batch(gwf_t *z, int32_t n, gdiag_t *a, gdiag_v *B,
         a[j].xo += (uint32_t)(k - a[j].k) << 2;
         a[j].k = k;
     }
-    bb.m = n + 2;
-    bb.a = (gdiag_t *)malloc(sizeof(gdiag_t) * bb.m);
+    if (n + 2 > z->bb_m) {
+        z->bb_m = n + 2 + 64;
+        z->bb = (gdiag_t *)gwf_grow(z->bb, sizeof(gdiag_t) * z->bb_m);
+        if (gwf_oom) return;
+    }
+    bb.a = z->bb, bb.m = z->bb_m, bb.n = 0;
     bb.a[0].vd = a[0].vd - 1;
     bb.a[0].xo = a[0].xo + 2;
     bb.a[0].k = a[0].k + 1;
@@ -407,7 +438,6 @@ static void extend_batch(gwf_t *z, int32_t n, gdiag_t *a, gdiag_v *B,
             gi_push(&z->tmp, gen_vd(v, d));
         }
     }
-    free(bb.a);
 }
 
 /* one score step; returns 1 if the end condition was reached */
@@ -416,8 +446,14 @@ static int gwf_step1(gwf_t *z, uint32_t v1, int32_t off1, uint32_t *end_v,
 {
     const ggraph_t *g = z->g;
     int32_t ql = z->ql;
-    gdiag_v A = {0, 0, 0}, B = {0, 0, 0};
+    gdiag_v A, B;
     int32_t i, x, n = z->a.n, do_dedup, head = 0;
+
+    /* reuse the step scratch buffers (A) and ping-pong the wave
+     * buffer (B <- spare, spare <- old a at the end) so the hot loop
+     * does no malloc/free churn */
+    A = z->As, A.n = 0;
+    B = z->Bs, B.n = 0;
 
     z->tmp.n = 0;
     gh_clear(&z->ha);
@@ -475,7 +511,7 @@ static int gwf_step1(gwf_t *z, uint32_t v1, int32_t off1, uint32_t *end_v,
             *end_v = v, *end_off = k;
             z->end_tb = t.t;
             z->a.n = 0;
-            free(A.a); free(B.a);
+            z->As = A, z->Bs = B;
             return 1;
         } else if (k + 1 < vl) {
             gd_push(&B, v, d - 1, k + 1, x0 + 1, ooo, t.t);
@@ -488,12 +524,12 @@ static int gwf_step1(gwf_t *z, uint32_t v1, int32_t off1, uint32_t *end_v,
                         g->arc_ow[st + j], x0 + 1, 1, tw);
         }
     }
-    free(A.a);
+    z->As = A;
     n = B.n;
     if (do_dedup) n = gwf_dedup(z, n, B.a);
     if (z->max_lag > 0 && n > z->max_chk && ((z->s + 1) & 0xf) == 0)
         n = gwf_prune(n, B.a, z->max_lag, z->bw_dyn);
-    free(z->a.a);
+    z->Bs.a = z->a.a, z->Bs.m = z->a.m, z->Bs.n = 0;
     z->a.a = B.a;
     z->a.n = n;
     z->a.m = B.m;
@@ -567,7 +603,14 @@ int32_t mgt_gwfa_ed(
     ret = found > 0 ? z.s : found < 0 ? -2 : -1;
     if (gwf_oom) ret = -2;          /* engine state unreliable */
     free(z.a.a);
+    free(z.As.a);
+    free(z.Bs.a);
+    free(z.bb);
+    free(z.db);
+    free(z.dc);
+    free(z.dpairs);
     free(z.intv.a);
+    free(z.intv_spare.a);
     free(z.tmp.a);
     free(z.trace);
     gh_free(&z.ha);

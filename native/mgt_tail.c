@@ -51,6 +51,9 @@ void mgt_tail_prof_dump(int64_t *out4)
     }
 }
 
+/* non-static accessor for sibling translation units (mgt_gchain.c) */
+int mgt_tail_prof_on(void) { return mgt_tail_prof(); }
+
 void mgt_tail_prof_dump8(int64_t *out8)
 {
     int k;
