@@ -13,6 +13,7 @@
 #include <stdint.h>
 #include <stdlib.h>
 #include <string.h>
+#include <time.h>
 
 extern void mgt_shortk_tls_free(void);
 extern void mgt_cigar_tls_free(void);
@@ -385,6 +386,30 @@ static int cigar_stage(batch_t *b, tscratch_t *ts, int64_t i,
     return 0;
 }
 
+/* Env-gated batch-stage profiling (MGT_PROF=1), beside the tail
+ * profiler: 0 collect, 1 map_tail, 2 select, 3 cigar, 4 format. */
+static int64_t bprof_ns[8];
+extern int mgt_tail_prof_on(void);
+static inline int64_t bprof_now(void)
+{
+    struct timespec ts;
+    if (!mgt_tail_prof_on()) return 0;
+    clock_gettime(CLOCK_MONOTONIC, &ts);
+    return (int64_t)ts.tv_sec * 1000000000 + ts.tv_nsec;
+}
+static inline void bprof_add(int k, int64_t ns)
+{
+    __atomic_fetch_add(&bprof_ns[k], ns, __ATOMIC_RELAXED);
+}
+void mgt_batch_prof_dump(int64_t *out8)
+{
+    int k;
+    for (k = 0; k < 8; ++k) {
+        out8[k] = __atomic_load_n(&bprof_ns[k], __ATOMIC_RELAXED);
+        __atomic_store_n(&bprof_ns[k], (int64_t)0, __ATOMIC_RELAXED);
+    }
+}
+
 static void *worker(void *vp)
 {
     warg_t *w = (warg_t *)vp;
@@ -403,6 +428,7 @@ static void *worker(void *vp)
         b->r_off[i] = ts.gb_len;
         b->r_len[i] = 0;
         if (b->mode[i] < 0) continue; /* caller-marked: per-read path */
+        int64_t tp0 = bprof_now(), tp1;
         if (b->do_collect) {
             /* sketch + probe + anchors inside the worker */
             int64_t sql = b->qseq_off[i + 1] - b->qseq_off[i];
@@ -476,6 +502,7 @@ static void *worker(void *vp)
         hash0 ^= bh_hash32((uint32_t)b->qlen[i])
                + bh_hash32((uint32_t)P[P_SEED]);
         hash0 = bh_hash32(hash0);
+        if (tp0) { tp1 = bprof_now(); bprof_add(0, tp1 - tp0); tp0 = tp1; }
         int64_t n_gc = mgt_map_tail(
             b->mode[i],
             (const int32_t *)(uintptr_t)b->fpp[i],
@@ -501,6 +528,7 @@ static void *worker(void *vp)
             ts.llc_cap, ts.a_cap, ts.gc_cap,
             o_lv, o_loff, o_lcnt, o_lsc, o_led, ts.o_ax, ts.o_ay,
             g_off, g_cnt, g_na, g_sc, ts.g_hash, g_extra);
+        if (tp0) { tp1 = bprof_now(); bprof_add(1, tp1 - tp0); tp0 = tp1; }
         if (n_gc < 0) continue;
         int64_t n2 = 0;
         if (n_gc > 0) {
@@ -514,6 +542,7 @@ static void *worker(void *vp)
                 sel + 3 * ts.gc_cap);
             if (n2 < 0) continue;
         }
+        if (tp0) { tp1 = bprof_now(); bprof_add(2, tp1 - tp0); tp0 = tp1; }
         const uint32_t *const *f_cgp = 0;
         const int64_t *f_cgn = 0, *f_cgst = 0;
         const char *const *f_dsp = 0;
@@ -528,6 +557,7 @@ static void *worker(void *vp)
             f_cgp = cg_p; f_cgn = cg_n; f_cgst = cg_st;
             f_dsp = dsp; f_dsn = dsn; f_dop = dop; f_don = don;
         }
+        if (tp0) { tp1 = bprof_now(); bprof_add(3, tp1 - tp0); tp0 = tp1; }
         for (;;) {
             int64_t flags = P[P_GAF_FLAGS];
             int64_t nsg_i = b->n_segs ? b->n_segs[i] : 1;
@@ -552,6 +582,7 @@ static void *worker(void *vp)
                 b->r_len[i] = n;
                 ts.gb_len += n;
                 b->status[i] = 0;
+                if (tp0) bprof_add(4, bprof_now() - tp0);
                 break;
             }
             int64_t want = ts.gb_cap ? ts.gb_cap * 2 : (1 << 20);

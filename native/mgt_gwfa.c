@@ -440,6 +440,27 @@ static void extend_batch(gwf_t *z, int32_t n, gdiag_t *a, gdiag_v *B,
     }
 }
 
+/* Env-gated phase profiling (MGT_PROF=1): 0 extend, 1 dedup,
+ * 2 prune; counters: 3 steps, 4 peak wave size. */
+#include <time.h>
+static int64_t gwp_ns[8];
+extern int mgt_tail_prof_on(void);
+static inline int64_t gwp_now(void)
+{
+    struct timespec ts;
+    if (!mgt_tail_prof_on()) return 0;
+    clock_gettime(CLOCK_MONOTONIC, &ts);
+    return (int64_t)ts.tv_sec * 1000000000 + ts.tv_nsec;
+}
+void mgt_gwfa_prof_dump(int64_t *out8)
+{
+    int k;
+    for (k = 0; k < 8; ++k) {
+        out8[k] = __atomic_load_n(&gwp_ns[k], __ATOMIC_RELAXED);
+        __atomic_store_n(&gwp_ns[k], (int64_t)0, __ATOMIC_RELAXED);
+    }
+}
+
 /* one score step; returns 1 if the end condition was reached */
 static int gwf_step1(gwf_t *z, uint32_t v1, int32_t off1, uint32_t *end_v,
                      int32_t *end_off)
@@ -455,6 +476,12 @@ static int gwf_step1(gwf_t *z, uint32_t v1, int32_t off1, uint32_t *end_v,
     A = z->As, A.n = 0;
     B = z->Bs, B.n = 0;
 
+    int64_t tw0 = gwp_now();
+    if (tw0) {
+        __atomic_fetch_add(&gwp_ns[3], (int64_t)1, __ATOMIC_RELAXED);
+        if (n > __atomic_load_n(&gwp_ns[4], __ATOMIC_RELAXED))
+            __atomic_store_n(&gwp_ns[4], (int64_t)n, __ATOMIC_RELAXED);
+    }
     z->tmp.n = 0;
     gh_clear(&z->ha);
     for (x = 0, i = 1; i <= n; ++i) {
@@ -526,9 +553,21 @@ static int gwf_step1(gwf_t *z, uint32_t v1, int32_t off1, uint32_t *end_v,
     }
     z->As = A;
     n = B.n;
+    if (tw0) {
+        int64_t t1 = gwp_now();
+        __atomic_fetch_add(&gwp_ns[0], t1 - tw0, __ATOMIC_RELAXED);
+        tw0 = t1;
+    }
     if (do_dedup) n = gwf_dedup(z, n, B.a);
+    if (tw0) {
+        int64_t t1 = gwp_now();
+        __atomic_fetch_add(&gwp_ns[1], t1 - tw0, __ATOMIC_RELAXED);
+        tw0 = t1;
+    }
     if (z->max_lag > 0 && n > z->max_chk && ((z->s + 1) & 0xf) == 0)
         n = gwf_prune(n, B.a, z->max_lag, z->bw_dyn);
+    if (tw0)
+        __atomic_fetch_add(&gwp_ns[2], gwp_now() - tw0, __ATOMIC_RELAXED);
     z->Bs.a = z->a.a, z->Bs.m = z->a.m, z->Bs.n = 0;
     z->a.a = B.a;
     z->a.n = n;
