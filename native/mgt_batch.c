@@ -17,6 +17,7 @@
 
 extern void mgt_shortk_tls_free(void);
 extern void mgt_cigar_tls_free(void);
+extern void mgt_collect_tls_free(void);
 
 extern int64_t mgt_collect_frag(
     const uint8_t *seq_blob, const int64_t *seg_off, int64_t n_segs,
@@ -603,6 +604,7 @@ static void *worker(void *vp)
      * thread-local scratch or it leaks at every pthread exit */
     mgt_shortk_tls_free();
     mgt_cigar_tls_free();
+    mgt_collect_tls_free();
     return 0;
 }
 

@@ -90,6 +90,26 @@ static inline void hash_probe(const uint64_t *tab, uint64_t mask,
  * fragment entries.  use_heap selects the short-read heap-merge
  * emission (collect_seed_hits_heap, map-algo.c:93-150) instead of
  * the build-then-radix-sort order. */
+/* Thread-local grow-only scratch: collect runs once per read inside
+ * the batch workers, and 5 malloc/free pairs per 150 bp short read
+ * are measurable.  Freed via mgt_collect_tls_free at worker exit. */
+static __thread uint64_t *cs_mini;     /* minier + pcnt + pstart rows */
+static __thread int64_t cs_mini_m;
+static __thread uint64_t *cs_z;
+static __thread int64_t cs_z_m;
+static __thread uint64_t *cs_ay2;
+static __thread int64_t cs_ay2_m;
+static __thread void *cs_heap;
+static __thread int64_t cs_heap_m;
+
+void mgt_collect_tls_free(void)
+{
+    free(cs_mini); cs_mini = 0; cs_mini_m = 0;
+    free(cs_z); cs_z = 0; cs_z_m = 0;
+    free(cs_ay2); cs_ay2 = 0; cs_ay2_m = 0;
+    free(cs_heap); cs_heap = 0; cs_heap_m = 0;
+}
+
 static int64_t collect_body(
     uint64_t *mv, int64_t n_mv, int64_t max_occ,
     const uint64_t *keys, const int64_t *key_start,
@@ -105,10 +125,15 @@ static int64_t collect_body(
     uint64_t *z = 0, *minier = 0, *ay2 = 0;
     int64_t *pcnt = 0, *pstart = 0;
 
-    minier = (uint64_t *)malloc(8 * (size_t)n_mv);
-    pcnt = (int64_t *)malloc(8 * (size_t)n_mv);
-    pstart = (int64_t *)malloc(8 * (size_t)n_mv);
-    if (!minier || !pcnt || !pstart) goto done;
+    if (3 * n_mv > cs_mini_m) {
+        free(cs_mini);
+        cs_mini_m = 3 * n_mv + 192;
+        cs_mini = (uint64_t *)malloc(8 * (size_t)cs_mini_m);
+        if (!cs_mini) { cs_mini_m = 0; goto done; }
+    }
+    minier = cs_mini;
+    pcnt = (int64_t *)(cs_mini + n_mv);
+    pstart = (int64_t *)(cs_mini + 2 * n_mv);
 
     /* pass 1: probe + repeat-length accounting + output sizes */
     for (i = 0; i < n_mv; ++i) {
@@ -153,10 +178,16 @@ static int64_t collect_body(
         he_t *hp = 0;
         int64_t *k_idx = 0;
         int64_t hs = 0, n_for = 0, n_rev = 0;
+        int64_t heap_need = (8 + (int64_t)sizeof(he_t)) * out_meta[3] + 64;
         n_mini = 0;
-        k_idx = (int64_t *)malloc(8 * (size_t)out_meta[3] + 8);
-        hp = (he_t *)malloc(sizeof(he_t) * (size_t)out_meta[3] + 16);
-        if (!k_idx || !hp) { free(k_idx); free(hp); goto done; }
+        if (heap_need > cs_heap_m) {
+            free(cs_heap);
+            cs_heap_m = heap_need + (heap_need >> 1);
+            cs_heap = malloc((size_t)cs_heap_m);
+            if (!cs_heap) { cs_heap_m = 0; goto done; }
+        }
+        k_idx = (int64_t *)cs_heap;
+        hp = (he_t *)(k_idx + out_meta[3] + 1);
         for (i = 0; i < n_mv; ++i) {
             if (pcnt[i] >= max_occ) continue;
             mini_pos[n_mini] = (int64_t)((uint32_t)mv[2 * i + 1]) >> 1;
@@ -232,13 +263,17 @@ static int64_t collect_body(
                     8 * (size_t)n_rev);
         }
         out_meta[0] = n_for + n_rev;
-        free(k_idx); free(hp);
         ret = 0;
         goto done;
     }
     if (need_a > 0) {
-        z = (uint64_t *)malloc(16 * (size_t)need_a);
-        if (!z) goto done;
+        if (2 * need_a > cs_z_m) {
+            free(cs_z);
+            cs_z_m = 2 * need_a + 128;
+            cs_z = (uint64_t *)malloc(8 * (size_t)cs_z_m);
+            if (!cs_z) { cs_z_m = 0; goto done; }
+        }
+        z = cs_z;
     }
     /* pass 2: anchors + kept minimizer positions */
     n_mini = 0;
@@ -277,8 +312,13 @@ static int64_t collect_body(
     }
 
     if (n_a > 0) {
-        ay2 = (uint64_t *)malloc(8 * (size_t)n_a);
-        if (!ay2) goto done;
+        if (n_a > cs_ay2_m) {
+            free(cs_ay2);
+            cs_ay2_m = n_a + (n_a >> 1) + 64;
+            cs_ay2 = (uint64_t *)malloc(8 * (size_t)cs_ay2_m);
+            if (!cs_ay2) { cs_ay2_m = 0; goto done; }
+        }
+        ay2 = cs_ay2;
         mgt_radix_sort_128x(z, n_a);   /* reference-exact permutation */
         for (i = 0; i < n_a; ++i) {
             ax[i] = z[2 * i];
@@ -289,7 +329,6 @@ static int64_t collect_body(
     out_meta[0] = n_a;
     ret = 0;
 done:
-    free(z); free(minier); free(pcnt); free(pstart); free(ay2);
     return ret;
 }
 
