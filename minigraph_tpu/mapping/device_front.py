@@ -124,6 +124,11 @@ class DeviceFront:
         self.n_chain_unsure = 0
         self.n_flat_ovf = 0
         self.thread_fetch = True
+        # buckets that have completed one call (i.e. are compiled):
+        # a submit touching a cold bucket sets last_submit_cold so the
+        # split controller does not charge the jit compile to t_dev
+        self._hot_buckets = set()
+        self.last_submit_cold = False
         # device chain DP (ops/chain_exact.py) applies when the chain
         # parameters are read-independent (map-algo.c:377-390): no sr/
         # splice/rmq, no frag-length-dependent ref gap
@@ -408,6 +413,9 @@ class DeviceFront:
                     break
         max_occ = np.int32(self.opt.occ_max1)
         pending = []
+        self.last_submit_cold = any(p not in self._hot_buckets
+                                    for p in by_bucket)
+        self._hot_buckets.update(by_bucket)
         for pad_len, idxs in by_bucket.items():
             bsz = dict(self.buckets)[pad_len]
             fn = self._fn(pad_len)

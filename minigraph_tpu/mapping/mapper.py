@@ -448,7 +448,7 @@ def _probe_interval(split):
 
 
 def _map_batch_native(gi, opt, items, n_threads, host_collect=False,
-                      blob=None):
+                      blob=None, fr_map=None):
     """Map a batch of reads anchors -> GAF text in ONE native call
     (native/mgt_batch.c: work-stealing pthread loop over mgt_map_tail
     + mgt_select_chains + mgt_format_gaf).  items is a list of
@@ -457,7 +457,12 @@ def _map_batch_native(gi, opt, items, n_threads, host_collect=False,
     (mgt_collect: sketch + probe + anchors), making the whole host
     mapping path one C call per batch.  Returns {fi: gaf_text or
     None-for-fallback}, or None when the batch driver is unavailable
-    (caller uses the per-read path)."""
+    (caller uses the per-read path).
+
+    blob mode: reads come straight from native-reader arenas; fr_map
+    ({arena index k: FrontResult}) marks reads whose seed stage ran on
+    the device — the workers skip the collect for those and consume
+    the provided anchor planes (hybrid batch)."""
     global _batch_cfg
     import ctypes as ct
 
@@ -567,6 +572,34 @@ def _map_batch_native(gi, opt, items, n_threads, host_collect=False,
                 mdy[:] = opt.max_gap
         if skip is not None:
             mode[skip] = -1
+        if fr_map:
+            # device-fronted reads in the hybrid batch: provide the
+            # anchor planes; the worker skips its collect (axp != 0)
+            for k2, fr in fr_map.items():
+                ax, ay = fr.ax, fr.ay
+                if not ax.flags["C_CONTIGUOUS"]:
+                    ax = np.ascontiguousarray(ax)
+                if not ay.flags["C_CONTIGUOUS"]:
+                    ay = np.ascontiguousarray(ay)
+                mp = fr.mini_pos
+                if mp.dtype != np.int64 or not mp.flags["C_CONTIGUOUS"]:
+                    mp = np.ascontiguousarray(mp, dtype=np.int64)
+                keep.append((ax, ay, mp))
+                n_a[k2] = len(ax)
+                axp[k2] = ax.ctypes.data
+                ayp[k2] = ay.ctypes.data
+                mpp[k2] = mp.ctypes.data
+                n_mv[k2] = fr.n_mv
+                n_mini[k2] = len(mp)
+                rep_len[k2] = fr.rep_len
+                if not is_rmq and fr.f is not None:
+                    f32 = np.ascontiguousarray(fr.f, dtype=np.int32)
+                    p32 = np.ascontiguousarray(fr.p, dtype=np.int32)
+                    keep.append((f32, p32))
+                    fpp[k2] = f32.ctypes.data
+                    ppp[k2] = p32.ctypes.data
+                    mode[k2] = 0
+                    mdx[k2] = mdy[k2] = 0
         qseq_blob = ct.cast(sq_addr, ct.c_char_p)
         qname_blob = ct.cast(nm_addr, ct.c_char_p)
         host_collect = True
@@ -684,6 +717,123 @@ def _map_batch_native(gi, opt, items, n_threads, host_collect=False,
     return res
 
 
+def _open_split_map(gi, opt, front, split, n_threads,
+                    n, sq_addr, sq_off, nm_addr, nm_off, qlen, bad):
+    """One arena batch through the OPEN host/device split.
+
+    The device seed stage runs for its share (submitted first, async),
+    the host C batch driver maps the rest on the calling thread (the
+    call releases the GIL, so the front's background fetch makes
+    progress and the chip executes concurrently), then one hybrid C
+    call runs the tails of the device share — device anchors where
+    the front delivered, in-worker collect where it flagged.  The
+    share balances so both engines finish together, and the collapse
+    test mirrors the Python split loop (rate_mix vs the host engine's
+    contention-free CPU rate).  Reads never touch Python strings on
+    this path (gap 2b: the --tpu configuration rides the native
+    reader arenas end to end)."""
+    import ctypes as ct
+
+    # eligibility + share
+    elig = [k for k in range(n) if not bad[k]
+            and front.eligible(opt, 1, int(qlen[k]))]
+    n_steal = int(len(elig) * split["share"])
+    cand = elig[n_steal:]
+    sub_wall = 0.0
+    handle = None
+    cold = False
+    if cand:
+        total = int(sq_off[-1])
+        abuf = np.frombuffer(
+            (ct.c_char * total).from_address(sq_addr),
+            dtype=np.uint8) if total else np.empty(0, np.uint8)
+        t0 = time.perf_counter()
+        handle = front.submit(
+            [abuf[int(sq_off[k]): int(sq_off[k + 1])] for k in cand])
+        sub_wall = time.perf_counter() - t0
+        cold = getattr(front, "last_submit_cold", False)
+    # host share: everything not sent to the device
+    host_skip = np.asarray(bad).copy()
+    if cand:
+        host_skip[cand] = True
+    skipw = np.nonzero(host_skip)[0]
+    n_host = int(n - len(skipw))
+    c0 = time.thread_time() if n_threads == 1 else time.process_time()
+    t0 = time.perf_counter()
+    res = _map_batch_native(
+        gi, opt, None, n_threads,
+        blob=(n, sq_addr, sq_off, nm_addr, nm_off,
+              skipw if len(skipw) else None))
+    if res is not None and n_host > 0:
+        cpu = (time.thread_time() - c0) if n_threads == 1 \
+            else (time.process_time() - c0)
+        wall = time.perf_counter() - t0
+        split["t_host"] = _ema(
+            split["t_host"],
+            (wall if n_threads == 1 else max(wall, cpu)) / n_host)
+        split["t_host_cpu"] = _ema(
+            split.get("t_host_cpu"), cpu / n_host)
+    if handle is not None:
+        t0 = time.perf_counter()
+        frs = front.gather(handle)
+        fr_map = {k: fr for k, fr in zip(cand, frs) if fr is not None}
+        # hybrid tail: device anchors where present, in-worker collect
+        # for flagged reads (fr None)
+        dev_skip = np.ones(n, dtype=bool)
+        dev_skip[cand] = False
+        dev_skip |= np.asarray(bad)
+        dskipw = np.nonzero(dev_skip)[0]
+        dres = _map_batch_native(
+            gi, opt, None, n_threads,
+            blob=(n, sq_addr, sq_off, nm_addr, nm_off,
+                  dskipw if len(dskipw) else None),
+            fr_map=fr_map)
+        if dres is not None:
+            if res is None:
+                res = {}
+            for k in cand:
+                res[k] = dres.get(k)
+            if not cold:    # a jit compile is not the steady cost
+                split["t_dev"] = _ema(
+                    split["t_dev"],
+                    (sub_wall + time.perf_counter() - t0) / len(cand))
+        elif res is not None:
+            for k in cand:
+                res[k] = None       # per-read fallback
+    # ---- controller: share balance + collapse test (mirrors the
+    # Python split loop, mapper.py _map_file_frag) ----
+    split["n_since"] = split.get("n_since", 0) + n
+    now = time.perf_counter()
+    t_last = split.get("t_last")
+    n_cyc = split.get("n_since", 0)
+    split["t_last"] = now
+    split["n_since"] = 0
+    if (t_last is not None and n_cyc > 0 and split["share"] < 1.0):
+        cyc = now - t_last
+        if cyc / n_cyc < 0.05:      # not a compile cycle
+            split["rate_mix"] = _ema(split.get("rate_mix"), n_cyc / cyc)
+            split["nb_mix"] = split.get("nb_mix", 0) + 1
+    if split["t_dev"] and split["t_host"]:
+        tgt = split["t_dev"] / (split["t_dev"] + split["t_host"])
+        share = 1.0 if tgt > 0.95 else min(0.9, max(0.0, tgt))
+        if tgt > 0.95:
+            split["hi_tgt"] = split.get("hi_tgt", 0) + 1
+        else:
+            split["hi_tgt"] = 0
+        if split.get("hi_tgt", 0) >= 2:
+            split["collapsed"] = True
+            share = 1.0
+        elif (share < 1.0 and split.get("rate_mix")
+              and split.get("nb_mix", 0) >= 3
+              and split.get("t_host_cpu")
+              and 1.0 / split["t_host_cpu"]
+              > 1.08 * split["rate_mix"]):
+            split["collapsed"] = True
+            share = 1.0
+        split["share"] = share
+    return res
+
+
 def _map_file_native(gi, opt, rdr, out, n_threads, front=None,
                      split=None):
     """All-native single-file mapping loop: C reader arenas -> C batch
@@ -699,6 +849,21 @@ def _map_file_native(gi, opt, rdr, out, n_threads, front=None,
     probe counter persists in the shared split dict so short files
     (< 8 arena batches each) still accumulate toward a probe."""
     import ctypes as ct
+
+    def _emit_batch(res, n, rec):
+        """Write batch results in read order; None entries (engine
+        bailouts / driver unavailable) re-run on the exact per-read
+        path."""
+        for k in range(n):
+            txt = res.get(k) if res is not None else None
+            if txt is None:
+                name, seq = rec(k)
+                gcs = map_frag(gi, [len(seq)], [seq], opt, name,
+                               fast_emit=not (opt.flag & MG_M_CIGAR))
+                txt = write_gaf(gi.g, gcs, 1, [len(seq)], name,
+                                opt.flag)
+            if txt:
+                out.write(txt)
 
     while True:
         arena = rdr.read_batch_arena(opt.mini_batch_size)
@@ -719,6 +884,16 @@ def _map_file_native(gi, opt, rdr, out, n_threads, front=None,
                 int(sq_off[k + 1] - sq_off[k])).decode("latin-1")
             return name, seq
 
+        if (front is not None and split is not None
+                and not split.get("collapsed")):
+            # OPEN split straight from the arenas: device seed stage
+            # for its share, host C batch for the rest, hybrid tail
+            res = _open_split_map(gi, opt, front, split, n_threads,
+                                  n, sq_addr, sq_off, nm_addr, nm_off,
+                                  qlen, skip)
+            _emit_batch(res, n, rec)
+            continue
+
         handle = cand = None
         sub_wall = 0.0
         if front is not None and split is not None:
@@ -733,6 +908,8 @@ def _map_file_native(gi, opt, rdr, out, n_threads, front=None,
                     t_sub0 = time.perf_counter()
                     handle = front.submit([rec(k)[1] for k in cand])
                     sub_wall = time.perf_counter() - t_sub0
+                    probe_cold = getattr(front, "last_submit_cold",
+                                         False)
                     skip = skip.copy()
                     skip[cand] = True
         skipw = np.nonzero(skip)[0]
@@ -763,7 +940,7 @@ def _map_file_native(gi, opt, rdr, out, n_threads, front=None,
                      for k, fr in probe_res.items() if fr is not None]
             ptxt = _map_batch_native(gi, opt, items, n_threads) \
                 if items else {}
-            if items and ptxt is not None:
+            if items and ptxt is not None and not probe_cold:
                 split["t_dev"] = _ema(
                     split["t_dev"],
                     (sub_wall + time.perf_counter() - t0) / len(items))
@@ -793,27 +970,7 @@ def _map_file_native(gi, opt, rdr, out, n_threads, front=None,
             for k in cand:
                 res[k] = (ptxt or {}).get(k)
 
-        if res is None:
-            # driver unavailable: exact per-read path for the batch
-            for k in range(n):
-                name, seq = rec(k)
-                gcs = map_frag(gi, [len(seq)], [seq], opt, name,
-                               fast_emit=not (opt.flag & MG_M_CIGAR))
-                txt = write_gaf(gi.g, gcs, 1, [len(seq)], name,
-                                opt.flag)
-                if txt:
-                    out.write(txt)
-            continue
-        for k in range(n):
-            txt = res.get(k)
-            if txt is None:
-                name, seq = rec(k)
-                gcs = map_frag(gi, [len(seq)], [seq], opt, name,
-                               fast_emit=not (opt.flag & MG_M_CIGAR))
-                txt = write_gaf(gi.g, gcs, 1, [len(seq)], name,
-                                opt.flag)
-            if txt:
-                out.write(txt)
+        _emit_batch(res, n, rec)
 
 
 # --- fork-based worker pool (kt_for analog; index shared copy-on-write) ---
@@ -883,19 +1040,23 @@ def _map_file_frag(gi: MinimizerIndex, fns: List[str], opt: MapOptions,
     from ..options import DBG as _DBGm
     # all-native fast loop: single plain file, no device, no special
     # output shape -> C reader + C batch driver, no per-read Python.
-    # A device front whose split has COLLAPSED (the device lost the
-    # host/device balance on this hardware) rides this loop too — it
-    # skips the Python reader the split path needs, and keeps probing
-    # the device every 8th batch so the split re-opens when the chip
-    # wins the economics back.
+    # A device front rides this loop too, in BOTH split states: open
+    # (device share submitted from the arenas, hybrid C tails) and
+    # collapsed (host-all with periodic device probes) — the --tpu
+    # path never pays the Python reader on plain single-file runs.
     _split_st = getattr(front, "_split_state", None) if front is not None \
         else None
+    if (front is not None and _split_st is None
+            and gwfa_pool is None and not _DBGm["flag"]
+            and not (opt.flag & _EMIT_BAIL_NOCIG)):
+        _split_st = {"share": 0.35, "t_host": None, "t_dev": None}
+        front._split_state = _split_st
     if (gwfa_pool is None and not _DBGm["flag"]
             and len(fns) == 1 and not frag_mode
             and _batch_mode_ok(opt.flag)
             and not (opt.flag & (MG_M_INDEPEND_SEG | _MG_M_NO_DIAG))
             and (front is None
-                 or (_split_st is not None and _split_st.get("collapsed")
+                 or (_split_st is not None
                      and not (opt.flag & _EMIT_BAIL_NOCIG)))):
         try:
             from ..seqio.bseq import NativeSeqReader
@@ -1011,6 +1172,8 @@ def _map_file_frag(gi: MinimizerIndex, fns: List[str], opt: MapOptions,
                 # per-read price; charged to t_dev at the next gather
                 split["sub_wall"] = split.get("sub_wall", 0.0) \
                     + time.perf_counter() - t_sub0
+                if getattr(front, "last_submit_cold", False):
+                    split["sub_cold"] = True
         return batch, frags, handle, front_idx, host_fut
 
     try:
@@ -1063,10 +1226,14 @@ def _map_file_frag(gi: MinimizerIndex, fns: List[str], opt: MapOptions,
                          if fr is not None and frags[fi][1] == 1]
                 batch_txt = _map_batch_native(gi, opt, items, n_threads)
                 if items and batch_txt is not None:
-                    split["t_dev"] = _ema(
-                        split["t_dev"],
-                        (split.pop("sub_wall", 0.0)
-                         + time.perf_counter() - t_dev0) / len(items))
+                    if split.pop("sub_cold", False):
+                        split.pop("sub_wall", None)  # compile, not cost
+                    else:
+                        split["t_dev"] = _ema(
+                            split["t_dev"],
+                            (split.pop("sub_wall", 0.0)
+                             + time.perf_counter() - t_dev0)
+                            / len(items))
             elif host_batch_ok:
                 items = []
                 for fi, (off, n_seg) in enumerate(frags):

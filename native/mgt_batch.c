@@ -430,7 +430,9 @@ static void *worker(void *vp)
         b->r_len[i] = 0;
         if (b->mode[i] < 0) continue; /* caller-marked: per-read path */
         int64_t tp0 = bprof_now(), tp1;
-        if (b->do_collect) {
+        /* hybrid batches (device front over reader arenas): reads
+         * with device anchors carry axp != 0 and skip the collect */
+        if (b->do_collect && !b->axp[i]) {
             /* sketch + probe + anchors inside the worker */
             int64_t sql = b->qseq_off[i + 1] - b->qseq_off[i];
             int64_t meta[4], r2;

@@ -11,17 +11,23 @@
 #include <string.h>
 #include <zlib.h>
 
-typedef struct {
-    gzFile fp;
-    char *buf;                  /* raw line buffer window */
-    int64_t len, pos, cap;
-    int eof, err;
+typedef struct {                /* one output arena set */
     char *sq;                   /* sequence arena (transformed) */
     int64_t sq_cap;
     char *nm;                   /* name arena */
     int64_t nm_cap;
     int64_t *sq_off, *nm_off;
     int64_t off_cap;
+} sr_arena_t;
+
+typedef struct {
+    gzFile fp;
+    char *buf;                  /* raw line buffer window */
+    int64_t len, pos, cap;
+    int eof, err;
+    sr_arena_t ar[2];           /* double-buffered: batch k stays
+                                 * valid while batch k+1 is read */
+    int cur;
     int have_hdr;               /* lookahead: header line pending */
     char *hdr; int64_t hdr_len, hdr_cap;
 } mgt_sr_t;
@@ -55,10 +61,14 @@ void *mgt_seq_open(const char *fn)
 void mgt_seq_close(void *h)
 {
     mgt_sr_t *r = (mgt_sr_t *)h;
+    int i;
     if (!r) return;
     if (r->fp) gzclose(r->fp);
-    free(r->buf); free(r->sq); free(r->nm);
-    free(r->sq_off); free(r->nm_off); free(r->hdr);
+    for (i = 0; i < 2; ++i) {
+        free(r->ar[i].sq); free(r->ar[i].nm);
+        free(r->ar[i].sq_off); free(r->ar[i].nm_off);
+    }
+    free(r->buf); free(r->hdr);
     free(r);
 }
 
@@ -132,20 +142,25 @@ static int sr_grow(void **p, int64_t *cap, int64_t need, int64_t esz)
 /* Read records until total bases >= max_bp or EOF.  Returns the
  * record count (0 at EOF, -1 on alloc failure) and writes arena
  * addresses into out_ptrs[0..3]: seq blob, seq offsets (n+1), name
- * blob, name offsets (n+1).  Arenas are valid until the next call. */
+ * blob, name offsets (n+1).  Arenas are double-buffered: the returned
+ * set stays valid across ONE further call (batch k usable while
+ * batch k+1 is read). */
 int64_t mgt_seq_read_batch(void *h, int64_t max_bp, uint64_t *out_ptrs)
 {
     mgt_sr_t *r = (mgt_sr_t *)h;
+    sr_arena_t *a;
     int64_t n = 0, sq_len = 0, nm_len = 0;
     char *line; int64_t ln;
 
-    if (sr_grow((void **)&r->sq_off, &r->off_cap, 1, 8) < 0) return -1;
+    r->cur ^= 1;
+    a = &r->ar[r->cur];
+    if (sr_grow((void **)&a->sq_off, &a->off_cap, 1, 8) < 0) return -1;
     /* nm_off shares off_cap bookkeeping: allocate together */
-    if (!r->nm_off) {
-        r->nm_off = (int64_t *)malloc((size_t)(r->off_cap * 8));
-        if (!r->nm_off) return -1;
+    if (!a->nm_off) {
+        a->nm_off = (int64_t *)malloc((size_t)(a->off_cap * 8));
+        if (!a->nm_off) return -1;
     }
-    r->sq_off[0] = r->nm_off[0] = 0;
+    a->sq_off[0] = a->nm_off[0] = 0;
 
     for (;;) {
         /* header: either the lookahead or the next line */
@@ -165,10 +180,10 @@ int64_t mgt_seq_read_batch(void *h, int64_t max_bp, uint64_t *out_ptrs)
         for (name_len = 0; name_len + 1 < ln; ++name_len)
             if (line[1 + name_len] == ' ' || line[1 + name_len] == '\t')
                 break;
-        if (sr_grow((void **)&r->nm, &r->nm_cap, nm_len + name_len + 1,
+        if (sr_grow((void **)&a->nm, &a->nm_cap, nm_len + name_len + 1,
                     1) < 0)
             return -1;
-        memcpy(r->nm + nm_len, line + 1, (size_t)name_len);
+        memcpy(a->nm + nm_len, line + 1, (size_t)name_len);
         nm_len += name_len;
         /* sequence lines */
         {
@@ -185,22 +200,22 @@ int64_t mgt_seq_read_batch(void *h, int64_t max_bp, uint64_t *out_ptrs)
                         r->have_hdr = 1;
                         break;
                     }
-                    if (sr_grow((void **)&r->sq, &r->sq_cap,
+                    if (sr_grow((void **)&a->sq, &a->sq_cap,
                                 sq_len + rec_len + ln, 1) < 0)
                         return -1;
                     for (i = 0; i < ln; ++i)
-                        r->sq[sq_len + rec_len + i] =
+                        a->sq[sq_len + rec_len + i] =
                             (char)sr_map[(unsigned char)line[i]];
                     rec_len += ln;
                 }
             } else {
                 while (sr_line(r, &line, &ln)) {
                     if (ln > 0 && line[0] == '+') break;
-                    if (sr_grow((void **)&r->sq, &r->sq_cap,
+                    if (sr_grow((void **)&a->sq, &a->sq_cap,
                                 sq_len + rec_len + ln, 1) < 0)
                         return -1;
                     for (i = 0; i < ln; ++i)
-                        r->sq[sq_len + rec_len + i] =
+                        a->sq[sq_len + rec_len + i] =
                             (char)sr_map[(unsigned char)line[i]];
                     rec_len += ln;
                 }
@@ -213,26 +228,26 @@ int64_t mgt_seq_read_batch(void *h, int64_t max_bp, uint64_t *out_ptrs)
             }
             sq_len += rec_len;
             ++n;
-            if (n + 1 > r->off_cap) {      /* grow both offset arrays */
-                if (sr_grow((void **)&r->sq_off, &r->off_cap, n + 1,
+            if (n + 1 > a->off_cap) {      /* grow both offset arrays */
+                if (sr_grow((void **)&a->sq_off, &a->off_cap, n + 1,
                             8) < 0)
                     return -1;
                 {
                     int64_t *no = (int64_t *)realloc(
-                        r->nm_off, (size_t)(r->off_cap * 8));
+                        a->nm_off, (size_t)(a->off_cap * 8));
                     if (!no) return -1;
-                    r->nm_off = no;
+                    a->nm_off = no;
                 }
             }
-            r->sq_off[n] = sq_len;
-            r->nm_off[n] = nm_len;
+            a->sq_off[n] = sq_len;
+            a->nm_off[n] = nm_len;
             if (sq_len >= max_bp) break;
         }
     }
-    out_ptrs[0] = (uint64_t)(uintptr_t)r->sq;
-    out_ptrs[1] = (uint64_t)(uintptr_t)r->sq_off;
-    out_ptrs[2] = (uint64_t)(uintptr_t)r->nm;
-    out_ptrs[3] = (uint64_t)(uintptr_t)r->nm_off;
+    out_ptrs[0] = (uint64_t)(uintptr_t)a->sq;
+    out_ptrs[1] = (uint64_t)(uintptr_t)a->sq_off;
+    out_ptrs[2] = (uint64_t)(uintptr_t)a->nm;
+    out_ptrs[3] = (uint64_t)(uintptr_t)a->nm_off;
     /* a decompress/read error must not look like EOF: silent
      * truncation of the input would emit a partial GAF with rc 0 */
     if (r->err) return -2;
