@@ -448,7 +448,7 @@ def _probe_interval(split):
 
 
 def _map_batch_native(gi, opt, items, n_threads, host_collect=False,
-                      blob=None, fr_map=None):
+                      blob=None, fr_map=None, frag_blob=None):
     """Map a batch of reads anchors -> GAF text in ONE native call
     (native/mgt_batch.c: work-stealing pthread loop over mgt_map_tail
     + mgt_select_chains + mgt_format_gaf).  items is a list of
@@ -462,7 +462,10 @@ def _map_batch_native(gi, opt, items, n_threads, host_collect=False,
     blob mode: reads come straight from native-reader arenas; fr_map
     ({arena index k: FrontResult}) marks reads whose seed stage ran on
     the device — the workers skip the collect for those and consume
-    the provided anchor planes (hybrid batch)."""
+    the provided anchor planes (hybrid batch).  frag_blob =
+    (n_seg_arr, seg_mid, qname_len) presents the blob as FRAGMENT
+    items: the offsets in blob span whole fragments (mates adjacent in
+    the arena) and qname_len[k] is the first mate's name length."""
     global _batch_cfg
     import ctypes as ct
 
@@ -487,6 +490,7 @@ def _map_batch_native(gi, opt, items, n_threads, host_collect=False,
             + [ct.c_int64, ct.c_void_p, ct.c_void_p]  # frag ctx
             + [ct.c_int64, ct.c_void_p]               # -c ctx
             + [ct.c_char_p, ct.c_void_p, ct.c_char_p, ct.c_void_p]
+            + [ct.c_void_p]                           # qname_len
             + [ct.c_void_p] * 4 + [ct.c_int64, ct.c_void_p]
             + [ct.c_void_p] * 6 + [ct.c_char_p]       # graph ctx
             + [ct.c_char_p] + [ct.c_void_p] * 3
@@ -546,6 +550,7 @@ def _map_batch_native(gi, opt, items, n_threads, host_collect=False,
     any_frag = False
     keep = []
     seq_parts, name_parts = [], []
+    qname_len_arr = None
     if blob is not None:
         # arenas come straight from the native reader: no per-read
         # Python objects on the hot path (host-collect implied)
@@ -553,6 +558,9 @@ def _map_batch_native(gi, opt, items, n_threads, host_collect=False,
         qseq_off[:] = sq_off_v
         qname_off[:] = nm_off_v
         qlen[:] = qseq_off[1:] - qseq_off[:-1]
+        if frag_blob is not None:
+            n_seg_arr, seg_mid, qname_len_arr = frag_blob
+            any_frag = True
         n_a[:] = n_mv[:] = rep_len[:] = 0
         axp[:] = ayp[:] = mpp[:] = 0
         if is_rmq:
@@ -694,6 +702,7 @@ def _map_batch_native(gi, opt, items, n_threads, host_collect=False,
         *cig_args,
         qseq_blob, qseq_off.ctypes.data,
         qname_blob, qname_off.ctypes.data,
+        qname_len_arr.ctypes.data if qname_len_arr is not None else None,
         *args0,
         gctx[0], gctx[1], gctx[3], gctx[4],
         gctx[5], gctx[6], gctx[7], gctx[8], gctx[9],
@@ -834,8 +843,86 @@ def _open_split_map(gi, opt, front, split, n_threads,
     return res
 
 
+def _map_arena_frags(gi, opt, out, n_threads, n, sq_addr, sq_off,
+                     nm_addr, nm_off):
+    """One frag-mode arena batch through the native batch driver.
+
+    Fragments are consecutive same-name runs (mates adjacent in the
+    arena), grouped in C; a 2-seg fragment is one batch item spanning
+    both mates with the boundary in seg_mid, and the paired-end
+    orientation flips (gmap.c:38-43) are applied in place on the
+    arena bytes so fallback reads see them too."""
+    import ctypes as ct
+
+    from ..utils.native import get_lib
+    lib = get_lib()
+    if not getattr(_map_arena_frags, "_cfg", False):
+        lib.mgt_frag_group.restype = ct.c_int64
+        lib.mgt_frag_group.argtypes = [ct.c_void_p, ct.c_void_p,
+                                       ct.c_int64, ct.c_void_p]
+        lib.mgt_revcomp_spans.restype = None
+        lib.mgt_revcomp_spans.argtypes = [ct.c_void_p, ct.c_void_p,
+                                          ct.c_void_p, ct.c_int64]
+        _map_arena_frags._cfg = True
+    first = np.empty(n + 1, dtype=np.int64)
+    nf = lib.mgt_frag_group(ct.c_void_p(nm_addr),
+                            ct.c_void_p(nm_off.ctypes.data), n,
+                            ct.c_void_p(first.ctypes.data))
+    first = first[:nf + 1]
+    f0 = first[:-1]
+    qso = np.ascontiguousarray(sq_off[first])
+    qno = np.ascontiguousarray(nm_off[first])
+    n_seg = np.ascontiguousarray(np.diff(first))
+    qname_len = np.ascontiguousarray(nm_off[f0 + 1] - nm_off[f0])
+    seg_mid = np.zeros(nf, dtype=np.int64)
+    two = n_seg == 2
+    seg_mid[two] = sq_off[f0[two] + 1]
+    qsum = qso[1:] - qso[:-1]
+    skip = (qsum <= 0) | (n_seg > 2)
+    if opt.max_qlen > 0:
+        skip = skip | (qsum > opt.max_qlen)
+    two_ok = two & ~skip
+    i2 = f0[two_ok]
+    if len(i2):
+        if opt.pe_ori >> 1 & 1:
+            st = np.ascontiguousarray(sq_off[i2])
+            en = np.ascontiguousarray(sq_off[i2 + 1])
+            lib.mgt_revcomp_spans(ct.c_void_p(sq_addr),
+                                  ct.c_void_p(st.ctypes.data),
+                                  ct.c_void_p(en.ctypes.data), len(i2))
+        if opt.pe_ori & 1:
+            st = np.ascontiguousarray(sq_off[i2 + 1])
+            en = np.ascontiguousarray(sq_off[i2 + 2])
+            lib.mgt_revcomp_spans(ct.c_void_p(sq_addr),
+                                  ct.c_void_p(st.ctypes.data),
+                                  ct.c_void_p(en.ctypes.data), len(i2))
+    skipw = np.nonzero(skip)[0]
+    res = _map_batch_native(
+        gi, opt, None, n_threads,
+        blob=(nf, sq_addr, qso, nm_addr, qno,
+              skipw if len(skipw) else None),
+        frag_blob=(n_seg, seg_mid, qname_len))
+    for j in range(nf):
+        txt = res.get(j) if res is not None else None
+        if txt is None:
+            fj, ns = int(first[j]), int(n_seg[j])
+            name = ct.string_at(
+                nm_addr + int(nm_off[fj]),
+                int(qname_len[j])).decode("latin-1")
+            seqs = [ct.string_at(
+                sq_addr + int(sq_off[fj + k]),
+                int(sq_off[fj + k + 1] - sq_off[fj + k]))
+                .decode("latin-1") for k in range(ns)]
+            qlens = [len(s) for s in seqs]
+            gcs = map_frag(gi, qlens, seqs, opt, name,
+                           fast_emit=not (opt.flag & MG_M_CIGAR))
+            txt = write_gaf(gi.g, gcs, ns, qlens, name, opt.flag)
+        if txt:
+            out.write(txt)
+
+
 def _map_file_native(gi, opt, rdr, out, n_threads, front=None,
-                     split=None):
+                     split=None, frag_mode=False):
     """All-native single-file mapping loop: C reader arenas -> C batch
     driver -> GAF bytes; Python touches only fallback reads (engine
     bailouts, zero-length, over-max_qlen).
@@ -866,10 +953,14 @@ def _map_file_native(gi, opt, rdr, out, n_threads, front=None,
                 out.write(txt)
 
     while True:
-        arena = rdr.read_batch_arena(opt.mini_batch_size)
+        arena = rdr.read_batch_arena(opt.mini_batch_size, frag_mode)
         if arena is None:
             return
         n, sq_addr, sq_off, nm_addr, nm_off = arena
+        if frag_mode:
+            _map_arena_frags(gi, opt, out, n_threads, n, sq_addr,
+                             sq_off, nm_addr, nm_off)
+            continue
         qlen = sq_off[1:] - sq_off[:-1]
         skip = qlen <= 0
         if opt.max_qlen > 0:
@@ -1052,7 +1143,8 @@ def _map_file_frag(gi: MinimizerIndex, fns: List[str], opt: MapOptions,
         _split_st = {"share": 0.35, "t_host": None, "t_dev": None}
         front._split_state = _split_st
     if (gwfa_pool is None and not _DBGm["flag"]
-            and len(fns) == 1 and not frag_mode
+            and len(fns) == 1
+            and (not frag_mode or front is None)
             and _batch_mode_ok(opt.flag)
             and not (opt.flag & (MG_M_INDEPEND_SEG | _MG_M_NO_DIAG))
             and (front is None
@@ -1066,7 +1158,8 @@ def _map_file_frag(gi: MinimizerIndex, fns: List[str], opt: MapOptions,
         if rdr is not None:
             try:
                 _map_file_native(gi, opt, rdr, out, n_threads,
-                                 front=front, split=_split_st)
+                                 front=front, split=_split_st,
+                                 frag_mode=frag_mode)
                 return
             finally:
                 rdr.close()

@@ -175,9 +175,9 @@ class NativeSeqReader:
         if not getattr(NativeSeqReader, "_cfg", False):
             lib.mgt_seq_open.restype = ct.c_void_p
             lib.mgt_seq_open.argtypes = [ct.c_char_p]
-            lib.mgt_seq_read_batch.restype = ct.c_int64
-            lib.mgt_seq_read_batch.argtypes = [ct.c_void_p, ct.c_int64,
-                                               ct.c_void_p]
+            lib.mgt_seq_read_batch2.restype = ct.c_int64
+            lib.mgt_seq_read_batch2.argtypes = [ct.c_void_p, ct.c_int64,
+                                                ct.c_int64, ct.c_void_p]
             lib.mgt_seq_close.restype = None
             lib.mgt_seq_close.argtypes = [ct.c_void_p]
             NativeSeqReader._cfg = True
@@ -187,14 +187,16 @@ class NativeSeqReader:
         if not self._h:
             raise OSError(f"cannot open {fn}")
 
-    def read_batch_arena(self, max_bp: int):
+    def read_batch_arena(self, max_bp: int, frag_mode: bool = False):
         """Returns (n, sq_addr, sq_off, nm_addr, nm_off) or None at
         EOF.  The arenas and offset views are valid only until the
-        next call."""
+        next call.  frag_mode keeps same-name fragment runs within
+        one batch (BSeqFile.read_batch semantics)."""
         ct, np = self._ct, self._np
         ptrs = np.zeros(4, dtype=np.uint64)
-        n = self._lib.mgt_seq_read_batch(self._h, max_bp,
-                                         ct.c_void_p(ptrs.ctypes.data))
+        n = self._lib.mgt_seq_read_batch2(self._h, max_bp,
+                                          int(frag_mode),
+                                          ct.c_void_p(ptrs.ctypes.data))
         if n == -2:
             raise IOError("sequence input truncated or corrupt "
                           "(gzip stream error)")

@@ -169,6 +169,10 @@ typedef struct {
     const int64_t *qseq_off;
     const char *qname_blob;
     const int64_t *qname_off;
+    const int64_t *qname_len;          /* per-item override (frag blob
+                                        * batches: the arena name span
+                                        * covers every mate; the item
+                                        * name is the first mate's) */
     /* graph ctx */
     const int64_t *gidx, *arc_w, *arc_lv, *arc_rank;
     int64_t n_vtx;
@@ -500,7 +504,8 @@ static void *worker(void *vp)
         const char *qs = b->qseq_blob + b->qseq_off[i];
         int64_t qs_len = b->qseq_off[i + 1] - b->qseq_off[i];
         const char *qn = b->qname_blob + b->qname_off[i];
-        int64_t qn_len = b->qname_off[i + 1] - b->qname_off[i];
+        int64_t qn_len = b->qname_len ? b->qname_len[i]
+                         : b->qname_off[i + 1] - b->qname_off[i];
         uint32_t hash0 = bh_hash_str(qn, qn_len);
         hash0 ^= bh_hash32((uint32_t)b->qlen[i])
                + bh_hash32((uint32_t)P[P_SEED]);
@@ -639,6 +644,7 @@ int64_t mgt_map_tail_batch(
     int64_t do_cigar, const char **seg_seqp,
     const char *qseq_blob, const int64_t *qseq_off,
     const char *qname_blob, const int64_t *qname_off,
+    const int64_t *qname_len,
     const int64_t *gidx, const int64_t *arc_w, const int64_t *arc_lv,
     const int64_t *arc_rank, int64_t n_vtx, const int64_t *gseg_len,
     int64_t *gw_arc_start, int32_t *gw_arc_cnt, uint32_t *gw_arc_w,
@@ -667,6 +673,7 @@ int64_t mgt_map_tail_batch(
     b.do_cigar = do_cigar; b.seg_seqp = seg_seqp;
     b.qseq_blob = qseq_blob; b.qseq_off = qseq_off;
     b.qname_blob = qname_blob; b.qname_off = qname_off;
+    b.qname_len = qname_len;
     b.gidx = gidx; b.arc_w = arc_w; b.arc_lv = arc_lv;
     b.arc_rank = arc_rank; b.n_vtx = n_vtx; b.gseg_len = gseg_len;
     b.gw_arc_start = gw_arc_start; b.gw_arc_cnt = gw_arc_cnt;

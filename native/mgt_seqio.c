@@ -30,6 +30,10 @@ typedef struct {
     int cur;
     int have_hdr;               /* lookahead: header line pending */
     char *hdr; int64_t hdr_len, hdr_cap;
+    /* frag mode: a record read past the batch boundary whose name
+     * broke the same-name run belongs to the NEXT batch */
+    int have_pend;
+    char *pn, *ps; int64_t pn_len, ps_len, pn_cap, ps_cap;
 } mgt_sr_t;
 
 static unsigned char sr_map[256];
@@ -69,6 +73,7 @@ void mgt_seq_close(void *h)
         free(r->ar[i].sq_off); free(r->ar[i].nm_off);
     }
     free(r->buf); free(r->hdr);
+    free(r->pn); free(r->ps);
     free(r);
 }
 
@@ -139,18 +144,135 @@ static int sr_grow(void **p, int64_t *cap, int64_t need, int64_t esz)
     return 0;
 }
 
+/* Read ONE record into arena a.  Returns 1 on success, 0 at EOF,
+ * -1 on alloc failure.  On success, updates *n_/*sq_len_/*nm_len_
+ * and the offset arrays. */
+static int sr_read_rec(mgt_sr_t *r, sr_arena_t *a, int64_t *n_,
+                       int64_t *sq_len_, int64_t *nm_len_)
+{
+    int64_t n = *n_, sq_len = *sq_len_, nm_len = *nm_len_;
+    char *line; int64_t ln;
+    int64_t i, name_len;
+    char fq;
+
+    /* header: either the lookahead or the next line */
+    if (r->have_hdr) {
+        line = r->hdr, ln = r->hdr_len;
+        r->have_hdr = 0;
+    } else {
+        int got = 0;
+        while ((got = sr_line(r, &line, &ln)) != 0)
+            if (ln > 0 && (line[0] == '>' || line[0] == '@'))
+                break;
+        if (!got) return 0;             /* EOF */
+    }
+    fq = line[0] == '@';
+    for (name_len = 0; name_len + 1 < ln; ++name_len)
+        if (line[1 + name_len] == ' ' || line[1 + name_len] == '\t')
+            break;
+    if (sr_grow((void **)&a->nm, &a->nm_cap, nm_len + name_len + 1,
+                1) < 0)
+        return -1;
+    memcpy(a->nm + nm_len, line + 1, (size_t)name_len);
+    nm_len += name_len;
+    /* sequence lines */
+    {
+        int64_t rec_len = 0;
+        if (!fq) {
+            while (sr_line(r, &line, &ln)) {
+                if (ln > 0 && (line[0] == '>' || line[0] == '@')) {
+                    /* stash the header: `line` dies on refill */
+                    if (sr_grow((void **)&r->hdr, &r->hdr_cap, ln,
+                                1) < 0)
+                        return -1;
+                    memcpy(r->hdr, line, (size_t)ln);
+                    r->hdr_len = ln;
+                    r->have_hdr = 1;
+                    break;
+                }
+                if (sr_grow((void **)&a->sq, &a->sq_cap,
+                            sq_len + rec_len + ln, 1) < 0)
+                    return -1;
+                for (i = 0; i < ln; ++i)
+                    a->sq[sq_len + rec_len + i] =
+                        (char)sr_map[(unsigned char)line[i]];
+                rec_len += ln;
+            }
+        } else {
+            while (sr_line(r, &line, &ln)) {
+                if (ln > 0 && line[0] == '+') break;
+                if (sr_grow((void **)&a->sq, &a->sq_cap,
+                            sq_len + rec_len + ln, 1) < 0)
+                    return -1;
+                for (i = 0; i < ln; ++i)
+                    a->sq[sq_len + rec_len + i] =
+                        (char)sr_map[(unsigned char)line[i]];
+                rec_len += ln;
+            }
+            /* skip quality bytes totaling rec_len */
+            {
+                int64_t q = 0;
+                while (q < rec_len && sr_line(r, &line, &ln))
+                    q += ln;
+            }
+        }
+        sq_len += rec_len;
+        ++n;
+        if (n + 1 > a->off_cap) {          /* grow both offset arrays */
+            if (sr_grow((void **)&a->sq_off, &a->off_cap, n + 1,
+                        8) < 0)
+                return -1;
+            {
+                int64_t *no = (int64_t *)realloc(
+                    a->nm_off, (size_t)(a->off_cap * 8));
+                if (!no) return -1;
+                a->nm_off = no;
+            }
+        }
+        a->sq_off[n] = sq_len;
+        a->nm_off[n] = nm_len;
+    }
+    *n_ = n, *sq_len_ = sq_len, *nm_len_ = nm_len;
+    return 1;
+}
+
+/* Same-fragment name rule (bseq.h:35-41): names identical after
+ * stripping a trailing "/[0-9]". */
+static int64_t sr_qn_len(const char *s, int64_t l)
+{
+    if (l >= 3 && s[l - 2] == '/' && s[l - 1] >= '0' && s[l - 1] <= '9')
+        return l - 2;
+    return l;
+}
+
+static int sr_qname_same(const char *a, int64_t la, const char *b,
+                         int64_t lb)
+{
+    la = sr_qn_len(a, la), lb = sr_qn_len(b, lb);
+    return la == lb && memcmp(a, b, (size_t)la) == 0;
+}
+
+#define SR_CHECK_PAIR_THRES 1000000
+
 /* Read records until total bases >= max_bp or EOF.  Returns the
  * record count (0 at EOF, -1 on alloc failure) and writes arena
  * addresses into out_ptrs[0..3]: seq blob, seq offsets (n+1), name
  * blob, name offsets (n+1).  Arenas are double-buffered: the returned
  * set stays valid across ONE further call (batch k usable while
- * batch k+1 is read). */
-int64_t mgt_seq_read_batch(void *h, int64_t max_bp, uint64_t *out_ptrs)
+ * batch k+1 is read).
+ *
+ * frag_mode != 0 keeps same-name fragment runs together (bseq.c
+ * mg_bseq_read semantics, mirrored from BSeqFile.read_batch): once
+ * the boundary crosses, records are pulled while their name matches
+ * the previous one; the first non-matching record is held over for
+ * the next batch. */
+int64_t mgt_seq_read_batch2(void *h, int64_t max_bp, int64_t frag_mode,
+                            uint64_t *out_ptrs)
 {
     mgt_sr_t *r = (mgt_sr_t *)h;
     sr_arena_t *a;
     int64_t n = 0, sq_len = 0, nm_len = 0;
-    char *line; int64_t ln;
+    int got;
 
     r->cur ^= 1;
     a = &r->ar[r->cur];
@@ -162,86 +284,64 @@ int64_t mgt_seq_read_batch(void *h, int64_t max_bp, uint64_t *out_ptrs)
     }
     a->sq_off[0] = a->nm_off[0] = 0;
 
-    for (;;) {
-        /* header: either the lookahead or the next line */
-        int64_t i, name_len;
-        char fq;
-        if (r->have_hdr) {
-            line = r->hdr, ln = r->hdr_len;
-            r->have_hdr = 0;
-        } else {
-            int got = 0;
-            while ((got = sr_line(r, &line, &ln)) != 0)
-                if (ln > 0 && (line[0] == '>' || line[0] == '@'))
-                    break;
-            if (!got) break;            /* EOF */
-        }
-        fq = line[0] == '@';
-        for (name_len = 0; name_len + 1 < ln; ++name_len)
-            if (line[1 + name_len] == ' ' || line[1 + name_len] == '\t')
-                break;
-        if (sr_grow((void **)&a->nm, &a->nm_cap, nm_len + name_len + 1,
-                    1) < 0)
+    if (r->have_pend) {                 /* held-over frag head */
+        if (sr_grow((void **)&a->nm, &a->nm_cap, r->pn_len + 1, 1) < 0)
             return -1;
-        memcpy(a->nm + nm_len, line + 1, (size_t)name_len);
-        nm_len += name_len;
-        /* sequence lines */
-        {
-            int64_t rec_len = 0;
-            if (!fq) {
-                while (sr_line(r, &line, &ln)) {
-                    if (ln > 0 && (line[0] == '>' || line[0] == '@')) {
-                        /* stash the header: `line` dies on refill */
-                        if (sr_grow((void **)&r->hdr, &r->hdr_cap, ln,
-                                    1) < 0)
-                            return -1;
-                        memcpy(r->hdr, line, (size_t)ln);
-                        r->hdr_len = ln;
-                        r->have_hdr = 1;
-                        break;
-                    }
-                    if (sr_grow((void **)&a->sq, &a->sq_cap,
-                                sq_len + rec_len + ln, 1) < 0)
-                        return -1;
-                    for (i = 0; i < ln; ++i)
-                        a->sq[sq_len + rec_len + i] =
-                            (char)sr_map[(unsigned char)line[i]];
-                    rec_len += ln;
-                }
-            } else {
-                while (sr_line(r, &line, &ln)) {
-                    if (ln > 0 && line[0] == '+') break;
-                    if (sr_grow((void **)&a->sq, &a->sq_cap,
-                                sq_len + rec_len + ln, 1) < 0)
-                        return -1;
-                    for (i = 0; i < ln; ++i)
-                        a->sq[sq_len + rec_len + i] =
-                            (char)sr_map[(unsigned char)line[i]];
-                    rec_len += ln;
-                }
-                /* skip quality bytes totaling rec_len */
-                {
-                    int64_t q = 0;
-                    while (q < rec_len && sr_line(r, &line, &ln))
-                        q += ln;
-                }
+        if (sr_grow((void **)&a->sq, &a->sq_cap, r->ps_len + 1, 1) < 0)
+            return -1;
+        memcpy(a->nm, r->pn, (size_t)r->pn_len);
+        memcpy(a->sq, r->ps, (size_t)r->ps_len);
+        nm_len = r->pn_len, sq_len = r->ps_len, n = 1;
+        if (sr_grow((void **)&a->sq_off, &a->off_cap, 2, 8) < 0)
+            return -1;
+        if (a->off_cap * 8 > 0) {
+            int64_t *no = (int64_t *)realloc(a->nm_off,
+                                             (size_t)(a->off_cap * 8));
+            if (!no) return -1;
+            a->nm_off = no;
+        }
+        a->sq_off[1] = sq_len;
+        a->nm_off[1] = nm_len;
+        r->have_pend = 0;
+    }
+
+    while (sq_len < max_bp) {
+        got = sr_read_rec(r, a, &n, &sq_len, &nm_len);
+        if (got <= 0) {
+            if (got < 0) return -1;
+            break;                      /* EOF */
+        }
+    }
+    if (frag_mode && n > 0
+        && a->sq_off[n] - a->sq_off[n - 1] < SR_CHECK_PAIR_THRES) {
+        /* keep pulling while the name matches the last record */
+        for (;;) {
+            got = sr_read_rec(r, a, &n, &sq_len, &nm_len);
+            if (got <= 0) {
+                if (got < 0) return -1;
+                break;
             }
-            sq_len += rec_len;
-            ++n;
-            if (n + 1 > a->off_cap) {      /* grow both offset arrays */
-                if (sr_grow((void **)&a->sq_off, &a->off_cap, n + 1,
-                            8) < 0)
+            if (!sr_qname_same(
+                    a->nm + a->nm_off[n - 2],
+                    a->nm_off[n - 1] - a->nm_off[n - 2],
+                    a->nm + a->nm_off[n - 1],
+                    a->nm_off[n] - a->nm_off[n - 1])) {
+                /* name run broke: hold the record over */
+                int64_t pl = a->nm_off[n] - a->nm_off[n - 1];
+                int64_t sl = a->sq_off[n] - a->sq_off[n - 1];
+                if (sr_grow((void **)&r->pn, &r->pn_cap, pl + 1, 1) < 0)
                     return -1;
-                {
-                    int64_t *no = (int64_t *)realloc(
-                        a->nm_off, (size_t)(a->off_cap * 8));
-                    if (!no) return -1;
-                    a->nm_off = no;
-                }
+                if (sr_grow((void **)&r->ps, &r->ps_cap, sl + 1, 1) < 0)
+                    return -1;
+                memcpy(r->pn, a->nm + a->nm_off[n - 1], (size_t)pl);
+                memcpy(r->ps, a->sq + a->sq_off[n - 1], (size_t)sl);
+                r->pn_len = pl, r->ps_len = sl;
+                r->have_pend = 1;
+                --n;
+                sq_len = a->sq_off[n];
+                nm_len = a->nm_off[n];
+                break;
             }
-            a->sq_off[n] = sq_len;
-            a->nm_off[n] = nm_len;
-            if (sq_len >= max_bp) break;
         }
     }
     out_ptrs[0] = (uint64_t)(uintptr_t)a->sq;
@@ -252,4 +352,59 @@ int64_t mgt_seq_read_batch(void *h, int64_t max_bp, uint64_t *out_ptrs)
      * truncation of the input would emit a partial GAF with rc 0 */
     if (r->err) return -2;
     return n;
+}
+
+int64_t mgt_seq_read_batch(void *h, int64_t max_bp, uint64_t *out_ptrs)
+{
+    return mgt_seq_read_batch2(h, max_bp, 0, out_ptrs);
+}
+
+/* Consecutive same-name grouping over a name arena (the fragment
+ * grouping loop of gmap.c mg_map_frag dispatch).  first[] receives
+ * the start read index of each fragment plus an n sentinel; returns
+ * the fragment count. */
+int64_t mgt_frag_group(const char *nm, const int64_t *nm_off, int64_t n,
+                       int64_t *first)
+{
+    int64_t i, nf = 0;
+    if (n <= 0) return 0;
+    first[nf++] = 0;
+    for (i = 1; i < n; ++i)
+        if (!sr_qname_same(nm + nm_off[i - 1], nm_off[i] - nm_off[i - 1],
+                           nm + nm_off[i], nm_off[i + 1] - nm_off[i]))
+            first[nf++] = i;
+    first[nf] = n;
+    return nf;
+}
+
+/* In-place reverse complement of n byte spans [st[i], en[i]) of sq
+ * (paired-end orientation flips, gmap.c:38-43). */
+void mgt_revcomp_spans(char *sq, const int64_t *st, const int64_t *en,
+                       int64_t n)
+{
+    /* IUPAC complement, same mapping as gfa_comp_table
+     * (gfa-base.c:509) / graph.gfa.COMP_TABLE */
+    static unsigned char C[256];
+    static int ready = 0;
+    if (!ready) {
+        static const char *s = "ABCDEFGHIJKLMNOPQRSTUVWXYZ";
+        static const char *d = "TVGHEFCDIJMLKNOPQYSAABWXRZ";
+        int i;
+        for (i = 0; i < 256; ++i) C[i] = (unsigned char)i;
+        for (i = 0; s[i]; ++i) {
+            C[(unsigned char)s[i]] = (unsigned char)d[i];
+            C[(unsigned char)(s[i] + 32)] = (unsigned char)(d[i] + 32);
+        }
+        ready = 1;
+    }
+    int64_t i;
+    for (i = 0; i < n; ++i) {
+        char *l = sq + st[i], *r_ = sq + en[i] - 1;
+        while (l < r_) {
+            unsigned char a = (unsigned char)*l, b = (unsigned char)*r_;
+            *l++ = (char)C[b];
+            *r_-- = (char)C[a];
+        }
+        if (l == r_) *l = (char)C[(unsigned char)*l];
+    }
 }

@@ -702,3 +702,56 @@ print("asan batch ok")
                            text=True, timeout=300, env=env)
         assert r.returncode == 0, (r.stdout[-500:], r.stderr[-3000:])
         assert "asan batch ok" in r.stdout
+
+
+def test_native_frag_arena_loop(oracle, ref_test_dir):
+    """The all-native frag-mode loop (C reader frag batching + in-C
+    qname grouping + arena pe_ori flips, mapper._map_arena_frags) must
+    be byte-identical to the oracle across arena-batch boundaries: a
+    tiny mini_batch_size forces the reader to hold a mate over between
+    batches (bseq.c frag rule), gz input exercises the zlib path, and
+    a bare-name first mate ("q7" + "q7/2") exercises the per-item
+    qname_len override."""
+    import gzip
+    import io
+    import subprocess
+    import tempfile
+    from pathlib import Path
+
+    from minigraph_tpu.graph.gfa_io import read_gfa
+    from minigraph_tpu.index.midx import build_index
+    from minigraph_tpu.mapping.mapper import _map_file_frag
+    from minigraph_tpu.options import (GGOptions, IndexOptions,
+                                       MapOptions, opt_check, opt_set)
+
+    ref_fa = ref_test_dir / "MT-human.fa"
+    seq = "".join(l.strip() for l in ref_fa.read_text().splitlines()
+                  if not l.startswith(">"))
+    rng = np.random.default_rng(11)
+    comp = str.maketrans("ACGTacgt", "TGCAtgca")
+    recs = []
+    for i in range(120):
+        frag = int(rng.integers(280, 600))
+        st = int(rng.integers(0, len(seq) - frag))
+        n1 = f"q{i}" if i % 7 == 0 else f"q{i}/1"
+        recs.append((n1, seq[st:st + 125]))
+        recs.append((f"q{i}/2",
+                     seq[st + frag - 125:st + frag]
+                     .translate(comp)[::-1]))
+    with tempfile.TemporaryDirectory() as td:
+        fa = Path(td) / "sr.fa.gz"
+        with gzip.open(fa, "wt") as f:
+            f.write("".join(f">{n}\n{s}\n" for n, s in recs))
+        want = subprocess.run(
+            [str(oracle), "-x", "sr", "-K", "2000",
+             str(ref_test_dir / "MT.gfa"), str(fa)],
+            capture_output=True, text=True, check=True).stdout
+        io_, mo, go = IndexOptions(), MapOptions(), GGOptions()
+        opt_set("sr", io_, mo, go)
+        opt_check(io_, mo, go)
+        mo.mini_batch_size = 2000   # ~8 mates per arena batch
+        g = read_gfa(str(ref_test_dir / "MT.gfa"))
+        gi = build_index(g, io_.k, io_.w, mo)
+        sink = io.StringIO()
+        _map_file_frag(gi, [str(fa)], mo, sink, None, None, 1, None)
+        assert sink.getvalue() == want
