@@ -71,7 +71,7 @@ class DeviceFront:
     def __init__(self, gi: MinimizerIndex, opt: MapOptions,
                  buckets: Sequence[Tuple[int, int]] = DEFAULT_BUCKETS,
                  occ_cap: int = 16, b_chunk: int = 32, chain: bool = True,
-                 chain_window: int = 1024):
+                 chain_window: int = None):
         from ..options import MG_M_RMQ, MG_M_SPLICE, MG_M_SR
         from ..ops.anchors_jax import JoinIndex
         from ..utils.hashes import expf
@@ -199,7 +199,16 @@ class DeviceFront:
             qcap = max(256, pad_len // 4)
             acap = pad_len // 2 if pad_len <= 4096 else pad_len // 4
             do_chain = self.chain_enabled
-            win = min(self.chain_window, acap)
+            # window policy (chain_window=None): the windowed chain
+            # scan costs acap*window cells, so the long buckets trade
+            # window size against the chain-sure rate (an unsure chain
+            # re-runs its DP on host — never a parity risk, only
+            # throughput); measured on 15 kb-N50 MHC reads the 16 kb
+            # bucket is 36 ms/read at window 1024 vs 4 ms at 64
+            if self.chain_window is not None:
+                win = min(self.chain_window, acap)
+            else:
+                win = min(1024 if pad_len <= 4096 else 256, acap)
             opt = self.opt
 
             # NB: index tables are runtime args, NOT closure constants —

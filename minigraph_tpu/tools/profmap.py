@@ -75,6 +75,7 @@ def main(argv):
         t_best = dt if t_best is None else min(t_best, dt)
     print(f"== {n_reads} reads, {t_best:.2f}s -> {n_reads/t_best:.0f} reads/s "
           f"({t_best/n_reads*1e3:.3f} ms/read)")
+    reps = 1          # dumps were reset before the last rep
     us = 1e3 * reps * n_reads  # ns total -> us/read divisor
     b = dump(lib, "mgt_batch_prof_dump")
     t = dump(lib, "mgt_tail_prof_dump8")

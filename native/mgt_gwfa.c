@@ -234,8 +234,10 @@ static int gintv_cmp(const void *a, const void *b)
 static int32_t gwf_dedup(gwf_t *z, int32_t n_a, gdiag_t *a)
 {
     int32_t i, n, st;
-    /* merge finished-diagonal intervals */
-    if (z->intv.n + z->tmp.n > 0) {
+    /* merge finished-diagonal intervals (skip when nothing new:
+     * copying the whole accumulated list every step dominated the
+     * dedup phase on bridge-heavy long-read mapping) */
+    if (z->tmp.n > 0) {
         gintv_v mg;
         int32_t j, k;
         for (i = 1; i < z->tmp.n; ++i)
