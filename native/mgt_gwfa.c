@@ -205,24 +205,35 @@ static int32_t trace_push(gwf_t *z, int32_t v, int32_t pre)
     return z->ht.vals[i];
 }
 
+/* Length of the longest common prefix of a[0..n) and b[0..n).
+ * Bulk of the scan runs on 8-byte words (memcpy keeps the loads
+ * alignment-safe and inside the range); the first differing word is
+ * resolved with ctz on the XOR; the sub-word tail is a byte loop.
+ * n <= 0 returns 0. */
+static inline int32_t lcp_bytes(const char *a, const char *b, int32_t n)
+{
+    int32_t i = 0, n8 = n > 0 ? n & ~7 : 0;
+    for (; i < n8; i += 8) {
+        uint64_t wa, wb;
+        memcpy(&wa, a + i, 8);
+        memcpy(&wb, b + i, 8);
+        if (wa != wb)
+            return i + (int32_t)(__builtin_ctzll(wa ^ wb) >> 3);
+    }
+    for (; i < n; ++i)
+        if (a[i] != b[i]) break;
+    return i;
+}
+
+/* Slide diagonal d of the wavefront as far as target/query keep
+ * matching: target byte k+1+j must equal query byte d+k+1+j.  The
+ * last addressable k on this diagonal is min(ql - d, vl) - 1; the
+ * whole extension is one LCP over the remaining span. */
 static inline int32_t gextend1(int32_t d, int32_t k, int32_t vl,
                                const char *ts, int32_t ql, const char *qs)
 {
-    int32_t max_k = (ql - d < vl ? ql - d : vl) - 1;
-    const char *ts_ = ts + 1, *qs_ = qs + d + 1;
-    /* word-at-a-time: XOR 8 bytes, ctz locates the first mismatch.
-     * Loads stay strictly inside the compared range (k+8 <= max_k),
-     * so no overread; memcpy keeps them alignment-safe. */
-    while (k + 8 <= max_k) {
-        uint64_t x, y, df;
-        memcpy(&x, ts_ + k, 8);
-        memcpy(&y, qs_ + k, 8);
-        df = x ^ y;
-        if (df) return k + (int32_t)(__builtin_ctzll(df) >> 3);
-        k += 8;
-    }
-    while (k < max_k && ts_[k] == qs_[k]) ++k;
-    return k;
+    int32_t lim = (ql - d < vl ? ql - d : vl) - 1;
+    return k + lcp_bytes(ts + k + 1, qs + d + k + 1, lim - k);
 }
 
 static int gintv_cmp(const void *a, const void *b)
