@@ -22,7 +22,10 @@ def _run_cli(*args):
      "{t}/MT-orangA.fa"),                                          # config 4
     ("-cxasm", "-l10k", "--call", "{t}/MT.gfa", "{t}/MT-orangA.fa"),  # 5
     ("--cov", "{t}/MT.gfa", "{t}/MT-orangA.fa"),
-], ids=["paf", "gaf", "cigar", "ggs", "call", "cov"])
+    # asm-mode coverage: ggen dispatch + mg_cov_asm (cal_cov.c:55-139),
+    # emitting cf:f tags instead of the map-mode dc:f
+    ("-cxasm", "--cov", "{t}/MT.gfa", "{t}/MT-orangA.fa"),
+], ids=["paf", "gaf", "cigar", "ggs", "call", "cov", "cov-asm"])
 def test_cli_config_parity(ref_test_dir, run_oracle, args):
     args = [a.format(t=str(ref_test_dir)) for a in args]
     assert _run_cli(*args) == run_oracle(*args)
