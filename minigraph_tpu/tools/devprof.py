@@ -84,7 +84,8 @@ def main(argv=None):
     from minigraph_tpu.graph.gfa_io import read_gfa
     from minigraph_tpu.index.midx import build_index
     from minigraph_tpu.mapping.device_front import DeviceFront
-    from minigraph_tpu.options import IndexOptions, MapOptions, set_preset
+    from minigraph_tpu.options import (GGOptions, IndexOptions, MapOptions,
+                                       opt_set)
     from minigraph_tpu.ops.sketch_jax import encode_batch
     from minigraph_tpu.seqio.bseq import read_all
 
@@ -95,14 +96,12 @@ def main(argv=None):
     print(f"[devprof] graph={gfa} reads={reads_fa} bucket={pad_len}x{bsz}",
           file=sys.stderr)
 
-    ipt, mo, go = IndexOptions(), MapOptions(), None
-    set_preset(ipt, mo, "lr")
+    ipt, mo, go = IndexOptions(), MapOptions(), GGOptions()
+    opt_set("lr", ipt, mo, go)
     g = read_gfa(str(gfa))
     t0 = time.time()
-    gi = build_index(g, ipt.k, ipt.w)
-    mo.update_from_index(gi)
-    print(f"[devprof] index: {time.time()-t0:.1f}s K={len(gi.keys)}",
-          file=sys.stderr)
+    gi = build_index(g, ipt.k, ipt.w, mo)
+    print(f"[devprof] index: {time.time()-t0:.1f}s", file=sys.stderr)
 
     recs = [r.seq for r in read_all(str(reads_fa))
             if len(r.seq) <= pad_len][: args.n]
