@@ -199,14 +199,18 @@ class DeviceFront:
             qcap = max(256, pad_len // 4)
             acap = pad_len // 2 if pad_len <= 4096 else pad_len // 4
             do_chain = self.chain_enabled
-            # window policy (chain_window=None): the windowed chain
-            # scan costs acap*window cells, so the long buckets trade
-            # window size against the chain-sure rate (an unsure chain
-            # re-runs its DP on host — never a parity risk, only
-            # throughput); measured on 15 kb-N50 MHC reads the 16 kb
-            # bucket is 36 ms/read at window 1024 vs 4 ms at 64
+            # window policy (chain_window=None): on the chip the chain
+            # runs as a Pallas kernel with the window in VMEM, so a
+            # window covering the measured scan reach of 15 kb MHC
+            # reads (p100 ~524 anchors) is affordable — W=768 makes
+            # essentially every long read chain-sure.  The CPU/XLA
+            # test path keeps the narrow long-bucket window (its scan
+            # pays per-step launch overhead); an unsure chain re-runs
+            # its DP on host — never a parity risk, only throughput.
             if self.chain_window is not None:
                 win = min(self.chain_window, acap)
+            elif use_pallas:
+                win = min(1024 if pad_len <= 4096 else 768, acap)
             else:
                 win = min(1024 if pad_len <= 4096 else 256, acap)
             opt = self.opt
@@ -214,15 +218,10 @@ class DeviceFront:
             # NB: index tables are runtime args, NOT closure constants —
             # baking MB-sized tables into the jit can wedge the axon
             # remote compiler for ~30 min (see .claude/skills/verify).
-            # The collect and chain stages are SEPARATE jits: the axon
-            # remote compiler is slow on big programs, and two smaller
-            # compiles finish far sooner than one fused one (the extra
-            # dispatch costs ~13 ms per batch).
             if self.hashed:
                 from ..ops.anchors_hash import collect_anchors_exact_hash
 
-                @jax.jit
-                def collect(t1, t2, t3, t4, codes, lens, max_occ):
+                def collect_body(t1, t2, t3, t4, codes, lens, max_occ):
                     sp = sketch_planes(codes, lens, self.gi.w, self.gi.k)
                     res = collect_anchors_exact_hash(
                         t1, t2, t3, t4, sp.hh, sp.hl, sp.meta,
@@ -239,8 +238,7 @@ class DeviceFront:
                 tables = (self.ji.tag, self.ji.pay, self.ji.p_rid,
                           self.ji.p_sel)
             else:
-                @jax.jit
-                def collect(t1, t2, codes, lens, max_occ):
+                def collect_body(t1, t2, codes, lens, max_occ):
                     sp = sketch_planes(codes, lens, self.gi.w, self.gi.k)
                     res = collect_anchors_exact(
                         t1, t2, sp.hh, sp.hl, sp.meta,
@@ -254,18 +252,28 @@ class DeviceFront:
 
                 tables = (self.ji.keymat, self.ji.keyext)
 
-            @jax.jit
-            def chain(axh, axl, ayh, ayl, n_a):
-                ax = u32.to_u64(axh, axl)
-                ay = u32.to_u64(ayh, ayl)
-                f, p, v, sure = lchain_dp_exact_win(
-                    ax, ay, n_a, jnp.int32(self.mdx_adj),
-                    jnp.int32(self.mdy_adj), jnp.int32(opt.bw),
-                    jnp.int32(opt.max_lc_skip),
-                    jnp.int32(opt.max_lc_iter),
-                    jnp.float32(self.chn_pen_gap),
-                    jnp.float32(self.chn_pen_skip),
-                    window=win, tile=8)
+            def chain_body(axh, axl, ayh, ayl, n_a):
+                if use_pallas:
+                    from ..ops.chain_exact_pallas import \
+                        chain_exact_pallas_traced
+                    f, p, sure = chain_exact_pallas_traced(
+                        axh, axl, ayh, ayl, n_a, int(self.mdx_adj),
+                        int(self.mdy_adj), int(opt.bw),
+                        int(opt.max_lc_skip), int(opt.max_lc_iter),
+                        float(self.chn_pen_gap),
+                        float(self.chn_pen_skip),
+                        window=win, tile=min(128, acap))
+                else:
+                    ax = u32.to_u64(axh, axl)
+                    ay = u32.to_u64(ayh, ayl)
+                    f, p, v, sure = lchain_dp_exact_win(
+                        ax, ay, n_a, jnp.int32(self.mdx_adj),
+                        jnp.int32(self.mdy_adj), jnp.int32(opt.bw),
+                        jnp.int32(opt.max_lc_skip),
+                        jnp.int32(opt.max_lc_iter),
+                        jnp.float32(self.chn_pen_gap),
+                        jnp.float32(self.chn_pen_skip),
+                        window=win, tile=8)
                 # pack (f, p) into one u32 plane: halves the largest
                 # chain fetch (f < 2^17 for <=128 kb reads, p+1 <= acap)
                 fp = (f.astype(jnp.uint32) << jnp.uint32(14)) \
@@ -284,9 +292,8 @@ class DeviceFront:
 
             cap_mini = (dict(self.buckets)[pad_len] * qcap * 3) // 4
 
-            @jax.jit
-            def pack(axh, axl, ayh, ayl, fp, n_a, q_cnt, q_meta, n_q,
-                     max_occ):
+            def pack_body(axh, axl, ayh, ayl, fp, n_a, q_cnt, q_meta,
+                          n_q, max_occ):
                 B = axh.shape[0]
                 ar = jnp.arange(acap, dtype=jnp.int32)[None, :]
                 valid = ar < n_a[:, None]
@@ -349,33 +356,18 @@ class DeviceFront:
                     out["f_fp"] = flat(fp)
                 return out
 
-            def run_collect(codes, lens, max_occ):
-                if not use_pallas:
-                    return collect(*tables, codes, lens, max_occ)
-                # Pallas under x64 is rejected by the axon remote
-                # compiler (and Mosaic cannot lower the i64 indices
-                # x64 introduces); the whole collect path is u32, so
-                # trace/call it with x64 off.  The flag is part of the
-                # jit cache key, so it must be off on EVERY call.
-                prev = jax.config.jax_enable_x64
-                if prev:
-                    jax.config.update("jax_enable_x64", False)
-                try:
-                    return collect(*tables, codes, lens, max_occ)
-                finally:
-                    if prev:
-                        jax.config.update("jax_enable_x64", True)
-
-            def step(codes, lens, max_occ):
-                res = run_collect(codes, lens, max_occ)
+            def step_body(*args):
+                *tbl, codes, lens, max_occ = args
+                res = collect_body(*tbl, codes, lens, max_occ)
                 if do_chain:
-                    fp, sure = chain(res["axh"], res["axl"],
-                                     res["ayh"], res["ayl"], res["n_a"])
+                    fp, sure = chain_body(res["axh"], res["axl"],
+                                          res["ayh"], res["ayl"],
+                                          res["n_a"])
                     res["fp"], res["sure"] = fp, sure
-                flat = pack(res["axh"], res["axl"], res["ayh"],
-                            res["ayl"], res.get("fp"), res["n_a"],
-                            res["q_cnt"], res["q_meta"], res["n_q"],
-                            max_occ)
+                flat = pack_body(res["axh"], res["axl"], res["ayh"],
+                                 res["ayl"], res.get("fp"), res["n_a"],
+                                 res["q_cnt"], res["q_meta"],
+                                 res["n_q"], max_occ)
                 # ship the flat planes; keep the padded ones on device
                 # (no fetch) for the rare flat_ovf re-read
                 full = {k: res.pop(k)
@@ -385,6 +377,39 @@ class DeviceFront:
                 res.update(flat)
                 return res, full
 
+            if use_pallas:
+                # ONE dispatch per batch: on the tunneled chip every
+                # chained dispatch costs ~5 ms of host/tunnel overhead
+                # (and a cold sync round-trip ~25 ms), so the fused
+                # sketch+collect+chain+pack program — all Pallas or
+                # u32 XLA, nothing needs x64 — sets the floor at one.
+                # Pallas under x64 is rejected by the axon remote
+                # compiler (and Mosaic cannot lower the i64 indices
+                # x64 introduces), so trace/call with x64 off; the
+                # flag is part of the jit cache key, so it must be
+                # off on EVERY call.
+                fused = jax.jit(step_body)
+
+                def step(codes, lens, max_occ):
+                    prev = jax.config.jax_enable_x64
+                    if prev:
+                        jax.config.update("jax_enable_x64", False)
+                    try:
+                        return fused(*tables, codes, lens, max_occ)
+                    finally:
+                        if prev:
+                            jax.config.update("jax_enable_x64", True)
+            else:
+                # CPU (test-mesh) path: separate jits, x64 tolerated
+                jitted = jax.jit(step_body)
+
+                def step(codes, lens, max_occ):
+                    return jitted(*tables, codes, lens, max_occ)
+
+            # stage bodies for profilers (tools/devprof.py)
+            step._stages = {"collect": collect_body, "chain": chain_body,
+                            "pack": pack_body, "tables": tables,
+                            "acap": acap, "qcap": qcap, "win": win}
             self._fns[pad_len] = fn = step
         return fn
 

@@ -18,8 +18,9 @@ Layout: every gather plane is uint32.
                min(t,255) — stay exactly decidable)
   pos planes = (rid<<1|strand, rpos, base=seg_len-rpos-2) per hit
 
-Expansion reuses the band-matmul trick; only the probe and the
-per-anchor position fetch are gathers (6 total per batch).
+Expansion is a scatter + running max over anchor slots (O(B*acap))
+plus per-field take_along_axis gathers; the probe and the per-anchor
+position fetch are table gathers.
 """
 from __future__ import annotations
 
@@ -32,7 +33,7 @@ import numpy as np
 
 from ..index.midx import MinimizerIndex
 from . import u32
-from .anchors_jax import PREC, _tandem_flags
+from .anchors_jax import _tandem_flags
 from .sketch_jax4 import META_Q_BITS
 
 U32 = jnp.uint32
@@ -151,8 +152,6 @@ def collect_anchors_hash(tag, pay, p_rid, p_sel, hh, hl, meta,
     """Anchor collection via cuckoo-hash gathers; contract of
     collect_anchors_join."""
     B, S_in = hh.shape
-    b_chunk = min(b_chunk, B)
-    pad_b = (-B) % b_chunk
 
     emitted = meta != U32MAX
     t_emitted = t_meta != U32MAX
@@ -197,42 +196,30 @@ def collect_anchors_hash(tag, pay, p_rid, p_sel, hh, hl, meta,
     n_a = jnp.minimum(n_tot, acap).astype(jnp.int32)
     q_overflow = q_overflow | (n_tot > acap)
 
-    # ---- band expansion extracting [offs, occ_byte, m_lo, m_hi, start]
-    qext = jnp.stack([offs.astype(F32), occ_byte.astype(F32),
-                      (qmeta & U32(0xFFF)).astype(F32),
-                      (qmeta >> U32(12)).astype(F32),
-                      start.astype(F32)], -1)
-    offs_f = offs.astype(F32)
-    ends_f = (offs + occ).astype(F32)
-    a_iota = jnp.arange(acap, dtype=F32)
+    # ---- band expansion via scatter + running max: anchor slot r of
+    # read b belongs to emission q iff offs_q <= r < offs_q + occ_q.
+    # Live emissions partition [0, n_tot) in ascending order, so
+    # scattering q+1 at offs_q and taking a running max recovers the
+    # emission per slot in O(B*(qcap+acap)) — the one-hot matmul this
+    # replaces moved B*acap*qcap one-hot cells through HBM (~1 GB per
+    # 16-read long bucket batch) and dominated long-read collect.
+    q_iota = jnp.arange(qcap, dtype=jnp.int32)[None, :]
+    live = occ > 0
+    rowb = jnp.arange(B, dtype=jnp.int32)[:, None]
+    flat_i = jnp.where(live, rowb * acap + offs, B * acap)
+    mark = jnp.zeros((B * acap,), jnp.int32).at[flat_i.reshape(-1)] \
+        .max(jnp.broadcast_to(q_iota + 1, (B, qcap)).reshape(-1),
+             mode="drop").reshape(B, acap)
+    qidx = jnp.maximum(jax.lax.cummax(mark, axis=1) - 1, 0)
 
-    def band_chunk(_, args):
-        of, en, qe = args
-        oh = ((a_iota[None, :, None] >= of[:, None, :])
-              & (a_iota[None, :, None] < en[:, None, :])).astype(F32)
-        return _, jax.lax.dot_general(
-            oh, qe, (((2,), (1,)), ((0,), (0,))), precision=PREC)
-
-    def padb(a):
-        if not pad_b:
-            return a
-        return jnp.pad(a, ((0, pad_b),) + ((0, 0),) * (a.ndim - 1))
-
-    nbc = (B + pad_b) // b_chunk
-    _, aext = jax.lax.scan(
-        band_chunk, 0,
-        (padb(offs_f).reshape(nbc, b_chunk, qcap),
-         padb(ends_f).reshape(nbc, b_chunk, qcap),
-         padb(qext).reshape(nbc, b_chunk, qcap, 5)))
-    aext = aext.reshape(B + pad_b, acap, 5)[:B]
+    def take_q(a):
+        return jnp.take_along_axis(a, qidx, axis=1)
 
     a_valid = jnp.arange(acap)[None, :] < n_a[:, None]
-    rank = (jnp.arange(acap, dtype=F32)[None, :] - aext[..., 0]) \
-        .astype(jnp.int32)
-    occ_b = aext[..., 1].astype(U32)
-    qmeta_a = (aext[..., 3].astype(U32) << U32(12)) \
-        | aext[..., 2].astype(U32)
-    idx = jnp.where(a_valid, aext[..., 4].astype(jnp.int32) + rank, 0)
+    rank = jnp.arange(acap, dtype=jnp.int32)[None, :] - take_q(offs)
+    occ_b = take_q(occ_byte).astype(U32)
+    qmeta_a = take_q(qmeta)
+    idx = jnp.where(a_valid, take_q(start) + rank, 0)
 
     # ---- per-anchor position fetch: 2 gathers (rev selects the
     # pre-flipped coordinate inside the interleaved plane) ----
@@ -283,8 +270,6 @@ def collect_anchors_exact_hash(tag, pay, p_rid, p_sel, hh, hl, meta,
     from .anchors_jax import merge_planes
 
     B, S_in = hh.shape
-    b_chunk = min(b_chunk, B)
-    pad_b = (-B) % b_chunk
 
     chh, chl, cmeta, cemit = merge_planes(hh, hl, meta, t_hh, t_hl, t_meta)
 
@@ -323,42 +308,30 @@ def collect_anchors_exact_hash(tag, pay, p_rid, p_sel, hh, hl, meta,
     trunc = trunc | ((max_occ > 255)
                      & jnp.any(found & (cnt == 255), axis=1))
 
-    # ---- band expansion extracting [offs, occ_byte, m_lo, m_hi, start]
-    qext = jnp.stack([offs.astype(F32), occ_byte.astype(F32),
-                      (qmeta & U32(0xFFF)).astype(F32),
-                      (qmeta >> U32(12)).astype(F32),
-                      start.astype(F32)], -1)
-    offs_f = offs.astype(F32)
-    ends_f = (offs + occ).astype(F32)
-    a_iota = jnp.arange(acap, dtype=F32)
+    # ---- band expansion via scatter + running max: anchor slot r of
+    # read b belongs to emission q iff offs_q <= r < offs_q + occ_q.
+    # Live emissions partition [0, n_tot) in ascending order, so
+    # scattering q+1 at offs_q and taking a running max recovers the
+    # emission per slot in O(B*(qcap+acap)) — the one-hot matmul this
+    # replaces moved B*acap*qcap one-hot cells through HBM (~1 GB per
+    # 16-read long bucket batch) and dominated long-read collect.
+    q_iota = jnp.arange(qcap, dtype=jnp.int32)[None, :]
+    live = occ > 0
+    rowb = jnp.arange(B, dtype=jnp.int32)[:, None]
+    flat_i = jnp.where(live, rowb * acap + offs, B * acap)
+    mark = jnp.zeros((B * acap,), jnp.int32).at[flat_i.reshape(-1)] \
+        .max(jnp.broadcast_to(q_iota + 1, (B, qcap)).reshape(-1),
+             mode="drop").reshape(B, acap)
+    qidx = jnp.maximum(jax.lax.cummax(mark, axis=1) - 1, 0)
 
-    def band_chunk(_, args):
-        of, en, qe = args
-        oh = ((a_iota[None, :, None] >= of[:, None, :])
-              & (a_iota[None, :, None] < en[:, None, :])).astype(F32)
-        return _, jax.lax.dot_general(
-            oh, qe, (((2,), (1,)), ((0,), (0,))), precision=PREC)
-
-    def padb(a):
-        if not pad_b:
-            return a
-        return jnp.pad(a, ((0, pad_b),) + ((0, 0),) * (a.ndim - 1))
-
-    nbc = (B + pad_b) // b_chunk
-    _, aext = jax.lax.scan(
-        band_chunk, 0,
-        (padb(offs_f).reshape(nbc, b_chunk, qcap),
-         padb(ends_f).reshape(nbc, b_chunk, qcap),
-         padb(qext).reshape(nbc, b_chunk, qcap, 5)))
-    aext = aext.reshape(B + pad_b, acap, 5)[:B]
+    def take_q(a):
+        return jnp.take_along_axis(a, qidx, axis=1)
 
     a_valid = jnp.arange(acap)[None, :] < n_a[:, None]
-    rank = (jnp.arange(acap, dtype=F32)[None, :] - aext[..., 0]) \
-        .astype(jnp.int32)
-    occ_b = aext[..., 1].astype(U32)
-    qmeta_a = (aext[..., 3].astype(U32) << U32(12)) \
-        | aext[..., 2].astype(U32)
-    idx = jnp.where(a_valid, aext[..., 4].astype(jnp.int32) + rank, 0)
+    rank = jnp.arange(acap, dtype=jnp.int32)[None, :] - take_q(offs)
+    occ_b = take_q(occ_byte).astype(U32)
+    qmeta_a = take_q(qmeta)
+    idx = jnp.where(a_valid, take_q(start) + rank, 0)
 
     rid_strand = jnp.take(p_rid, idx)
     z = qmeta_a & U32(1)
