@@ -921,6 +921,61 @@ def _map_arena_frags(gi, opt, out, n_threads, n, sq_addr, sq_off,
             out.write(txt)
 
 
+def _arena_batches(rdr, max_bp, frag_mode):
+    """One-batch read-ahead over the native reader arenas.
+
+    The C reader double-buffers its arena sets (mgt_seqio.c ar[2]:
+    batch k stays valid while k+1 decodes), so a prefetch pthread can
+    gz-decode batch k+1 while batch k maps — the reference's
+    kt_pipeline I/O<->compute overlap (kthread.c:97-128, gmap.c:177).
+    The semaphore holds the prefetcher one batch ahead, never two:
+    reading k+2 would recycle batch k's arena under the consumer."""
+    import os
+    import queue
+    import threading
+
+    if os.environ.get("MGT_NO_READAHEAD"):      # A/B measurement switch
+        while True:
+            a = rdr.read_batch_arena(max_bp, frag_mode)
+            if a is None:
+                return
+            yield a
+        return
+
+    tokens = threading.Semaphore(2)
+    q = queue.Queue()
+    stop = []
+
+    def worker():
+        while True:
+            tokens.acquire()
+            if stop:
+                return
+            try:
+                a = rdr.read_batch_arena(max_bp, frag_mode)
+            except Exception as e:          # re-raised on the consumer
+                q.put(("err", e))
+                return
+            q.put(("ok", a))
+            if a is None:
+                return
+
+    th = threading.Thread(target=worker, daemon=True)
+    th.start()
+    try:
+        while True:
+            kind, a = q.get()
+            if kind == "err":
+                raise a
+            if a is None:
+                return
+            yield a
+            tokens.release()
+    finally:
+        stop.append(True)
+        tokens.release()
+
+
 def _map_file_native(gi, opt, rdr, out, n_threads, front=None,
                      split=None, frag_mode=False):
     """All-native single-file mapping loop: C reader arenas -> C batch
@@ -952,10 +1007,7 @@ def _map_file_native(gi, opt, rdr, out, n_threads, front=None,
             if txt:
                 out.write(txt)
 
-    while True:
-        arena = rdr.read_batch_arena(opt.mini_batch_size, frag_mode)
-        if arena is None:
-            return
+    for arena in _arena_batches(rdr, opt.mini_batch_size, frag_mode):
         n, sq_addr, sq_off, nm_addr, nm_off = arena
         if frag_mode:
             _map_arena_frags(gi, opt, out, n_threads, n, sq_addr,

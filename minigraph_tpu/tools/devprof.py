@@ -1,15 +1,17 @@
 """Device-pipeline profiler + roofline accounting (SURVEY.md §7 step 8).
 
-Breaks the production DeviceFront step into its stages (sketch+collect,
-chain DP, pack, device->host fetch), times each on the real chip, and
-reports per-stage bytes moved / op counts against the chip's peak HBM
-bandwidth so "is N reads/s good?" is answerable (VERDICT r3 item 3).
+Times each stage of the production DeviceFront step (sketch+collect,
+chain DP, pack, device->host fetch) on the real chip and reports
+per-stage data volume against the chip's peak HBM bandwidth, so
+"is N reads/s good?" is answerable (VERDICT r3 item 3).
 
-Also diagnoses the exact-or-flag chain kernel: for every read it
-reports WHY the device chain was not sure (window overflow vs break
-ambiguity), plus anchor-window statistics that size the chain window.
+axon-tunnel methodology: block_until_ready does NOT wait for device
+execution on this backend — only a fetch syncs.  Stages are therefore
+timed as `reps` chained dispatches followed by one dependent scalar
+fetch; the ~5 ms/dispatch tunnel overhead and the ~25 ms sync RTT are
+reported separately so device compute is not conflated with transport.
 
-Run:  python -m minigraph_tpu.tools.devprof [--bucket 16384x16] [--n 64]
+Run:  python -m minigraph_tpu.tools.devprof [--bucket 16384x32] [--n 64]
 """
 from __future__ import annotations
 
@@ -24,68 +26,29 @@ REPO = Path(__file__).resolve().parents[2]
 
 # v5e (TPU v5 lite) per-chip peaks, public numbers
 HBM_GBPS = 819.0          # HBM bandwidth GB/s
-VPU_TOPS = 3.9            # ~f32 vector ops/s (4 MXU-adjacent VPUs)
-
-
-def _ready(x):
-    import jax
-    jax.block_until_ready(x)
-    return x
-
-
-def _t(fn, *a, reps=3, **kw):
-    """Best-of-reps wall time of fn(*a) with device sync."""
-    best = None
-    out = None
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        out = _ready(fn(*a, **kw))
-        dt = time.perf_counter() - t0
-        best = dt if best is None else min(best, dt)
-    return best, out
-
-
-def window_stats(ax, n_a, max_dist_x):
-    """Per-read max scan-window reach (the reference's i - st,
-    lchain.c:173): the device chain window must cover this or the
-    read flags window-overflow."""
-    reach = []
-    for b in range(ax.shape[0]):
-        n = int(n_a[b])
-        if n == 0:
-            reach.append(0)
-            continue
-        x = ax[b, :n]
-        xh = (x >> np.uint64(32)).astype(np.uint32)
-        st = 0
-        best = 0
-        for i in range(n):
-            while st < i and (xh[st] != xh[i]
-                              or x[i] - x[st] > np.uint64(max_dist_x)):
-                st += 1
-            best = max(best, i - st)
-        reach.append(best)
-    return np.asarray(reach)
+VPU_TOPS = 3.9            # ~f32/i32 vector ops/s
 
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
-    ap.add_argument("--bucket", default="16384x16")
+    ap.add_argument("--bucket", default="16384x32")
     ap.add_argument("--n", type=int, default=64)
     ap.add_argument("--reads", default=None,
                     help="fasta (default: bench cache by bucket size)")
     ap.add_argument("--window", type=int, default=None)
+    ap.add_argument("--reps", type=int, default=6)
     args = ap.parse_args(argv)
     pad_len, bsz = (int(v) for v in args.bucket.split("x"))
 
     sys.path.insert(0, str(REPO))
     import jax
+    import jax.numpy as jnp
 
     from minigraph_tpu.graph.gfa_io import read_gfa
     from minigraph_tpu.index.midx import build_index
     from minigraph_tpu.mapping.device_front import DeviceFront
-    from minigraph_tpu.options import (GGOptions, IndexOptions, MapOptions,
-                                       opt_set)
+    from minigraph_tpu.options import (GGOptions, IndexOptions,
+                                       MapOptions, opt_set)
     from minigraph_tpu.ops.sketch_jax import encode_batch
     from minigraph_tpu.seqio.bseq import read_all
 
@@ -99,94 +62,135 @@ def main(argv=None):
     ipt, mo, go = IndexOptions(), MapOptions(), GGOptions()
     opt_set("lr", ipt, mo, go)
     g = read_gfa(str(gfa))
-    t0 = time.time()
     gi = build_index(g, ipt.k, ipt.w, mo)
-    print(f"[devprof] index: {time.time()-t0:.1f}s", file=sys.stderr)
+
+    print("[devprof] absorbing first-fetch wedge...", file=sys.stderr,
+          flush=True)
+    t0 = time.perf_counter()
+    np.asarray(jnp.arange(4) + 1)
+    print(f"[devprof] wedge {time.perf_counter()-t0:.1f}s",
+          file=sys.stderr, flush=True)
 
     recs = [r.seq for r in read_all(str(reads_fa))
-            if len(r.seq) <= pad_len][: args.n]
+            if len(r.seq) <= pad_len]
+    recs = (recs * ((args.n // max(len(recs), 1)) + 1))[: args.n]
     front = DeviceFront(gi, mo, buckets=((pad_len, bsz),),
                         chain_window=args.window)
-    fn = front._fn(pad_len)  # builds collect/chain/pack jits
-
-    # reach into the step closure for the separate stages
-    cells = fn.__closure__ if hasattr(fn, "__closure__") else ()
-    names = fn.__code__.co_freevars
-    env = dict(zip(names, (c.cell_contents for c in cells)))
-    collect = env["run_collect"]
-    chain = env["chain"]
-    pack = env["pack"]
+    fn = front._fn(pad_len)
+    st = fn._stages
+    tables = st["tables"]
     max_occ = np.int32(mo.occ_max1)
 
-    n_bp_tot = sum(len(s) for s in recs)
-    agg = {"collect": 0.0, "chain": 0.0, "pack": 0.0, "fetch": 0.0}
-    all_na = []
-    all_reach = []
-    n_sure = n_ovf = n_unc = 0
-    fetch_bytes = 0
+    def x64_off(f):
+        def run(*a):
+            prev = jax.config.jax_enable_x64
+            if prev:
+                jax.config.update("jax_enable_x64", False)
+            try:
+                return f(*a)
+            finally:
+                if prev:
+                    jax.config.update("jax_enable_x64", True)
+        return run
 
-    for c0 in range(0, len(recs), bsz):
-        batch = recs[c0:c0 + bsz]
-        batch += [""] * (bsz - len(batch))
-        codes, lens = encode_batch(batch, pad_to=pad_len)
-        t_col, res = _t(collect, codes, lens, max_occ)
-        t_chn, (fp, sure) = _t(chain, res["axh"], res["axl"],
-                               res["ayh"], res["ayl"], res["n_a"])
-        res2 = dict(res)
-        res2["fp"], res2["sure"] = fp, sure
-        t_pck, flat = _t(pack, res["axh"], res["axl"], res["ayh"],
-                         res["ayl"], fp, res["n_a"], res["q_cnt"],
-                         res["q_meta"], res["n_q"], max_occ)
-        ship = dict(flat)
-        for k2 in ("n_a", "n_q", "overflow"):
-            ship[k2] = res[k2]
-        ship["sure"] = sure
+    collect = x64_off(jax.jit(st["collect"]))
+    chain = x64_off(jax.jit(st["chain"]))
+    pack = x64_off(jax.jit(st["pack"]))
+    whole = fn
+
+    def sync(x):
+        leaves = jax.tree_util.tree_leaves(x)
+        np.asarray(leaves[0].ravel()[0:1])
+
+    def t(f, *a, reps=args.reps):
+        out = f(*a)
+        sync(out)
         t0 = time.perf_counter()
-        host = jax.device_get(ship)
-        agg["fetch"] += time.perf_counter() - t0
-        fetch_bytes += sum(np.asarray(v).nbytes for v in host.values())
-        agg["collect"] += t_col
-        agg["chain"] += t_chn
-        agg["pack"] += t_pck
+        for _ in range(reps):
+            out = f(*a)
+        sync(out)
+        return (time.perf_counter() - t0) / reps, out
 
-        n_a = np.asarray(res["n_a"])
-        ovf = np.asarray(res["overflow"])
-        sure_h = np.asarray(sure)
-        live = np.asarray(lens) > 0
-        all_na.append(n_a[live])
-        n_sure += int((sure_h & ~ovf & live).sum())
-        n_ovf += int((ovf & live).sum())
-        n_unc += int((~sure_h & ~ovf & live).sum())
-        # window reach on the fetched anchors (first batch only: slow)
-        if c0 == 0:
-            ax = (np.asarray(res["axh"]).astype(np.uint64) << np.uint64(32)
-                  ) | np.asarray(res["axl"]).astype(np.uint64)
-            all_reach.append(window_stats(
-                ax[live], n_a[live], front.mdx_adj))
+    # transport baselines
+    f0 = jax.jit(lambda x: x + 1)
+    x0 = jnp.zeros(8, jnp.int32)
+    rtt, _ = t(f0, x0)
+    print(f"[devprof] null-op dispatch+sync: {rtt*1e3:.2f} ms "
+          f"(tunnel floor)", file=sys.stderr)
 
-    n_live = len(recs)
-    na = np.concatenate(all_na)
-    reach = np.concatenate(all_reach) if all_reach else np.zeros(1)
-    n_b = -(-len(recs) // bsz)
-    print(f"[devprof] reads={n_live} ({n_bp_tot/1e6:.2f} Mbp) "
-          f"batches={n_b}", file=sys.stderr)
-    print(f"[devprof] n_a: mean={na.mean():.0f} p50={np.median(na):.0f} "
-          f"max={na.max()} (acap hit: {(na >= 0.98 * na.max()).sum()})",
+    batch = recs[:bsz] + [""] * max(0, bsz - len(recs))
+    codes_h, lens_h = encode_batch(batch, pad_to=pad_len)
+    codes = jax.device_put(jnp.asarray(codes_h))
+    lens = jax.device_put(jnp.asarray(lens_h))
+
+    stage_t = {}
+    stage_t["collect"], res = t(collect, *tables, codes, lens, max_occ)
+    stage_t["chain"], (fp, sure) = t(
+        chain, res["axh"], res["axl"], res["ayh"], res["ayl"], res["n_a"])
+    stage_t["pack"], flat = t(
+        pack, res["axh"], res["axl"], res["ayh"], res["ayl"], fp,
+        res["n_a"], res["q_cnt"], res["q_meta"], res["n_q"], max_occ)
+    stage_t["fused"], (resf, fullf) = t(whole, codes_h, lens_h, max_occ)
+
+    t0 = time.perf_counter()
+    host = jax.device_get(resf)
+    t_fetch = time.perf_counter() - t0
+    fetch_bytes = sum(np.asarray(v).nbytes for v in host.values())
+
+    n_live = int((np.asarray(lens_h) > 0).sum())
+    n_a = np.asarray(res["n_a"])
+    sure_h = np.asarray(sure)
+    ovf = np.asarray(res["overflow"])
+    live = np.asarray(lens_h) > 0
+    n_bp = int(np.asarray(lens_h).sum())
+    acap, qcap, win = st["acap"], st["qcap"], st["win"]
+
+    print(f"[devprof] reads={n_live} ({n_bp/1e6:.2f} Mbp/batch) "
+          f"acap={acap} qcap={qcap} window={win}", file=sys.stderr)
+    print(f"[devprof] n_a: mean={n_a[live].mean():.0f} "
+          f"max={n_a[live].max()}  flags: sure={int((sure_h & ~ovf & live).sum())}"
+          f" collect_ovf={int((ovf & live).sum())}"
+          f" chain_unsure={int((~sure_h & ~ovf & live).sum())}",
           file=sys.stderr)
-    print(f"[devprof] window reach (batch 1): p50="
-          f"{np.median(reach):.0f} p90={np.percentile(reach, 90):.0f} "
-          f"max={reach.max()}", file=sys.stderr)
-    print(f"[devprof] chain flags: sure={n_sure} window_ovf/cap={n_ovf} "
-          f"break_unsure={n_unc}", file=sys.stderr)
-    tot = sum(agg.values())
-    for k, v in agg.items():
-        print(f"[devprof] {k:8s} {v*1e3/n_b:8.1f} ms/batch "
-              f"({100*v/tot:4.1f}%)", file=sys.stderr)
-    print(f"[devprof] total {tot:.3f}s -> {n_live/tot:.0f} reads/s "
-          f"{n_bp_tot/tot/1e6:.1f} Mbp/s", file=sys.stderr)
-    print(f"[devprof] fetch volume {fetch_bytes/1e6:.1f} MB "
-          f"({fetch_bytes/max(agg['fetch'],1e-9)/1e6:.0f} MB/s eff)",
+
+    # roofline accounting: bytes touched per stage (HBM round trips)
+    B = bsz
+    bytes_sketch = B * pad_len * (1 + 4 * 6)       # codes + 6 planes
+    bytes_probe = B * qcap * 4 * 10                # sort+4 gathers+meta
+    bytes_band = B * acap * 4 * 12                 # scatter+5 gathers+planes
+    bytes_sort = B * acap * 4 * 4 * 2 * np.log2(acap)  # bitonic passes
+    bytes_collect = bytes_sketch + bytes_probe + bytes_band + bytes_sort
+    # chain: VMEM-resident; HBM traffic = tiles in + f/p out
+    bytes_chain = B * acap * 4 * (4 + 2)
+    cells_chain = int(n_a[live].astype(np.int64).sum()) * (win + 128)
+    ops_chain = cells_chain * 120  # ~vector ops per window cell
+    bytes_pack = B * acap * 4 * 8
+
+    rows = [
+        ("collect", stage_t["collect"], bytes_collect),
+        ("chain", stage_t["chain"], bytes_chain),
+        ("pack", stage_t["pack"], bytes_pack),
+        ("fused(all)", stage_t["fused"], bytes_collect + bytes_chain
+         + bytes_pack),
+    ]
+    print(f"[devprof] {'stage':<11} {'ms/batch':>9} {'us/read':>8} "
+          f"{'MB':>7} {'%HBMpeak':>9}", file=sys.stderr)
+    for name, dt, nb in rows:
+        eff = nb / dt / 1e9 / HBM_GBPS * 100
+        print(f"[devprof] {name:<11} {dt*1e3:9.2f} "
+              f"{dt*1e6/max(n_live,1):8.0f} {nb/1e6:7.1f} {eff:9.1f}",
+              file=sys.stderr)
+    vpu_pct = ops_chain / max(stage_t["chain"], 1e-9) / (VPU_TOPS * 1e12) \
+        * 100
+    print(f"[devprof] chain window cells {cells_chain/1e6:.0f}M "
+          f"(~{vpu_pct:.0f}% VPU at ~120 ops/cell)", file=sys.stderr)
+    print(f"[devprof] fetch {t_fetch*1e3:.1f} ms for "
+          f"{fetch_bytes/1e6:.2f} MB "
+          f"({fetch_bytes/t_fetch/1e6:.0f} MB/s incl RTT)",
           file=sys.stderr)
+    print(f"[devprof] fused vs sum-of-stages: {stage_t['fused']*1e3:.1f}"
+          f" vs {(stage_t['collect']+stage_t['chain']+stage_t['pack'])*1e3:.1f} ms"
+          f" (dispatch overhead saved by fusion)", file=sys.stderr)
 
 
 if __name__ == "__main__":
