@@ -726,24 +726,22 @@ def _map_batch_native(gi, opt, items, n_threads, host_collect=False,
     return res
 
 
-def _open_split_map(gi, opt, front, split, n_threads,
-                    n, sq_addr, sq_off, nm_addr, nm_off, qlen, bad):
-    """One arena batch through the OPEN host/device split.
-
-    The device seed stage runs for its share (submitted first, async),
-    the host C batch driver maps the rest on the calling thread (the
-    call releases the GIL, so the front's background fetch makes
-    progress and the chip executes concurrently), then one hybrid C
-    call runs the tails of the device share — device anchors where
-    the front delivered, in-worker collect where it flagged.  The
-    share balances so both engines finish together, and the collapse
-    test mirrors the Python split loop (rate_mix vs the host engine's
-    contention-free CPU rate).  Reads never touch Python strings on
-    this path (gap 2b: the --tpu configuration rides the native
-    reader arenas end to end)."""
+def _open_split_submit(gi, opt, front, split, n_threads,
+                       n, sq_addr, sq_off, nm_addr, nm_off, qlen, bad):
+    """Phase 1 of the OPEN host/device split for one arena batch:
+    submit the device share (async) and run the host C batch for the
+    rest on the calling thread (the call releases the GIL, so the
+    front's background fetch makes progress and the chip executes
+    concurrently).  Returns the in-flight state for
+    _open_split_finish; with the triple-buffered reader arenas the
+    caller finishes batch k-1 only AFTER submitting batch k, so the
+    chip crunches batch k while the host runs k-1's device-share
+    tails — cross-batch pipelining on top of the in-batch overlap.
+    Reads never touch Python strings on this path (gap 2b: the --tpu
+    configuration rides the native reader arenas end to end)."""
     import ctypes as ct
 
-    # eligibility + share
+    # eligibility + share (split["share"] = the HOST's fraction)
     elig = [k for k in range(n) if not bad[k]
             and front.eligible(opt, 1, int(qlen[k]))]
     n_steal = int(len(elig) * split["share"])
@@ -782,30 +780,41 @@ def _open_split_map(gi, opt, front, split, n_threads,
             (wall if n_threads == 1 else max(wall, cpu)) / n_host)
         split["t_host_cpu"] = _ema(
             split.get("t_host_cpu"), cpu / n_host)
-    if handle is not None:
+    return {"n": n, "sq_addr": sq_addr, "sq_off": sq_off,
+            "nm_addr": nm_addr, "nm_off": nm_off, "bad": bad,
+            "cand": cand, "handle": handle, "res": res,
+            "sub_wall": sub_wall, "cold": cold}
+
+
+def _open_split_finish(gi, opt, front, split, n_threads, st):
+    """Phase 2: gather the device share, run its hybrid tail (device
+    anchors where the front delivered, in-worker collect where it
+    flagged), update the share controller, return the merged res."""
+    n, cand = st["n"], st["cand"]
+    res = st["res"]
+    if st["handle"] is not None:
         t0 = time.perf_counter()
-        frs = front.gather(handle)
+        frs = front.gather(st["handle"])
         fr_map = {k: fr for k, fr in zip(cand, frs) if fr is not None}
-        # hybrid tail: device anchors where present, in-worker collect
-        # for flagged reads (fr None)
         dev_skip = np.ones(n, dtype=bool)
         dev_skip[cand] = False
-        dev_skip |= np.asarray(bad)
+        dev_skip |= np.asarray(st["bad"])
         dskipw = np.nonzero(dev_skip)[0]
         dres = _map_batch_native(
             gi, opt, None, n_threads,
-            blob=(n, sq_addr, sq_off, nm_addr, nm_off,
-                  dskipw if len(dskipw) else None),
+            blob=(n, st["sq_addr"], st["sq_off"], st["nm_addr"],
+                  st["nm_off"], dskipw if len(dskipw) else None),
             fr_map=fr_map)
         if dres is not None:
             if res is None:
                 res = {}
             for k in cand:
                 res[k] = dres.get(k)
-            if not cold:    # a jit compile is not the steady cost
+            if not st["cold"]:  # a jit compile is not the steady cost
                 split["t_dev"] = _ema(
                     split["t_dev"],
-                    (sub_wall + time.perf_counter() - t0) / len(cand))
+                    (st["sub_wall"] + time.perf_counter() - t0)
+                    / len(cand))
         elif res is not None:
             for k in cand:
                 res[k] = None       # per-read fallback
@@ -1007,9 +1016,21 @@ def _map_file_native(gi, opt, rdr, out, n_threads, front=None,
             if txt:
                 out.write(txt)
 
+    pending = None      # in-flight split batch (chip busy on it)
+
+    def _flush_pending():
+        nonlocal pending
+        if pending is None:
+            return
+        st, rec_p = pending
+        pending = None
+        res_p = _open_split_finish(gi, opt, front, split, n_threads, st)
+        _emit_batch(res_p, st["n"], rec_p)
+
     for arena in _arena_batches(rdr, opt.mini_batch_size, frag_mode):
         n, sq_addr, sq_off, nm_addr, nm_off = arena
         if frag_mode:
+            _flush_pending()
             _map_arena_frags(gi, opt, out, n_threads, n, sq_addr,
                              sq_off, nm_addr, nm_off)
             continue
@@ -1018,7 +1039,11 @@ def _map_file_native(gi, opt, rdr, out, n_threads, front=None,
         if opt.max_qlen > 0:
             skip = skip | (qlen > opt.max_qlen)
 
-        def rec(k):
+        # bind this batch's arena explicitly: a pending batch's rec is
+        # called one iteration later, when the loop locals have moved
+        # on to the next arena
+        def rec(k, nm_addr=nm_addr, nm_off=nm_off, sq_addr=sq_addr,
+                sq_off=sq_off):
             name = ct.string_at(
                 nm_addr + int(nm_off[k]),
                 int(nm_off[k + 1] - nm_off[k])).decode("latin-1")
@@ -1029,13 +1054,18 @@ def _map_file_native(gi, opt, rdr, out, n_threads, front=None,
 
         if (front is not None and split is not None
                 and not split.get("collapsed")):
-            # OPEN split straight from the arenas: device seed stage
-            # for its share, host C batch for the rest, hybrid tail
-            res = _open_split_map(gi, opt, front, split, n_threads,
-                                  n, sq_addr, sq_off, nm_addr, nm_off,
-                                  qlen, skip)
-            _emit_batch(res, n, rec)
+            # OPEN split straight from the arenas: submit batch k's
+            # device share + map the host share, THEN finish batch
+            # k-1 (its fetch has had a full host batch to drain) —
+            # the chip is never idle while host tails run.  Emission
+            # stays in batch order: k-1 completes before any of k.
+            st = _open_split_submit(gi, opt, front, split, n_threads,
+                                    n, sq_addr, sq_off, nm_addr,
+                                    nm_off, qlen, skip)
+            _flush_pending()
+            pending = (st, rec)
             continue
+        _flush_pending()
 
         handle = cand = None
         sub_wall = 0.0
@@ -1114,6 +1144,7 @@ def _map_file_native(gi, opt, rdr, out, n_threads, front=None,
                 res[k] = (ptxt or {}).get(k)
 
         _emit_batch(res, n, rec)
+    _flush_pending()
 
 
 # --- fork-based worker pool (kt_for analog; index shared copy-on-write) ---

@@ -25,8 +25,11 @@ typedef struct {
     char *buf;                  /* raw line buffer window */
     int64_t len, pos, cap;
     int eof, err;
-    sr_arena_t ar[2];           /* double-buffered: batch k stays
-                                 * valid while batch k+1 is read */
+    sr_arena_t ar[3];           /* triple-buffered: batches k and k-1
+                                 * stay valid while k+1 is read, so a
+                                 * pipelined consumer can hold one
+                                 * finished batch (device tails) while
+                                 * the prefetch thread decodes ahead */
     int cur;
     int have_hdr;               /* lookahead: header line pending */
     char *hdr; int64_t hdr_len, hdr_cap;
@@ -68,7 +71,7 @@ void mgt_seq_close(void *h)
     int i;
     if (!r) return;
     if (r->fp) gzclose(r->fp);
-    for (i = 0; i < 2; ++i) {
+    for (i = 0; i < 3; ++i) {
         free(r->ar[i].sq); free(r->ar[i].nm);
         free(r->ar[i].sq_off); free(r->ar[i].nm_off);
     }
@@ -274,7 +277,7 @@ int64_t mgt_seq_read_batch2(void *h, int64_t max_bp, int64_t frag_mode,
     int64_t n = 0, sq_len = 0, nm_len = 0;
     int got;
 
-    r->cur ^= 1;
+    r->cur = (r->cur + 1) % 3;
     a = &r->ar[r->cur];
     if (sr_grow((void **)&a->sq_off, &a->off_cap, 1, 8) < 0) return -1;
     /* nm_off shares off_cap bookkeeping: allocate together */
