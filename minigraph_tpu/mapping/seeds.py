@@ -290,9 +290,14 @@ def get_collect_ctx(gi):
         htab, n_slots = None, 0
         # 16 B/slot at >= 2x load headroom; above ~128 M keys (a 4 GB
         # table) the collectors fall back to binary search over the
-        # sorted key array instead of paying the memory
+        # sorted key array instead of paying the memory.
+        # MGT_PROBE_KEYCAP overrides the threshold (tests force the
+        # fallback without a 134 M-key build; parity is pinned in
+        # tests/test_native_engines.py::test_probe_fallback_parity)
+        import os as _os
+        keycap = int(_os.environ.get("MGT_PROBE_KEYCAP", 1 << 27))
         if lib is not None and hasattr(lib, "mgt_collect_hash_build") \
-                and 0 < len(keys) <= (1 << 27):
+                and 0 < len(keys) <= keycap:
             n_slots = 1 << max(6, int(2 * len(keys) - 1).bit_length())
             htab = np.empty(2 * n_slots, dtype=np.uint64)
             lib.mgt_collect_hash_build(

@@ -755,3 +755,39 @@ def test_native_frag_arena_loop(oracle, ref_test_dir):
         sink = io.StringIO()
         _map_file_frag(gi, [str(fa)], mo, sink, None, None, 1, None)
         assert sink.getvalue() == want
+
+
+def test_probe_fallback_parity(ref_test_dir):
+    """The >128M-key binary-search fallback of the native collectors
+    (seeds.py get_collect_ctx: no O(1) probe table above the cap)
+    must map byte-identically; MGT_PROBE_KEYCAP=0 forces it on a
+    small index so the fallback path runs in-suite."""
+    import io as _io
+    import os
+
+    from minigraph_tpu.graph.gfa_io import read_gfa
+    from minigraph_tpu.index.midx import build_index
+    from minigraph_tpu.mapping.mapper import _map_file_frag
+    from minigraph_tpu.options import (GGOptions, IndexOptions,
+                                       MapOptions, opt_check, opt_set)
+
+    def run():
+        io_, mo, go = IndexOptions(), MapOptions(), GGOptions()
+        opt_set("lr", io_, mo, go)
+        opt_check(io_, mo, go)
+        g = read_gfa(str(ref_test_dir / "MT.gfa"))
+        gi = build_index(g, io_.k, io_.w, mo)
+        sink = _io.StringIO()
+        _map_file_frag(gi, [str(ref_test_dir / "MT-orangA.fa")], mo,
+                       sink, None, None, 1, None)
+        return sink.getvalue(), getattr(gi, "_collect_ctx")[0][6]
+
+    want, htab = run()
+    assert htab is not None          # default: probe table built
+    os.environ["MGT_PROBE_KEYCAP"] = "0"
+    try:
+        got, htab2 = run()
+    finally:
+        del os.environ["MGT_PROBE_KEYCAP"]
+    assert htab2 is None             # fallback: binary search
+    assert got == want
