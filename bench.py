@@ -113,7 +113,7 @@ def ensure_workload():
 
 N_LONG = 256
 LONG_LEN = 16384
-LONG_BATCH = 32
+LONG_BATCH = 128
 
 
 def ensure_long_reads():

