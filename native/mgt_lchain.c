@@ -434,16 +434,50 @@ static rnode_t *r_insert(rnode_t **root_, rnode_t *x)
     return x;
 }
 
-static rnode_t *r_find(rnode_t *root, int32_t y, int64_t i)
+/* Root-to-node path iterator for in-order predecessor walks.  The
+ * rescue inner loop steps backwards ~3 nodes per anchor on average;
+ * a fresh root descent per step costs O(log n) compares each, while
+ * the retained path makes each step amortized O(1) (the walk never
+ * mutates the tree, so the path stays valid). */
+typedef struct {
+    rnode_t *path[RMQ_MAX_DEPTH];
+    int top;                      /* path[0..top] = root..current */
+} riter_t;
+
+/* Seat the iterator at the greatest node <= (y,i); 0 if none. */
+static rnode_t *r_iter_le(rnode_t *root, int32_t y, int64_t i, riter_t *it)
 {
     rnode_t *p = root;
+    int last_lt = -1;             /* deepest ancestor < key */
+    it->top = -1;
     while (p) {
         int cmp = rcmp(y, i, p);
+        it->path[++it->top] = p;
         if (cmp < 0) p = p->p[0];
-        else if (cmp > 0) p = p->p[1];
+        else if (cmp > 0) { last_lt = it->top; p = p->p[1]; }
         else return p;
     }
-    return 0;
+    it->top = last_lt;
+    return last_lt < 0 ? 0 : it->path[last_lt];
+}
+
+/* Step to the in-order predecessor; 0 once the minimum is passed. */
+static rnode_t *r_iter_prev(riter_t *it)
+{
+    rnode_t *p;
+    if (it->top < 0) return 0;
+    p = it->path[it->top];
+    if (p->p[0]) {                /* rightmost of the left subtree */
+        for (p = p->p[0]; ; p = p->p[1]) {
+            it->path[++it->top] = p;
+            if (!p->p[1]) return p;
+        }
+    }
+    while (it->top > 0 && it->path[it->top - 1]->p[0] == it->path[it->top])
+        --it->top;                /* climb out of left chains */
+    if (it->top == 0) { it->top = -1; return 0; }
+    --it->top;
+    return it->path[it->top];
 }
 
 static rnode_t *r_erase(rnode_t **root_, const rnode_t *x)
@@ -564,31 +598,6 @@ static rnode_t *r_rmq(rnode_t *root, int32_t lo_y, int64_t lo_i,
     return (rnode_t *)mn;
 }
 
-/* greatest node <= key */
-static rnode_t *r_interval_lo(rnode_t *root, int32_t y, int64_t i)
-{
-    rnode_t *p = root, *l = 0;
-    while (p) {
-        int cmp = rcmp(y, i, p);
-        if (cmp < 0) p = p->p[0];
-        else if (cmp > 0) l = p, p = p->p[1];
-        else return p;
-    }
-    return l;
-}
-
-/* in-order predecessor by key */
-static rnode_t *r_prev(rnode_t *root, const rnode_t *node)
-{
-    rnode_t *p = root, *best = 0;
-    while (p) {
-        int cmp = rcmp(node->y, node->i, p);
-        if (cmp <= 0) p = p->p[0];
-        else best = p, p = p->p[1];
-    }
-    return best;
-}
-
 /* ----------------------------------------------------------------- */
 /* RMQ chaining (mg_lchain_rmq semantics)                             */
 /* ----------------------------------------------------------------- */
@@ -652,11 +661,10 @@ int64_t mgt_lchain_rmq(int32_t max_dist, int32_t max_dist_inner, int32_t bw,
         while (st < i && (ax[i] >> 32 != ax[st] >> 32
                           || ax[i] > ax[st] + (uint64_t)max_dist
                           || RSIZE(root) > (uint32_t)cap_rmq_size)) {
-            q = r_find(root, (int32_t)ay[st], st);
-            if (q) {
-                r_erase(&root, q);
-                POOL_FREE(q);
-            }
+            rnode_t key;
+            key.y = (int32_t)ay[st], key.i = st;
+            q = r_erase(&root, &key);
+            if (q) POOL_FREE(q);
             ++st;
         }
         if (use_inner) {
@@ -664,11 +672,10 @@ int64_t mgt_lchain_rmq(int32_t max_dist, int32_t max_dist_inner, int32_t bw,
                    && (ax[i] >> 32 != ax[st_inner] >> 32
                        || ax[i] > ax[st_inner] + (uint64_t)max_dist_inner
                        || RSIZE(root_inner) > (uint32_t)cap_rmq_size)) {
-                q = r_find(root_inner, (int32_t)ay[st_inner], st_inner);
-                if (q) {
-                    r_erase(&root_inner, q);
-                    POOL_FREE(q);
-                }
+                rnode_t key;
+                key.y = (int32_t)ay[st_inner], key.i = st_inner;
+                q = r_erase(&root_inner, &key);
+                if (q) POOL_FREE(q);
                 ++st_inner;
             }
         }
@@ -682,7 +689,9 @@ int64_t mgt_lchain_rmq(int32_t max_dist, int32_t max_dist_inner, int32_t bw,
                                          &width);
             if (width <= bw && sc > max_f) max_f = sc, max_j = j;
             if (!exact && root_inner && (int32_t)ay[i] > 0) {
-                rnode_t *lo = r_interval_lo(root_inner, (int32_t)ay[i] - 1, n);
+                riter_t it;
+                rnode_t *lo = r_iter_le(root_inner, (int32_t)ay[i] - 1, n,
+                                        &it);
                 if (lo) {
                     rnode_t *qq = lo;
                     while (qq) {
@@ -701,7 +710,7 @@ int64_t mgt_lchain_rmq(int32_t max_dist, int32_t max_dist_inner, int32_t bw,
                             }
                             if (p[j] >= 0) t[p[j]] = (int32_t)i;
                         }
-                        qq = r_prev(root_inner, qq);
+                        qq = r_iter_prev(&it);
                     }
                 }
             }
