@@ -548,6 +548,9 @@ def main():
     gfa, reads_fa = ensure_workload()
     gi_gfa_path[0] = gfa
     import jax
+
+    from minigraph_tpu.utils.jaxcache import enable as enable_jax_cache
+    enable_jax_cache()
     log(f"devices: {jax.devices()}")
     rps, gaf, gi, mo, front = bench_ours(gfa, reads_fa)
     base = None

@@ -79,6 +79,8 @@ class DeviceFront:
         from ..options import MG_M_RMQ, MG_M_SPLICE, MG_M_SR
         from ..ops.anchors_jax import JoinIndex
         from ..utils.hashes import expf
+        from ..utils.jaxcache import enable as _enable_jax_cache
+        _enable_jax_cache()
         self.gi = gi
         self.opt = opt
         self.occ_cap = occ_cap

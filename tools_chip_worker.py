@@ -16,6 +16,9 @@ Q.mkdir(exist_ok=True)
 import numpy as np  # noqa: E402
 import jax  # noqa: E402
 
+from minigraph_tpu.utils.jaxcache import enable as _cache  # noqa: E402
+_cache()
+
 t0 = time.perf_counter()
 np.asarray(jax.numpy.arange(4) + 1)
 (Q / "READY").write_text(f"wedge {time.perf_counter()-t0:.1f}s\n")
