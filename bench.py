@@ -582,6 +582,15 @@ def main():
         bench_stage(gfa, reads_fa)
     except Exception as e:
         log(f"stage bench skipped: {type(e).__name__} {e}")
+    if time.time() - t_start < 1200:
+        # roofline/MFU table per kernel stage (SURVEY §7 step 8):
+        # bytes moved vs achieved HBM bandwidth on the 2 kb bucket
+        try:
+            from minigraph_tpu.tools import devprof
+            devprof.main(["--bucket", "2048x256", "--n", "256",
+                          "--reps", "3"])
+        except Exception as e:
+            log(f"roofline table skipped: {type(e).__name__} {e}")
     long_rps = long_vs = None
     if time.time() - t_start < 1500:
         try:

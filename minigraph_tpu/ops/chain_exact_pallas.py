@@ -245,11 +245,14 @@ def _make_kernel(W, T, B, mdx, mdy, bw, max_skip, max_iter,
             wf[pl.ds(tw, 1), :] = f_i
             return jnp.int32(0)
 
-        @pl.when(run)
-        def _run_tile():
-            jax.lax.fori_loop(jnp.int32(0), jnp.int32(T), body,
-                              jnp.int32(0))
-            unc_ref[0:1, :] = mst[2:3, :]
+        # skipped steps run the loop zero times (a dynamic trip count
+        # instead of a pl.when region: the conditional region forced
+        # an extra VMEM copy of the live window scratch, blowing the
+        # 16 MB scoped-vmem limit at the 2 kb bucket's B=256)
+        jax.lax.fori_loop(jnp.int32(0),
+                          jnp.where(run, jnp.int32(T), jnp.int32(0)),
+                          body, jnp.int32(0))
+        unc_ref[0:1, :] = mst[2:3, :]
 
     return kernel
 
