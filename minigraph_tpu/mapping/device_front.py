@@ -216,7 +216,11 @@ class DeviceFront:
             if self.chain_window is not None:
                 win = min(self.chain_window, acap)
             elif use_pallas:
-                win = min(1024 if pad_len <= 4096 else 768, acap)
+                # short buckets: W=512 >= the anchor count of any
+                # typical 2 kb read (~370 at w=11), so nothing flags;
+                # W=1024 at B=256 blew the 16 MB scoped-vmem limit
+                # (6 window planes + shift temps + outputs ~ 18.4 MB)
+                win = min(512 if pad_len <= 4096 else 768, acap)
             else:
                 win = min(1024 if pad_len <= 4096 else 256, acap)
             opt = self.opt
