@@ -16,6 +16,7 @@
 #include <time.h>
 
 extern void mgt_shortk_tls_free(void);
+extern void mgt_lchain_tls_free(void);
 extern void mgt_cigar_tls_free(void);
 extern void mgt_collect_tls_free(void);
 
@@ -612,6 +613,7 @@ static void *worker(void *vp)
     mgt_shortk_tls_free();
     mgt_cigar_tls_free();
     mgt_collect_tls_free();
+    mgt_lchain_tls_free();
     return 0;
 }
 

@@ -19,6 +19,37 @@ extern void mgt_radix_sort_128x(uint64_t *a, int64_t n);
 /* --dbg-lc-prof counters (lchain.c:153,209,361), read via ctypes */
 int64_t mgt_lchain_stats[4];
 
+/* Grow-only thread-local scratch: the chain engines run once or
+ * twice per READ on the batch pool's worker threads, and a per-call
+ * malloc/free of the f/p/t arrays plus the 48 B/anchor RMQ node pool
+ * dominates the call cost for 2 kb reads (rescue fires on most lr
+ * reads).  Slots are reused across the engines — one thread never
+ * runs two chain calls concurrently. */
+#define LC_TLS_SLOTS 6
+static __thread void *lc_tls[LC_TLS_SLOTS];
+static __thread int64_t lc_tls_cap[LC_TLS_SLOTS];
+
+static void *lc_scratch(int slot, int64_t bytes)
+{
+    if (lc_tls_cap[slot] < bytes) {
+        int64_t cap = bytes + (bytes >> 1);
+        free(lc_tls[slot]);
+        lc_tls[slot] = malloc((size_t)cap);
+        lc_tls_cap[slot] = lc_tls[slot] ? cap : 0;
+    }
+    return lc_tls[slot];
+}
+
+void mgt_lchain_tls_free(void)
+{
+    int k;
+    for (k = 0; k < LC_TLS_SLOTS; ++k) {
+        free(lc_tls[k]);
+        lc_tls[k] = 0;
+        lc_tls_cap[k] = 0;
+    }
+}
+
 static inline float mg_log2f(float x)
 {
     union { float f; uint32_t i; } z = { x };
@@ -241,10 +272,10 @@ int64_t mgt_lchain_dp(int32_t max_dist_x, int32_t max_dist_y, int32_t bw,
     if (max_dist_x < bw) max_dist_x = bw;
     if (max_dist_y < bw && !is_cdna) max_dist_y = bw;
     if (is_cdna) max_drop = 0x7fffffff;
-    p = (int64_t *)malloc(8 * n);
-    f = (int64_t *)malloc(8 * n);
-    vv = (int64_t *)malloc(8 * n);
-    mark = (int32_t *)malloc(4 * n);
+    p = (int64_t *)lc_scratch(0, 8 * n);
+    f = (int64_t *)lc_scratch(1, 8 * n);
+    vv = (int64_t *)lc_scratch(5, 8 * n);
+    mark = (int32_t *)lc_scratch(2, 4 * n);
     memset(mark, 0xff, 4 * n);
 
     for (i = 0; i < n; ++i) {
@@ -316,7 +347,6 @@ int64_t mgt_lchain_dp(int32_t max_dist_x, int32_t max_dist_y, int32_t bw,
     n_v = mgt_chain_backtrack_core(n, f, p, min_cnt, min_sc, max_drop, u_out, &n_u,
                           vv);
     if (n_u > 0) compact_a(n_u, u_out, n_v, vv, ax, ay);
-    free(p); free(f); free(vv); free(mark);
     *n_u_out = n_u;
     return n_u == 0 ? 0 : n_v;
 }
@@ -624,12 +654,12 @@ int64_t mgt_lchain_rmq(int32_t max_dist, int32_t max_dist_inner, int32_t bw,
     if (max_dist < bw) max_dist = bw;
     if (max_dist_inner <= 0 || max_dist_inner >= max_dist) max_dist_inner = 0;
     use_inner = max_dist_inner > 0;
-    p = (int64_t *)malloc(8 * n);
-    f = (int64_t *)malloc(8 * n);
-    t = (int32_t *)malloc(4 * n);
+    p = (int64_t *)lc_scratch(0, 8 * n);
+    f = (int64_t *)lc_scratch(1, 8 * n);
+    t = (int32_t *)lc_scratch(2, 4 * n);
     for (i = 0; i < n; ++i) t[i] = -1;
-    pool = (rnode_t *)malloc(sizeof(rnode_t) * 2 * (n + 1));
-    freelist = (rnode_t **)malloc(sizeof(rnode_t *) * 2 * (n + 1));
+    pool = (rnode_t *)lc_scratch(3, sizeof(rnode_t) * 2 * (n + 1));
+    freelist = (rnode_t **)lc_scratch(4, sizeof(rnode_t *) * 2 * (n + 1));
     gap_d = (double)chn_pen_gap;
 
     int64_t n_iter = 0, mmax_f = 0, max_rmq_size = 0;
@@ -725,10 +755,9 @@ int64_t mgt_lchain_rmq(int32_t max_dist, int32_t max_dist_inner, int32_t bw,
     mgt_lchain_stats[2] = max_rmq_size;
     mgt_lchain_stats[3] = max_live;
 
-    vv = (int64_t *)malloc(8 * n);
+    vv = (int64_t *)lc_scratch(5, 8 * n);
     n_v = mgt_chain_backtrack_core(n, f, p, min_cnt, min_sc, bw, u_out, &n_u, vv);
     if (n_u > 0) compact_a(n_u, u_out, n_v, vv, ax, ay);
-    free(p); free(f); free(t); free(vv); free(pool); free(freelist);
     *n_u_out = n_u;
     return n_u == 0 ? 0 : n_v;
 }
@@ -746,14 +775,13 @@ int64_t mgt_lchain_finish(int32_t bw, int32_t is_cdna, int32_t min_cnt,
 
     *n_u_out = 0;
     if (n == 0) return 0;
-    f = (int64_t *)malloc(8 * n);
-    p = (int64_t *)malloc(8 * n);
-    vv = (int64_t *)malloc(8 * n);
+    f = (int64_t *)lc_scratch(0, 8 * n);
+    p = (int64_t *)lc_scratch(1, 8 * n);
+    vv = (int64_t *)lc_scratch(5, 8 * n);
     for (i = 0; i < n; ++i) f[i] = f32v[i], p[i] = p32[i];
     n_v = mgt_chain_backtrack_core(n, f, p, min_cnt, min_sc, max_drop, u_out, &n_u,
                           vv);
     if (n_u > 0) compact_a(n_u, u_out, n_v, vv, ax, ay);
-    free(f); free(p); free(vv);
     *n_u_out = n_u;
     return n_u == 0 ? 0 : n_v;
 }
