@@ -496,7 +496,52 @@ def bench_host(gfa, reads_fa):
             extra["sr_vs_baseline"] = round(vs_sr, 3)
     except Exception as e:
         log(f"sr host bench skipped: {type(e).__name__} {e}")
+    try:
+        gg_vs = bench_ggs_build()
+        if gg_vs:
+            extra["ggs_build_vs_baseline"] = round(gg_vs, 3)
+    except Exception as e:
+        log(f"ggs build bench skipped: {type(e).__name__} {e}")
     return rps, vs, par, extra
+
+
+def bench_ggs_build():
+    """Side metric: graph construction (-cxggs, 6 samples) wall vs
+    the reference, using each CLI's self-reported Real time (the
+    interpreter pays ~2 s of axon sitecustomize jax import at start;
+    the C binary does not — self-timed walls exclude that)."""
+    haps = [str(CACHE / f"hap{h}.fa") for h in range(1, 6)]
+    if not all(os.path.exists(h) for h in haps) or not ensure_oracle():
+        return None
+    args = ["-cxggs", "-t1", str(CACHE / "ref.fa"), *haps]
+
+    def real_time(stderr_text):
+        m = re.findall(r"Real time: ([0-9.]+)", stderr_text)
+        return float(m[-1]) if m else None
+
+    t_our = t_ref = None
+    out_our = out_ref = None
+    for _ in range(2):
+        r = subprocess.run([sys.executable, "-m", "minigraph_tpu",
+                            *args], capture_output=True, text=True,
+                           timeout=600)
+        t = real_time(r.stderr)
+        if t is not None:
+            t_our = t if t_our is None else min(t_our, t)
+        out_our = r.stdout
+        r = subprocess.run([str(ORACLE), *args], capture_output=True,
+                           text=True, timeout=600)
+        t = real_time(r.stderr)
+        if t is not None:
+            t_ref = t if t_ref is None else min(t_ref, t)
+        out_ref = r.stdout
+    if not (t_our and t_ref):
+        return None
+    vs = t_ref / t_our
+    log(f"HOST -cxggs 6-sample build: {t_our:.1f}s vs reference "
+        f"{t_ref:.1f}s -> {vs:.2f}x"
+        + ("  PARITY OK" if out_our == out_ref else "  PARITY MISMATCH!"))
+    return vs
 
 
 def host_fallback(gfa, reads_fa, why):
