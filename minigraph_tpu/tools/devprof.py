@@ -135,7 +135,11 @@ def main(argv=None):
     t0 = time.perf_counter()
     host = jax.device_get(resf)
     t_fetch = time.perf_counter() - t0
-    fetch_bytes = sum(np.asarray(v).nbytes for v in host.values())
+    if isinstance(host, dict):
+        fetch_bytes = sum(np.asarray(v).nbytes for v in host.values())
+    else:                       # single packed fetch buffer
+        fetch_bytes = np.asarray(host).nbytes
+        host = whole._unpack(np.asarray(host))
 
     n_live = int((np.asarray(lens_h) > 0).sum())
     n_a = np.asarray(res["n_a"])
