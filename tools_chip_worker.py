@@ -30,8 +30,11 @@ while True:
     for job in jobs:
         out = Q / (job.stem + ".out")
         done = Q / (job.stem + ".done")
-        src = job.read_text()
-        job.rename(Q / ("_" + job.name))
+        try:    # tolerate a concurrent worker claiming the job first
+            src = job.read_text()
+            job.rename(Q / ("_" + job.name))
+        except OSError:
+            continue
         buf = io.StringIO()
         t0 = time.perf_counter()
         try:
