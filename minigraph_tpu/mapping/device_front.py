@@ -129,6 +129,9 @@ class DeviceFront:
         self.n_fallback = 0
         self.n_chain_unsure = 0
         self.n_flat_ovf = 0
+        self.n_slice_refetch = 0
+        # per-bucket [anchor_words, mini_words] high-water fetch sizes
+        self._fill_pred: Dict[int, list] = {}
         self.thread_fetch = True
         # buckets that have completed one call (i.e. are compiled):
         # a submit touching a cold bucket sets last_submit_cold so the
@@ -374,6 +377,7 @@ class DeviceFront:
             # zero-copy numpy views.  [(key, shape, dtype), ...],
             # filled at trace time (shapes are static per bucket).
             pack_layout: list = []
+            meta: dict = {}
 
             def step_body(*args):
                 *tbl, codes, lens, max_occ = args
@@ -394,36 +398,69 @@ class DeviceFront:
                                   "q_cnt", "q_meta")
                         if k in res}
                 res.update(flat)
+                # layout: [header | anchor records | mini].  The flat
+                # anchor planes are interleaved into R-word records so
+                # ONE contiguous prefix slice carries every live
+                # anchor: the tunnel moves ~13-29 MB/s, and at typical
+                # fill (~30% of cap_flat) fetching the pad slack costs
+                # more than the whole device compute.  gather() slices
+                # by a per-bucket high-water fill mark; header scalars
+                # always come along (they hold the true fills).
+                rec_keys = [k for k in ("f_axh", "f_axl", "f_ay",
+                                        "f_fp") if k in res]
+                mini = res.pop("f_mini")
+                recs = [res.pop(k) for k in rec_keys]
                 pack_layout.clear()     # retrace resets the layout
                 parts = []
                 for k in sorted(res):
                     v = res[k]
                     if v.dtype == jnp.bool_:
                         v = v.astype(jnp.uint32).reshape(-1)
-                        words = int(np.prod(v.shape))
                         dt = np.dtype(bool)
                     else:
                         dt = np.dtype(v.dtype.name)
                         v = v.reshape(-1).view(jnp.uint32)
-                        words = int(np.prod(v.shape))
                     pack_layout.append((k, tuple(res[k].shape), dt,
-                                        words))
+                                        int(np.prod(v.shape))))
                     parts.append(v)
+                hdr_words = sum(w for *_x, w in pack_layout)
+                rec = jnp.stack([r.view(jnp.uint32) for r in recs],
+                                axis=1).reshape(-1)
+                meta["hdr"] = hdr_words
+                meta["R"] = len(rec_keys)
+                meta["rec_keys"] = rec_keys
+                meta["mini_off"] = hdr_words + len(rec_keys) * cap_flat
+                parts.append(rec)
+                parts.append(mini.view(jnp.uint32))
                 return jnp.concatenate(parts), full
 
-            def unpack(buf_np):
-                assert buf_np.size == sum(w for *_x, w in pack_layout), \
-                    "packed fetch buffer does not match trace layout"
+            def unpack(buf_np, n_rec=None, n_mini_w=None):
+                """Parse a fetched prefix: header + the first n_rec
+                anchor records + n_mini_w mini words (defaults = all,
+                for a full-buffer fetch)."""
                 res = {}
                 off = 0
                 for k, shape, dt, words in pack_layout:
                     sl = buf_np[off: off + words]
                     off += words
-                    if dt == np.dtype(bool):
-                        v = (sl != 0)
-                    else:
-                        v = sl.view(dt)
-                    res[k] = v.reshape(shape)
+                    res[k] = ((sl != 0) if dt == np.dtype(bool)
+                              else sl.view(dt)).reshape(shape)
+                R = meta["R"]
+                if n_rec is None:
+                    n_rec = cap_flat
+                    n_mini_w = cap_mini
+                    rec = buf_np[off: off + R * cap_flat]
+                    mini = buf_np[meta["mini_off"]:
+                                  meta["mini_off"] + cap_mini]
+                else:
+                    rec = buf_np[off: off + R * n_rec]
+                    mini = buf_np[off + R * n_rec:
+                                  off + R * n_rec + n_mini_w]
+                rec = rec.reshape(-1, R)
+                for i, k in enumerate(meta["rec_keys"]):
+                    res[k] = rec[:, i] if k == "f_fp" \
+                        else rec[:, i].view(np.uint32)
+                res["f_mini"] = mini.view(np.int32)
                 return res
 
             if use_pallas:
@@ -460,6 +497,8 @@ class DeviceFront:
                             "pack": pack_body, "tables": tables,
                             "acap": acap, "qcap": qcap, "win": win}
             step._unpack = unpack
+            step._meta = meta
+            step._caps = (cap_flat, cap_mini)
             self._fns[pad_len] = fn = step
         return fn
 
@@ -521,6 +560,24 @@ class DeviceFront:
                         res.copy_to_host_async()
                     except AttributeError:
                         pass
+                # predictive prefix slice: fetch header + the live
+                # anchor records + live mini words only, sized by the
+                # bucket's high-water fill (x1.3 headroom, rounded up
+                # to cap/8 so the lazily-built slice programs stay
+                # few).  ~30% typical fill -> ~3x fewer bytes through
+                # the 13-29 MB/s tunnel; gather() refetches the full
+                # regions when the true fill exceeds the slice.
+                cap_flat_b, cap_mini_b = fn._caps
+                pred = self._fill_pred.setdefault(
+                    pad_len, [cap_flat_b // 2, cap_mini_b // 2])
+                qstep_a = max(1, cap_flat_b // 8)
+                qstep_m = max(1, cap_mini_b // 8)
+                ta = min(cap_flat_b, -(-pred[0] // qstep_a) * qstep_a)
+                tm = min(cap_mini_b, -(-pred[1] // qstep_m) * qstep_m)
+                mt = fn._meta
+                k1 = mt["hdr"] + mt["R"] * ta
+                sl = (res[0:k1], res[mt["mini_off"]:
+                                     mt["mini_off"] + tm], ta, tm)
                 # background fetch: device_get releases the GIL, so
                 # the tunnel transfer overlaps the host tails of the
                 # previous batch even before the async-copy probe has
@@ -531,15 +588,16 @@ class DeviceFront:
                     import jax as _jax
                     holder = {}
 
-                    def _bg(res=res, holder=holder):
+                    def _bg(sl=sl, holder=holder):
                         try:
-                            holder["v"] = _jax.device_get(res)
+                            holder["v"] = _jax.device_get(
+                                (sl[0], sl[1]))
                         except Exception as e:  # fall back in gather()
                             holder["e"] = e
 
                     th = threading.Thread(target=_bg, daemon=True)
                     th.start()
-                pending.append((chunk, res, full, th, holder, fn))
+                pending.append((chunk, res, full, th, holder, fn, sl))
         return (len(seqs), pending)
 
     def gather(self, handle) -> List[Optional[FrontResult]]:
@@ -549,14 +607,32 @@ class DeviceFront:
 
         n_seqs, pending = handle
         out: List[Optional[FrontResult]] = [None] * n_seqs
-        for chunk, res, full, th, holder, fn in pending:
+        for chunk, res, full, th, holder, fn, sl in pending:
             if th is not None:
                 th.join()
             if holder and "v" in holder:
-                res = holder["v"]
+                a1, a2 = holder["v"]
             else:
-                res = jax.device_get(res)
-            res = fn._unpack(res)
+                a1, a2 = jax.device_get((sl[0], sl[1]))
+            ta, tm = sl[2], sl[3]
+            parsed = fn._unpack(np.concatenate([a1, a2]),
+                                n_rec=ta, n_mini_w=tm)
+            t_true = int(parsed["n_a"].sum())
+            m_true = int(parsed["n_mini"].sum())
+            # high-water fill predictor: x1.3 headroom, slow decay
+            for pl in list(self._fns):
+                if self._fns[pl] is fn:
+                    pr = self._fill_pred.setdefault(
+                        pl, [t_true, m_true])
+                    pr[0] = max(int(t_true * 1.3), (pr[0] * 7) // 8)
+                    pr[1] = max(int(m_true * 1.3), (pr[1] * 7) // 8)
+                    break
+            if t_true > ta or m_true > tm:
+                # slice undershot the true fill: refetch full regions
+                self.n_slice_refetch += 1
+                res = fn._unpack(jax.device_get(res))
+            else:
+                res = parsed
             if res.get("flat_ovf"):
                 # batch fuller than the half-size flat planes: fetch
                 # the padded planes kept on device instead (rare)
