@@ -205,8 +205,16 @@ class DeviceFront:
             # length and the device->host fetch, which dominates on a
             # tunneled chip (measured n_a ~= L/9 on MHC-class reads,
             # so L/4 leaves ~2x headroom on the long buckets).
-            qcap = max(256, pad_len // 4)
-            acap = pad_len // 2 if pad_len <= 4096 else pad_len // 4
+            # 2 kb bucket: devprof measured n_a mean 163 / max 462 and
+            # n_q <= ~370 at w=11, so acap 512 / qcap 384 cover real
+            # reads while halving collect volume and the chain scan;
+            # the rare denser read overflow-flags to the exact host
+            # path (throughput-only trade)
+            if pad_len <= 2048:
+                qcap, acap = 384, 512
+            else:
+                qcap = max(256, pad_len // 4)
+                acap = pad_len // 2 if pad_len <= 4096 else pad_len // 4
             do_chain = self.chain_enabled
             # window policy (chain_window=None): on the chip the chain
             # runs as a Pallas kernel with the window in VMEM, so a
@@ -219,8 +227,8 @@ class DeviceFront:
             if self.chain_window is not None:
                 win = min(self.chain_window, acap)
             elif use_pallas:
-                # short buckets: W=512 >= the anchor count of any
-                # typical 2 kb read (~370 at w=11), so nothing flags;
+                # short buckets: W=acap means no window flag can fire
+                # below the anchor cap (W=512 at acap=512 for 2 kb);
                 # W=1024 at B=256 blew the 16 MB scoped-vmem limit
                 # (6 window planes + shift temps + outputs ~ 18.4 MB)
                 win = min(512 if pad_len <= 4096 else 768, acap)
