@@ -44,6 +44,10 @@ class FrontResult:
     n_mv: int
     f: Optional[np.ndarray] = None  # (n_a,) int32 device chain DP scores
     p: Optional[np.ndarray] = None  # (n_a,) int32 parents
+    # device-backtracked chains (ops/backtrack_jax.py): when set,
+    # ax/ay are the COMPACTED chain anchors and u is sc<<32|cnt per
+    # chain, exactly mgt_lchain_finish's outputs
+    u: Optional[np.ndarray] = None  # (n_u,) uint64
 
 
 def derive_query_info(q_cnt: np.ndarray, q_meta: np.ndarray, n_q: int,
@@ -295,11 +299,7 @@ class DeviceFront:
                         jnp.float32(self.chn_pen_gap),
                         jnp.float32(self.chn_pen_skip),
                         window=win, tile=8)
-                # pack (f, p) into one u32 plane: halves the largest
-                # chain fetch (f < 2^17 for <=128 kb reads, p+1 <= acap)
-                fp = (f.astype(jnp.uint32) << jnp.uint32(14)) \
-                    | (p + 1).astype(jnp.uint32)
-                return fp, sure
+                return f.astype(jnp.int32), p.astype(jnp.int32), sure
 
             # dense anchor compaction: the padded (B, acap) planes are
             # ~70% empty on real reads, and the d2h fetch is the
@@ -313,7 +313,9 @@ class DeviceFront:
 
             cap_mini = (dict(self.buckets)[pad_len] * qcap * 3) // 4
 
-            def pack_body(axh, axl, ayh, ayl, fp, n_a, q_cnt, q_meta,
+            cap_u = dict(self.buckets)[pad_len] * 8
+
+            def pack_body(axh, axl, ayh, ayl, uinfo, n_a, q_cnt, q_meta,
                           n_q, max_occ):
                 B = axh.shape[0]
                 ar = jnp.arange(acap, dtype=jnp.int32)[None, :]
@@ -373,8 +375,26 @@ class DeviceFront:
                        "mprefix": mprefix, "f_mini": f_mini,
                        "flat_ovf": (jnp.sum(n_a) > cap_flat)
                        | (jnp.sum(n_mini) > cap_mini)}
-                if fp is not None:
-                    out["f_fp"] = flat(fp)
+                if uinfo is not None:
+                    # chain records (sc, cnt) dense-packed into the
+                    # header (small: a few chains per read)
+                    u_sc, u_cnt, n_u = uinfo
+                    ucap_w = u_sc.shape[1]
+                    ur = jnp.arange(ucap_w, dtype=jnp.int32)[None, :]
+                    u_ok = ur < n_u[:, None]
+                    uprefix = jnp.concatenate(
+                        [jnp.zeros(1, jnp.int32),
+                         jnp.cumsum(n_u.astype(jnp.int32))])[:B]
+                    uidx = jnp.where(u_ok, uprefix[:, None] + ur,
+                                     cap_u).reshape(-1)
+                    out["u_sc"] = jnp.zeros(cap_u, jnp.int32) \
+                        .at[uidx].set(u_sc.reshape(-1), mode="drop")
+                    out["u_cnt"] = jnp.zeros(cap_u, jnp.int32) \
+                        .at[uidx].set(u_cnt.reshape(-1), mode="drop")
+                    out["n_u"] = n_u
+                    out["uprefix"] = uprefix
+                    out["flat_ovf"] = out["flat_ovf"] \
+                        | (jnp.sum(n_u) > cap_u)
                 return out
 
             # wire layout of the single fetched buffer: every result
@@ -391,20 +411,51 @@ class DeviceFront:
                 *tbl, codes, lens, max_occ = args
                 res = collect_body(*tbl, codes, lens, max_occ)
                 if do_chain:
-                    fp, sure = chain_body(res["axh"], res["axl"],
-                                          res["ayh"], res["ayl"],
-                                          res["n_a"])
-                    res["fp"], res["sure"] = fp, sure
-                flat = pack_body(res["axh"], res["axl"], res["ayh"],
-                                 res["ayl"], res.get("fp"), res["n_a"],
-                                 res["q_cnt"], res["q_meta"],
+                    # chain DP + EXACT backtrack/compaction on device
+                    # (ops/backtrack_jax.py): the host only ever needs
+                    # surviving-chain anchors (even the long-join
+                    # rescue re-chains the compacted set, mgt_tail.c
+                    # :186-227), and chains are 3-10x fewer than raw
+                    # anchors — which is what the 13-29 MB/s tunnel
+                    # fetch pays for.  Unsure lanes (chain flag, step
+                    # budget, ucap) fall back to the exact host path.
+                    from ..ops.backtrack_jax import backtrack_compact
+                    f, p, sure = chain_body(res["axh"], res["axl"],
+                                            res["ayh"], res["ayl"],
+                                            res["n_a"])
+                    bt = backtrack_compact(
+                        f, p, res["n_a"], res["axh"], res["axl"],
+                        res["ayh"], res["ayl"],
+                        min_cnt=int(opt.min_lc_cnt),
+                        min_sc=int(opt.min_lc_score),
+                        max_drop=int(opt.bw), ucap=64)
+                    res["sure"] = sure & ~bt["bt_unsure"]
+                    pk_axh, pk_axl = bt["c_axh"], bt["c_axl"]
+                    pk_ayh, pk_ayl = bt["c_ayh"], bt["c_ayl"]
+                    pk_n = bt["n_v"]
+                    uinfo = (bt["u_sc"], bt["u_cnt"], bt["n_u"])
+                    full = {"axh": pk_axh, "axl": pk_axl,
+                            "ayh": pk_ayh, "ayl": pk_ayl,
+                            "u_pad_sc": bt["u_sc"],
+                            "u_pad_cnt": bt["u_cnt"],
+                            "q_cnt": res.pop("q_cnt"),
+                            "q_meta": res.pop("q_meta")}
+                    res["n_a"] = pk_n
+                    res.pop("axh"), res.pop("axl")
+                    res.pop("ayh"), res.pop("ayl")
+                else:
+                    pk_axh, pk_axl = res["axh"], res["axl"]
+                    pk_ayh, pk_ayl = res["ayh"], res["ayl"]
+                    pk_n = res["n_a"]
+                    uinfo = None
+                    full = {k: res.pop(k)
+                            for k in ("axh", "axl", "ayh", "ayl",
+                                      "q_cnt", "q_meta")
+                            if k in res}
+                flat = pack_body(pk_axh, pk_axl, pk_ayh, pk_ayl,
+                                 uinfo, pk_n,
+                                 full["q_cnt"], full["q_meta"],
                                  res["n_q"], max_occ)
-                # ship the flat planes; keep the padded ones on device
-                # (no fetch) for the rare flat_ovf re-read
-                full = {k: res.pop(k)
-                        for k in ("axh", "axl", "ayh", "ayl", "fp",
-                                  "q_cnt", "q_meta")
-                        if k in res}
                 res.update(flat)
                 # layout: [header | anchor records | mini].  The flat
                 # anchor planes are interleaved into R-word records so
@@ -661,11 +712,16 @@ class DeviceFront:
                     | (((PK >> U64(23)) & U64(1)) << U64(42)) \
                     | (((PK >> U64(17)) & U64(0x3F)) << U64(32)) \
                     | (PK & U64(0x1FFFF))
-                fp_dev = res.get("f_fp")
                 mini_flat = res["f_mini"].astype(np.int64)
                 mprefix = res["mprefix"]
                 n_mini = res["n_mini"]
                 rep_lens = res["rep_len"]
+                u_sc_f = res.get("u_sc")
+                if u_sc_f is not None:
+                    U_all = (u_sc_f.astype(np.uint64) << U64(32)) \
+                        | res["u_cnt"].astype(np.uint64)
+                    n_u_h = res["n_u"]
+                    uprefix = res["uprefix"]
             else:
                 # padded (B, acap) planes; device ayh =
                 # occ<<24|tandem<<10|span, host layout =
@@ -677,14 +733,20 @@ class DeviceFront:
                     | (((AH >> U64(10)) & U64(1)) << U64(42)) \
                     | ((AH & U64(0x3FF)) << U64(32)) \
                     | res["ayl"].astype(U64)
-                fp_dev = res.get("fp")
-            f_dev = p_dev = None
-            if fp_dev is not None:
-                f_dev = (fp_dev >> 14).astype(np.int32)
-                p_dev = (fp_dev & 0x3FFF).astype(np.int32) - 1
+                u_pad = res.get("u_pad_sc")
+                if u_pad is not None:
+                    U_pad = (u_pad.astype(np.uint64) << U64(32)) \
+                        | res["u_pad_cnt"].astype(np.uint64)
+            chains_mode = self.chain_enabled
             for bi, ri in enumerate(chunk):
                 if ovf[bi]:
                     self.n_fallback += 1
+                    continue
+                if chains_mode and sure is not None and not sure[bi]:
+                    # chain DP or backtrack flagged: the compacted
+                    # chains are unusable, re-run the read on the
+                    # exact host path from scratch
+                    self.n_chain_unsure += 1
                     continue
                 n = int(n_a[bi])
                 if flat:
@@ -700,15 +762,17 @@ class DeviceFront:
                         int(n_q[bi]), int(self.opt.occ_max1))
                 ax = AX[sl]
                 ay = AY[sl]
-                fb = pb = None
-                if f_dev is not None:
-                    if sure[bi]:
-                        fb, pb = f_dev[sl], p_dev[sl]
+                ub = None
+                if chains_mode:
+                    if flat:
+                        u0 = int(uprefix[bi])
+                        ub = U_all[u0: u0 + int(n_u_h[bi])]
                     else:
-                        self.n_chain_unsure += 1
+                        ub = U_pad[bi, : int(res["n_u"][bi])] \
+                            if u_pad is not None else None
                 out[ri] = FrontResult(ax=ax, ay=ay, rep_len=rep_len,
                                       mini_pos=mini_pos,
-                                      n_mv=int(n_q[bi]), f=fb, p=pb)
+                                      n_mv=int(n_q[bi]), u=ub)
                 self.n_device += 1
         return out
 

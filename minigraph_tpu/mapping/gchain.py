@@ -1292,6 +1292,11 @@ def map_tail_full(g, es, mode: int, f32, p32, ax, ay, mini_pos,
         f32 = np.ascontiguousarray(f32, dtype=np.int32)
         p32 = np.ascontiguousarray(p32, dtype=np.int32)
         fp_ptr, pp_ptr = f32.ctypes.data, p32.ctypes.data
+    elif mode == 3:
+        # f32 carries the device-backtracked u array (sc<<32|cnt);
+        # max_dist_x (already len(u) from the caller) is n_u
+        f32 = np.ascontiguousarray(f32, dtype=np.uint64)
+        fp_ptr = f32.ctypes.data
     do_rescue = int(opt.bw_long > opt.bw
                     and not (opt.flag & (MG_M_SPLICE | MG_M_SR))
                     and n_segs == 1)

@@ -102,7 +102,7 @@ def map_frag_tail(gi: MinimizerIndex, qlens: List[int], seqs: List[str],
                   opt: MapOptions, qname: Optional[str],
                   ax: np.ndarray, ay: np.ndarray, rep_len: int,
                   mini_pos: np.ndarray, n_mv: int,
-                  chain_fp=None, cigar_sink=None,
+                  chain_fp=None, chains_u=None, cigar_sink=None,
                   fast_emit: bool = False,
                   gwfa_pool=None) -> Optional[GChains]:
     """Per-read pipeline after seed collection (map-algo.c:377-495).
@@ -152,7 +152,13 @@ def map_frag_tail(gi: MinimizerIndex, qlens: List[int], seqs: List[str],
     # the decomposed stages below for debug dumps / engine bailouts
     if len(ax) > 0:
         from .gchain import map_tail_full
-        if opt.flag & MG_M_RMQ:
+        if chains_u is not None:
+            # device-backtracked chains: ax/ay are compacted, mt_f
+            # carries the u array, mt_dx its length (mode 3 skips the
+            # whole linear-chain stage, native/mgt_tail.c)
+            mt_mode, mt_f, mt_p = 3, chains_u, None
+            mt_dx, mt_dy = len(chains_u), 0
+        elif opt.flag & MG_M_RMQ:
             mt_mode, mt_f, mt_p = 2, None, None
             mt_dx, mt_dy = opt.max_gap, 0
         elif chain_fp is not None:
@@ -183,7 +189,11 @@ def map_frag_tail(gi: MinimizerIndex, qlens: List[int], seqs: List[str],
             return _map_frag_finish(gi, gcs, opt, qname, n_segs,
                                     seq_cat, qlen_sum, n_mv, cigar_sink)
 
-    if len(ax) == 0:
+    if chains_u is not None:
+        # device chains: skip the linear-chain stage entirely
+        n_lc = len(chains_u)
+        u = np.ascontiguousarray(chains_u, dtype=np.uint64)
+    elif len(ax) == 0:
         n_lc, u = 0, np.empty(0, dtype=np.uint64)
     elif opt.flag & MG_M_RMQ:
         ax, ay, n_lc, u = lchain_rmq(opt.max_gap, opt.max_gap_pre, opt.bw,
@@ -600,7 +610,14 @@ def _map_batch_native(gi, opt, items, n_threads, host_collect=False,
                 n_mv[k2] = fr.n_mv
                 n_mini[k2] = len(mp)
                 rep_len[k2] = fr.rep_len
-                if not is_rmq and fr.f is not None:
+                if fr.u is not None:
+                    u64 = np.ascontiguousarray(fr.u, dtype=np.uint64)
+                    keep.append((u64,))
+                    fpp[k2] = u64.ctypes.data
+                    mode[k2] = 3
+                    mdx[k2] = len(u64)
+                    mdy[k2] = 0
+                elif not is_rmq and fr.f is not None:
                     f32 = np.ascontiguousarray(fr.f, dtype=np.int32)
                     p32 = np.ascontiguousarray(fr.p, dtype=np.int32)
                     keep.append((f32, p32))
@@ -642,7 +659,14 @@ def _map_batch_native(gi, opt, items, n_threads, host_collect=False,
             n_mv[k] = fr.n_mv
             n_mini[k] = len(mp)
             rep_len[k] = fr.rep_len
-        if is_rmq:
+        if not host_collect and fr.u is not None:
+            u64 = np.ascontiguousarray(fr.u, dtype=np.uint64)
+            keep.append((u64,))
+            fpp[k] = u64.ctypes.data
+            mode[k] = 3
+            mdx[k] = len(u64)
+            mdy[k] = 0
+        elif is_rmq:
             mode[k] = 2
             mdx[k] = opt.max_gap
             mdy[k] = 0
@@ -1553,6 +1577,7 @@ def _map_file_frag(gi: MinimizerIndex, fns: List[str], opt: MapOptions,
                                               fr.ay, fr.rep_len,
                                               fr.mini_pos, fr.n_mv,
                                               chain_fp=fp,
+                                              chains_u=fr.u,
                                               cigar_sink=cigar_sink,
                                               fast_emit=cigar_sink
                                               is None,

@@ -158,7 +158,15 @@ int64_t mgt_map_tail(
     if (mgt_tail_prof()) tp0 = mgt_now_ns();
     u = (uint64_t *)malloc(8 * (size_t)n_a);
     if (!u) return -1;
-    if (mode == 0)
+    if (mode == 3) {
+        /* chains precomputed on device (ops/backtrack_jax.py):
+         * ax/ay arrive compacted, fdp carries u (sc<<32|cnt),
+         * max_dist_x its length */
+        n_u32 = (int32_t)max_dist_x;
+        if (n_u32 > 0)
+            memcpy(u, fdp, 8 * (size_t)n_u32);
+        n_v = n_a;
+    } else if (mode == 0)
         n_v = mgt_lchain_finish((int32_t)bw, (int32_t)is_cdna,
                                 (int32_t)min_lc_cnt, (int32_t)min_lc_score,
                                 n_a, fdp, pdp, ax, ay, u, &n_u32);

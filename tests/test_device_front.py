@@ -54,7 +54,7 @@ def test_front_matches_host_collect():
     io_, mo, go = _opts()
     g, reads = _mt_reads(rng, 30, 1000, tandem=8)
     gi = build_index(g, io_.k, io_.w, mo)
-    front = DeviceFront(gi, mo, buckets=((1024, 64),))
+    front = DeviceFront(gi, mo, buckets=((1024, 64),), chain=False)
     res = front.run_batch(reads)
     n_dev = 0
     for r, fr in zip(reads, res):
@@ -80,7 +80,7 @@ def test_front_flags_tandem_dup_x():
     io_, mo, go = _opts()
     g, reads = _mt_reads(rng, 0, 1500, tandem=10)
     gi = build_index(g, io_.k, io_.w, mo)
-    front = DeviceFront(gi, mo, buckets=((2048, 16),))
+    front = DeviceFront(gi, mo, buckets=((2048, 16),), chain=False)
     res = front.run_batch(reads)
     for r, fr in zip(reads, res):
         if fr is None:
@@ -132,7 +132,7 @@ def test_front_long_reads_16k_bucket():
             s[p] = "ACGT"[int(rng.integers(0, 4))]
         reads.append("".join(s))
     gi = build_index(g, io_.k, io_.w, mo)
-    front = DeviceFront(gi, mo, buckets=((16384, 8),))
+    front = DeviceFront(gi, mo, buckets=((16384, 8),), chain=False)
     res = front.run_batch(reads)
     n_dev = 0
     for r, fr in zip(reads, res):
@@ -245,7 +245,7 @@ def test_collapsed_split_native_loop_parity(monkeypatch):
         return orig(*a, **kw)
 
     monkeypatch.setattr(M, "_map_file_native", spy)
-    front = DeviceFront(gi, mo, buckets=((1024, 64),))
+    front = DeviceFront(gi, mo, buckets=((1024, 64),), chain=False)
     front._split_state = {"share": 1.0, "collapsed": True,
                           "t_host": None, "t_dev": None}
     sink = io.StringIO()
@@ -273,3 +273,42 @@ def test_probe_interval_scales_with_cost_ratio():
     # never below 8, never above 256
     assert _probe_interval({"t_dev": 1e-6, "t_host": 1.0}) == 8
     assert _probe_interval({"t_dev": 10.0, "t_host": 1e-4}) == 256
+
+
+def test_front_chains_match_host():
+    """chains mode (the production default): fr.ax/ay are the
+    COMPACTED chain anchors and fr.u the chain records, all equal to
+    the host linear-chain engine's output byte-for-byte."""
+    from minigraph_tpu.mapping.lchain import lchain_dp
+    from minigraph_tpu.utils.hashes import expf
+
+    rng = np.random.default_rng(7)
+    io_, mo, go = _opts()
+    g, reads = _mt_reads(rng, 30, 1800, tandem=4)
+    gi = build_index(g, io_.k, io_.w, mo)
+    tmp = expf(-np.float32(mo.div) * np.float32(gi.k))
+    cpg = float(np.float32(np.float32(mo.chn_pen_gap) * np.float32(tmp)))
+    cps = float(np.float32(np.float32(mo.chn_pen_skip)
+                           * np.float32(tmp)))
+    front = DeviceFront(gi, mo, buckets=((2048, 64),))
+    res = front.run_batch(reads)
+    n_dev = 0
+    for r, fr in zip(reads, res):
+        if fr is None:
+            continue
+        n_dev += 1
+        assert fr.u is not None
+        mv_x, mv_y = collect_minimizers(gi, [len(r)], [r])
+        hax, hay, hrep, hmini = collect_seed_hits(
+            gi, mo, mo.occ_max1, mv_x, mv_y, None)
+        cx, cy, hnu, hu = lchain_dp(
+            mo.max_gap, mo.max_gap, mo.bw, mo.max_lc_skip,
+            mo.max_lc_iter, mo.min_lc_cnt, mo.min_lc_score, cpg, cps,
+            False, 1, hax.copy(), hay.copy())
+        assert len(fr.u) == hnu
+        assert np.array_equal(np.asarray(fr.u), hu)
+        assert np.array_equal(np.asarray(fr.ax), cx)
+        assert np.array_equal(np.asarray(fr.ay), cy)
+        assert fr.rep_len == hrep
+        assert np.array_equal(fr.mini_pos, np.asarray(hmini, np.int32))
+    assert n_dev >= 25
