@@ -54,12 +54,15 @@ def backtrack_compact(f, p, n_a, axh, axl, ayh, ayl,
     idx = jnp.arange(A, dtype=I32)[None, :]
     live = idx < n_a[:, None]
     cand = live & (f >= jnp.int32(min_sc))
-    # ascending stable sort on f; non-candidates sort past the live
+    # ascending sort on (f, i) — the index is an explicit second KEY,
+    # not a stability assumption (TPU bitonic sorts may ignore
+    # is_stable): equal-f candidates order ascending by index exactly
+    # like the radix pair sort.  Non-candidates sort past the live
     # block with key +INF so candidates occupy [0, n_z) ascending and
-    # rank k walks them top-down (f never reaches 2^30, no collision)
+    # rank k walks them top-down (f never reaches 2^30, no collision).
     key = jnp.where(cand, f, jnp.int32(0x7FFFFFFF))
     s_key, s_idx = jax.lax.sort((key, jnp.broadcast_to(idx, (B, A))),
-                                num_keys=1, is_stable=True)
+                                num_keys=2)
     n_z = cand.sum(axis=1).astype(I32)                  # (B,)
 
     max_steps = jnp.int32(8 * A + 16)
@@ -201,8 +204,10 @@ def backtrack_compact(f, p, n_a, axh, axl, ayh, ayl,
     SB = jnp.int32(-0x80000000)
     ord_c = jnp.arange(ucap, dtype=I32)[None, :] \
         + jnp.zeros((B, 1), I32)
+    # ord_c is an explicit third key: x-ties keep build (score-desc)
+    # order exactly like the host's stable radix on (x, coff|c) pairs
     _, _, perm = jax.lax.sort(
-        (kxh ^ SB, kxl ^ SB, ord_c), num_keys=2, is_stable=True)
+        (kxh ^ SB, kxl ^ SB, ord_c), num_keys=3)
     cnt_o = jnp.take_along_axis(u_cnt, perm, axis=1)
     sc_o = jnp.take_along_axis(u_sc, perm, axis=1)
     coff_src_o = jnp.take_along_axis(coff, perm, axis=1)
