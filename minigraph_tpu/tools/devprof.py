@@ -125,11 +125,20 @@ def main(argv=None):
 
     stage_t = {}
     stage_t["collect"], res = t(collect, *tables, codes, lens, max_occ)
-    stage_t["chain"], (fp, sure) = t(
+    stage_t["chain"], (fdp, pdp, sure) = t(
         chain, res["axh"], res["axl"], res["ayh"], res["ayl"], res["n_a"])
+    from minigraph_tpu.ops.backtrack_jax import backtrack_compact
+    import jax as _jax
+    bt_fn = x64_off(_jax.jit(lambda *a: backtrack_compact(
+        *a, min_cnt=mo.min_lc_cnt, min_sc=mo.min_lc_score,
+        max_drop=mo.bw, ucap=64)))
+    stage_t["backtrack"], bt = t(
+        bt_fn, fdp, pdp, res["n_a"], res["axh"], res["axl"],
+        res["ayh"], res["ayl"])
     stage_t["pack"], flat = t(
-        pack, res["axh"], res["axl"], res["ayh"], res["ayl"], fp,
-        res["n_a"], res["q_cnt"], res["q_meta"], res["n_q"], max_occ)
+        pack, bt["c_axh"], bt["c_axl"], bt["c_ayh"], bt["c_ayl"],
+        (bt["u_sc"], bt["u_cnt"], bt["n_u"]),
+        bt["n_v"], res["q_cnt"], res["q_meta"], res["n_q"], max_occ)
     stage_t["fused"], (resf, fullf) = t(whole, codes_h, lens_h, max_occ)
 
     t0 = time.perf_counter()
@@ -170,12 +179,14 @@ def main(argv=None):
     ops_chain = cells_chain * 120  # ~vector ops per window cell
     bytes_pack = B * acap * 4 * 8
 
+    bytes_bt = B * acap * 4 * 8     # sort + interpreter gathers (est)
     rows = [
         ("collect", stage_t["collect"], bytes_collect),
         ("chain", stage_t["chain"], bytes_chain),
+        ("backtrack", stage_t["backtrack"], bytes_bt),
         ("pack", stage_t["pack"], bytes_pack),
         ("fused(all)", stage_t["fused"], bytes_collect + bytes_chain
-         + bytes_pack),
+         + bytes_bt + bytes_pack),
     ]
     print(f"[devprof] {'stage':<11} {'ms/batch':>9} {'us/read':>8} "
           f"{'MB':>7} {'%HBMpeak':>9}", file=sys.stderr)
