@@ -59,7 +59,21 @@ def get_lib():
     try:
         if _needs_build() and not build():
             return None
-        _lib = ctypes.CDLL(str(_SO_PATH))
+        # dlopen caches by path: a long-lived process that re-imports
+        # this module after a rebuild would silently keep the OLD
+        # library mapped (observed: a warm worker ran a stale
+        # mgt_map_tail without the newest mode and produced subtly
+        # different chains).  Load a per-mtime copy so every rebuild
+        # maps fresh code.
+        import shutil
+        import tempfile
+        mt = int(_SO_PATH.stat().st_mtime_ns)
+        vpath = Path(tempfile.gettempdir()) / f"libmgt-{mt}.so"
+        if not vpath.exists():
+            tmp = vpath.with_suffix(".tmp%d" % os.getpid())
+            shutil.copy2(_SO_PATH, tmp)
+            os.replace(tmp, vpath)
+        _lib = ctypes.CDLL(str(vpath))
         _configure(_lib)
     except OSError as e:
         sys.stderr.write(f"[mgt] native load failed: {e}\n")
