@@ -36,7 +36,6 @@ import jax
 import jax.numpy as jnp
 
 I32 = jnp.int32
-NEG = jnp.int32(-0x40000000)
 
 
 def backtrack_compact(f, p, n_a, axh, axl, ayh, ayl,
