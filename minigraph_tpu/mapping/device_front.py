@@ -659,44 +659,116 @@ class DeviceFront:
                 pending.append((chunk, res, full, th, holder, fn, sl))
         return (len(seqs), pending)
 
+    def _fetch_parsed(self, entry):
+        """Join the bg fetch of one pending chunk, parse the packed
+        buffer (refetching on slice undershoot / flat overflow) and
+        update the fill predictor.  Returns the parsed res dict."""
+        import jax
+
+        chunk, res, full, th, holder, fn, sl = entry
+        if th is not None:
+            th.join()
+        if holder and "v" in holder:
+            a1, a2 = holder["v"]
+        else:
+            a1, a2 = jax.device_get((sl[0], sl[1]))
+        ta, tm = sl[2], sl[3]
+        parsed = fn._unpack(np.concatenate([a1, a2]),
+                            n_rec=ta, n_mini_w=tm)
+        t_true = int(parsed["n_a"].sum())
+        m_true = int(parsed["n_mini"].sum())
+        # high-water fill predictor: x1.3 headroom, slow decay
+        for pl in list(self._fns):
+            if self._fns[pl] is fn:
+                pr = self._fill_pred.setdefault(
+                    pl, [t_true, m_true])
+                pr[0] = max(int(t_true * 1.3), (pr[0] * 7) // 8)
+                pr[1] = max(int(m_true * 1.3), (pr[1] * 7) // 8)
+                break
+        if t_true > ta or m_true > tm:
+            # slice undershot the true fill: refetch full regions
+            self.n_slice_refetch += 1
+            parsed = fn._unpack(jax.device_get(res))
+        if parsed.get("flat_ovf"):
+            # batch fuller than the half-size flat planes: fetch
+            # the padded planes kept on device instead (rare)
+            self.n_flat_ovf += 1
+            parsed.update(jax.device_get(full))
+        return parsed
+
+    def gather_flat(self, handle):
+        """Batch-array variant of gather() for the native hybrid
+        batch: no per-read Python objects.  Returns (flat, extra)
+        where flat is a list of (positions-in-submit-order int array,
+        blob dict of batch arrays) consumed by _map_batch_native's
+        fr_flat path, and extra maps positions to FrontResult-or-None
+        for chunks that cannot go flat (padded-path refetch)."""
+        n_seqs, pending = handle
+        flat = []
+        extra = {}
+        for entry in pending:
+            chunk = entry[0]
+            res = self._fetch_parsed(entry)
+            if "axh" in res or not self.chain_enabled:
+                # padded-path refetch or a non-chain front: fall back
+                # to per-read results for this chunk
+                sub = self._chunk_results(chunk, res)
+                for ri, fr in zip(chunk, sub):
+                    extra[ri] = fr
+                continue
+            ovf = res["overflow"]
+            sure = res["sure"]
+            ok = np.asarray(~ovf[:len(chunk)] & sure[:len(chunk)])
+            self.n_fallback += int(ovf[:len(chunk)].sum())
+            self.n_chain_unsure += int(
+                (~sure[:len(chunk)] & ~ovf[:len(chunk)]).sum())
+            self.n_device += int(ok.sum())
+            for bi in np.nonzero(~ok)[0]:
+                extra[chunk[bi]] = None
+            sel = np.nonzero(ok)[0]
+            if not len(sel):
+                continue
+            AX = (res["f_axh"].astype(U64) << U64(32)) \
+                | res["f_axl"].astype(U64)
+            PK = res["f_ay"].astype(U64)
+            AY = ((PK >> U64(24)) << U64(56)) \
+                | (((PK >> U64(23)) & U64(1)) << U64(42)) \
+                | (((PK >> U64(17)) & U64(0x3F)) << U64(32)) \
+                | (PK & U64(0x1FFFF))
+            U = (res["u_sc"].astype(U64) << U64(32)) \
+                | res["u_cnt"].astype(U64)
+            MINI = np.ascontiguousarray(res["f_mini"], dtype=np.int64)
+            blob = {"AX": np.ascontiguousarray(AX),
+                    "AY": np.ascontiguousarray(AY),
+                    "U": np.ascontiguousarray(U), "MINI": MINI,
+                    "prefix": res["prefix"][sel],
+                    "n_a": res["n_a"][sel],
+                    "uprefix": res["uprefix"][sel],
+                    "n_u": res["n_u"][sel],
+                    "mprefix": res["mprefix"][sel],
+                    "n_mini": res["n_mini"][sel],
+                    "rep_len": res["rep_len"][sel],
+                    "n_q": res["n_q"][sel]}
+            flat.append((np.asarray([chunk[b] for b in sel]), blob))
+        return flat, extra
+
     def gather(self, handle) -> List[Optional[FrontResult]]:
         """Fetch the results of a submit(); one FrontResult per read,
         or None where the read must take the host path (overflow)."""
-        import jax
-
         n_seqs, pending = handle
         out: List[Optional[FrontResult]] = [None] * n_seqs
-        for chunk, res, full, th, holder, fn, sl in pending:
-            if th is not None:
-                th.join()
-            if holder and "v" in holder:
-                a1, a2 = holder["v"]
-            else:
-                a1, a2 = jax.device_get((sl[0], sl[1]))
-            ta, tm = sl[2], sl[3]
-            parsed = fn._unpack(np.concatenate([a1, a2]),
-                                n_rec=ta, n_mini_w=tm)
-            t_true = int(parsed["n_a"].sum())
-            m_true = int(parsed["n_mini"].sum())
-            # high-water fill predictor: x1.3 headroom, slow decay
-            for pl in list(self._fns):
-                if self._fns[pl] is fn:
-                    pr = self._fill_pred.setdefault(
-                        pl, [t_true, m_true])
-                    pr[0] = max(int(t_true * 1.3), (pr[0] * 7) // 8)
-                    pr[1] = max(int(m_true * 1.3), (pr[1] * 7) // 8)
-                    break
-            if t_true > ta or m_true > tm:
-                # slice undershot the true fill: refetch full regions
-                self.n_slice_refetch += 1
-                res = fn._unpack(jax.device_get(res))
-            else:
-                res = parsed
-            if res.get("flat_ovf"):
-                # batch fuller than the half-size flat planes: fetch
-                # the padded planes kept on device instead (rare)
-                self.n_flat_ovf += 1
-                res.update(jax.device_get(full))
+        for entry in pending:
+            chunk = entry[0]
+            res = self._fetch_parsed(entry)
+            for ri, fr in zip(chunk, self._chunk_results(chunk, res)):
+                out[ri] = fr
+        return out
+
+    def _chunk_results(self, chunk, res):
+        """Per-read FrontResults for one parsed chunk (shared by
+        gather and gather_flat's fallback)."""
+        out: List[Optional[FrontResult]] = [None] * len(chunk)
+        if len(chunk):
             ovf = res["overflow"]
             sure = res.get("sure")
             n_a = res["n_a"]
@@ -738,7 +810,7 @@ class DeviceFront:
                     U_pad = (u_pad.astype(np.uint64) << U64(32)) \
                         | res["u_pad_cnt"].astype(np.uint64)
             chains_mode = self.chain_enabled
-            for bi, ri in enumerate(chunk):
+            for bi in range(len(chunk)):
                 if ovf[bi]:
                     self.n_fallback += 1
                     continue
@@ -770,7 +842,7 @@ class DeviceFront:
                     else:
                         ub = U_pad[bi, : int(res["n_u"][bi])] \
                             if u_pad is not None else None
-                out[ri] = FrontResult(ax=ax, ay=ay, rep_len=rep_len,
+                out[bi] = FrontResult(ax=ax, ay=ay, rep_len=rep_len,
                                       mini_pos=mini_pos,
                                       n_mv=int(n_q[bi]), u=ub)
                 self.n_device += 1

@@ -458,7 +458,8 @@ def _probe_interval(split):
 
 
 def _map_batch_native(gi, opt, items, n_threads, host_collect=False,
-                      blob=None, fr_map=None, frag_blob=None):
+                      blob=None, fr_map=None, frag_blob=None,
+                      fr_flat=None):
     """Map a batch of reads anchors -> GAF text in ONE native call
     (native/mgt_batch.c: work-stealing pthread loop over mgt_map_tail
     + mgt_select_chains + mgt_format_gaf).  items is a list of
@@ -590,6 +591,28 @@ def _map_batch_native(gi, opt, items, n_threads, host_collect=False,
                 mdy[:] = opt.max_gap
         if skip is not None:
             mode[skip] = -1
+        if fr_flat:
+            # device chains as BATCH arrays (front.gather_flat): all
+            # per-read pointers filled with vectorized numpy — no
+            # per-read Python on the hybrid hot path
+            for idxs, fb in fr_flat:
+                if not len(idxs):
+                    continue
+                keep.append(fb)
+                pre = fb["prefix"].astype(np.uint64)
+                n_a[idxs] = fb["n_a"]
+                axp[idxs] = fb["AX"].ctypes.data + pre * 8
+                ayp[idxs] = fb["AY"].ctypes.data + pre * 8
+                mpp[idxs] = fb["MINI"].ctypes.data \
+                    + fb["mprefix"].astype(np.uint64) * 8
+                n_mini[idxs] = fb["n_mini"]
+                n_mv[idxs] = fb["n_q"]
+                rep_len[idxs] = fb["rep_len"]
+                mode[idxs] = 3
+                fpp[idxs] = fb["U"].ctypes.data \
+                    + fb["uprefix"].astype(np.uint64) * 8
+                mdx[idxs] = fb["n_u"]
+                mdy[idxs] = 0
         if fr_map:
             # device-fronted reads in the hybrid batch: provide the
             # anchor planes; the worker skips its collect (axp != 0)
@@ -818,17 +841,27 @@ def _open_split_finish(gi, opt, front, split, n_threads, st):
     res = st["res"]
     if st["handle"] is not None:
         t0 = time.perf_counter()
-        frs = front.gather(st["handle"])
-        fr_map = {k: fr for k, fr in zip(cand, frs) if fr is not None}
-        dev_skip = np.ones(n, dtype=bool)
-        dev_skip[cand] = False
-        dev_skip |= np.asarray(st["bad"])
+        # batch-array hand-off: gather_flat returns the chains as
+        # whole-batch arrays + per-read offsets, and the pointer
+        # tables fill with vectorized numpy (fr_flat) — the per-read
+        # Python glue was ~40% of the device share's host cost
+        flat, extra = front.gather_flat(st["handle"])
+        cand_arr = np.asarray(cand)
+        fr_flat = [(cand_arr[sel], fb) for sel, fb in flat]
+        fr_map = {cand[i]: fr for i, fr in extra.items()
+                  if fr is not None}
+        covered = np.zeros(n, dtype=bool)
+        for idxs, _fb in fr_flat:
+            covered[idxs] = True
+        covered[[cand[i] for i in extra
+                 if extra[i] is not None]] = True
+        dev_skip = ~covered | np.asarray(st["bad"])
         dskipw = np.nonzero(dev_skip)[0]
         dres = _map_batch_native(
             gi, opt, None, n_threads,
             blob=(n, st["sq_addr"], st["sq_off"], st["nm_addr"],
                   st["nm_off"], dskipw if len(dskipw) else None),
-            fr_map=fr_map)
+            fr_map=fr_map, fr_flat=fr_flat)
         if dres is not None:
             if res is None:
                 res = {}
