@@ -29,6 +29,11 @@ def enable() -> bool:
     where = os.environ.get("MGT_JAX_CACHE", _DEFAULT)
     if where in ("0", "off", ""):
         return False
+    # the cache exists to absorb the axon tunnel's remote-compile
+    # costs; on the CPU backend compiles are cheap and loading AOT
+    # entries across machine-feature variations risks SIGILL
+    if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+        return False
     import jax
     try:
         jax.config.update("jax_compilation_cache_dir", where)
