@@ -82,7 +82,21 @@ static void mgt_flag_sort(mgt_pair_t *lo, mgt_pair_t *hi, int shift)
 static void mgt_pair_sort(mgt_pair_t *a, int64_t n)
 {
     if (n <= MGT_RS_SMALL) mgt_insertion(a, a + n);
-    else mgt_flag_sort(a, a + n, 56);
+    else {
+        /* start the MSD recursion at the first VARYING byte: most
+         * callers' keys share a long constant prefix (small vertex
+         * ids / chain scores in the top bytes), and a constant-byte
+         * level is an order-preserving full pass over the data —
+         * skipping it yields the identical permutation for a
+         * fraction of the work */
+        uint64_t varies = 0, k0 = a[0].key;
+        int64_t i;
+        int shift;
+        for (i = 1; i < n; ++i) varies |= a[i].key ^ k0;
+        if (!varies) return;
+        shift = 56 - (__builtin_clzll(varies) & ~7);
+        mgt_flag_sort(a, a + n, shift);
+    }
 }
 
 /* Argsort of uint64 keys with the reference-exact tie permutation.

@@ -11,6 +11,7 @@
 #include <stdint.h>
 #include <stdlib.h>
 #include <string.h>
+#include <time.h>
 
 #define GWF_SHIFT 0x40000000
 #define U32M 0xFFFFFFFFu
@@ -242,9 +243,38 @@ static int gintv_cmp(const void *a, const void *b)
     return x->vd0 < y->vd0 ? -1 : x->vd0 > y->vd0 ? 1 : 0;
 }
 
+/* dedup sub-phase timers (MGT_PROF=1): 0 interval-merge, 1 sort,
+ * 2 uniq-max-k, 3 forbidden-bands; 4 sum n_a, 5 calls */
+extern int mgt_tail_prof_on(void);
+static int64_t gwfd_ns[8];
+void mgt_gwfa_dedup_prof_dump(int64_t *out8)
+{
+    int k;
+    for (k = 0; k < 8; ++k) {
+        out8[k] = __atomic_load_n(&gwfd_ns[k], __ATOMIC_RELAXED);
+        __atomic_store_n(&gwfd_ns[k], (int64_t)0, __ATOMIC_RELAXED);
+    }
+}
+static int64_t gwfd_now(void)
+{
+    struct timespec ts;
+    if (!mgt_tail_prof_on()) return 0;
+    clock_gettime(CLOCK_MONOTONIC, &ts);
+    return (int64_t)ts.tv_sec * 1000000000 + ts.tv_nsec;
+}
+static void gwfd_add(int k, int64_t ns)
+{
+    __atomic_fetch_add(&gwfd_ns[k], ns, __ATOMIC_RELAXED);
+}
+
 static int32_t gwf_dedup(gwf_t *z, int32_t n_a, gdiag_t *a)
 {
     int32_t i, n, st;
+    int64_t td0 = gwfd_now();
+    if (td0) {
+        gwfd_add(4, n_a);
+        gwfd_add(5, 1);
+    }
     /* merge finished-diagonal intervals (skip when nothing new:
      * copying the whole accumulated list every step dominated the
      * dedup phase on bridge-heavy long-read mapping) */
@@ -287,12 +317,24 @@ static int32_t gwf_dedup(gwf_t *z, int32_t n_a, gdiag_t *a)
         z->intv = mg;
         z->tmp.n = 0;
     }
+    if (td0) {
+        int64_t t1 = gwfd_now();
+        gwfd_add(0, t1 - td0);
+        td0 = t1;
+    }
     /* sort: in-order prefix + radix-sorted out-of-order, merged */
     for (i = 1; i < n_a; ++i)
         if (a[i - 1].vd > a[i].vd) break;
     if (i < n_a) {
-        int32_t n_b = 0, n_c = 0, j, k;
-        gdiag_t *b, *c;
+        /* single-copy variant: compact the marked (out-of-order)
+         * states out of a[] in place, radix-sort just those, then
+         * one BACKWARD merge writes every element once — the old
+         * both-sides split + forward merge moved each 24-byte state
+         * twice and hit the sorted side through a random index
+         * (measured 115 of 127 ms of the dedup phase on the 16 kb
+         * bench, ~41% of wave states arriving out of order). */
+        int32_t n_b = 0, n_c = 0, j, k, w;
+        gdiag_t *c, *cs;
         uint64_t *pairs;
         if (n_a > z->db_m) {
             z->db_m = n_a + 64;
@@ -302,25 +344,45 @@ static int32_t gwf_dedup(gwf_t *z, int32_t n_a, gdiag_t *a)
                                              16 * (size_t)z->db_m);
             if (gwf_oom) return 0;
         }
-        b = z->db, c = z->dc, pairs = z->dpairs;
-        for (i = 0; i < n_a; ++i) {
+        c = z->dc, cs = z->db, pairs = z->dpairs;
+        for (i = w = 0; i < n_a; ++i) {
             if (a[i].xo & 1) c[n_c++] = a[i];
-            else b[n_b++] = a[i];
+            else { if (w != i) a[w] = a[i]; ++w; }
         }
-        for (i = 0; i < n_c; ++i)
-            pairs[2 * i] = c[i].vd, pairs[2 * i + 1] = i;
-        mgt_radix_sort_128x(pairs, n_c);
-        for (i = j = k = 0; i < n_a; ) {
-            gdiag_t *src;
-            if (j < n_b && (k == n_c || b[j].vd <= c[pairs[2 * k + 1]].vd))
-                src = &b[j++];
-            else {
-                src = &c[pairs[2 * k + 1]];
-                src->xo &= 0xFFFFFFFEu;
-                ++k;
-            }
-            a[i++] = *src;
+        n_b = w;
+        if (td0) { gwfd_add(6, n_c); gwfd_add(7, 1); }
+        /* the MSD radix otherwise burns 4-6 passes over the constant
+         * high bytes of vd (vertex ids are small): shift the common
+         * prefix off the key — relative order of the varying suffix
+         * is unchanged */
+        if (n_c > 1) {
+            uint64_t varies = 0, vd0 = c[0].vd;
+            int32_t sh;
+            for (i = 1; i < n_c; ++i) varies |= c[i].vd ^ vd0;
+            sh = varies ? (__builtin_clzll(varies) & ~7) : 0;
+            for (i = 0; i < n_c; ++i)
+                pairs[2 * i] = c[i].vd << sh, pairs[2 * i + 1] = i;
+            mgt_radix_sort_128x(pairs, n_c);
+        } else if (n_c == 1)
+            pairs[0] = c[0].vd, pairs[1] = 0;
+        for (i = 0; i < n_c; ++i) {
+            cs[i] = c[pairs[2 * i + 1]];
+            cs[i].xo &= 0xFFFFFFFEu;
         }
+        /* backward merge: on vd ties the in-order side lands first
+         * (same tie rule as the old forward b-first merge) */
+        j = n_b - 1, k = n_c - 1;
+        for (i = n_a - 1; i >= 0; --i) {
+            if (k < 0 || (j >= 0 && a[j].vd > cs[k].vd))
+                a[i] = a[j--];
+            else
+                a[i] = cs[k--];
+        }
+    }
+    if (td0) {
+        int64_t t1 = gwfd_now();
+        gwfd_add(1, t1 - td0);
+        td0 = t1;
     }
     /* keep the far end per (v,d) */
     for (i = 1, st = 0, n = 0; i <= n_a; ++i) {
@@ -333,6 +395,11 @@ static int32_t gwf_dedup(gwf_t *z, int32_t n_a, gdiag_t *a)
         }
     }
     n_a = n;
+    if (td0) {
+        int64_t t1 = gwfd_now();
+        gwfd_add(2, t1 - td0);
+        td0 = t1;
+    }
     /* forbidden bands */
     if (z->intv.n > 0) {
         int32_t j = 0, k2 = 0;
@@ -344,6 +411,7 @@ static int32_t gwf_dedup(gwf_t *z, int32_t n_a, gdiag_t *a)
         while (i < n_a) a[k2++] = a[i++];
         n_a = k2;
     }
+    if (td0) gwfd_add(3, gwfd_now() - td0);
     return n_a;
 }
 
