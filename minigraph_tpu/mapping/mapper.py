@@ -850,12 +850,15 @@ def _open_split_finish(gi, opt, front, split, n_threads, st):
         fr_flat = [(cand_arr[sel], fb) for sel, fb in flat]
         fr_map = {cand[i]: fr for i, fr in extra.items()
                   if fr is not None}
-        covered = np.zeros(n, dtype=bool)
-        for idxs, _fb in fr_flat:
-            covered[idxs] = True
-        covered[[cand[i] for i in extra
-                 if extra[i] is not None]] = True
-        dev_skip = ~covered | np.asarray(st["bad"])
+        # the hybrid batch runs EVERY candidate read: where the front
+        # delivered chains/anchors the workers consume them (fr_map /
+        # fr_flat); where it flagged (no FrontResult) the workers run
+        # the in-worker native collect — flagged reads must NOT be
+        # skipped here or they'd fall to the slow per-read Python path
+        # (round-4 advisor 'medium').
+        dev_skip = np.ones(n, dtype=bool)
+        dev_skip[cand_arr] = False
+        dev_skip |= np.asarray(st["bad"])
         dskipw = np.nonzero(dev_skip)[0]
         dres = _map_batch_native(
             gi, opt, None, n_threads,

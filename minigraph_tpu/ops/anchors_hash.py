@@ -204,7 +204,11 @@ def collect_anchors_hash(tag, pay, p_rid, p_sel, hh, hl, meta,
     # replaces moved B*acap*qcap one-hot cells through HBM (~1 GB per
     # 16-read long bucket batch) and dominated long-read collect.
     q_iota = jnp.arange(qcap, dtype=jnp.int32)[None, :]
-    live = occ > 0
+    # offs >= acap happens exactly on reads already flagged q_overflow
+    # (n_tot > acap); without the clamp their emissions would scatter
+    # into the NEXT read's slot range of the flattened mark array and
+    # silently corrupt an unflagged neighbor's anchors.
+    live = (occ > 0) & (offs < acap)
     rowb = jnp.arange(B, dtype=jnp.int32)[:, None]
     flat_i = jnp.where(live, rowb * acap + offs, B * acap)
     mark = jnp.zeros((B * acap,), jnp.int32).at[flat_i.reshape(-1)] \
@@ -316,7 +320,11 @@ def collect_anchors_exact_hash(tag, pay, p_rid, p_sel, hh, hl, meta,
     # replaces moved B*acap*qcap one-hot cells through HBM (~1 GB per
     # 16-read long bucket batch) and dominated long-read collect.
     q_iota = jnp.arange(qcap, dtype=jnp.int32)[None, :]
-    live = occ > 0
+    # clamp: emissions at offs >= acap belong only to reads already
+    # flagged a_overflow; letting them scatter would corrupt the NEXT
+    # read's slot range in the flattened mark array (silent wrong
+    # anchors on an unflagged neighbor).
+    live = (occ > 0) & (offs < acap)
     rowb = jnp.arange(B, dtype=jnp.int32)[:, None]
     flat_i = jnp.where(live, rowb * acap + offs, B * acap)
     mark = jnp.zeros((B * acap,), jnp.int32).at[flat_i.reshape(-1)] \

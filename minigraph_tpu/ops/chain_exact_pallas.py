@@ -252,6 +252,16 @@ def _make_kernel(W, T, B, mdx, mdy, bw, max_skip, max_iter,
         jax.lax.fori_loop(jnp.int32(0),
                           jnp.where(run, jnp.int32(T), jnp.int32(0)),
                           body, jnp.int32(0))
+
+        # skipped blocks still get deterministic padding (f=0, p=-1,
+        # matching lchain_dp_exact_win's contract for rows >= n_a) —
+        # Pallas outputs are not zero-initialized, so leaving them
+        # unwritten would return garbage above max(n_a)
+        @pl.when(jnp.logical_not(run))
+        def _pad():
+            f_ref[...] = jnp.zeros((T, B), dtype=I32)
+            p_ref[...] = jnp.full((T, B), -1, dtype=I32)
+
         unc_ref[0:1, :] = mst[2:3, :]
 
     return kernel

@@ -71,7 +71,7 @@ def make_index_sharded_map_step_v2(mesh: Mesh, ji, w: int, k: int,
     (a minimizer matches in exactly one shard), per-shard anchors are
     all-gathered and merge-sorted, then chained.  Reads stay
     data-parallel over "data"."""
-    from jax.experimental.shard_map import shard_map
+    from ._smap import shard_map
 
     from ..ops.anchors_jax import collect_anchors_join
     from ..ops.chain_jax import lchain_dp_tiled
@@ -178,7 +178,7 @@ def make_hash_sharded_map_step(mesh: Mesh, gi, acap: int = 1024,
     against its shard with K-independent gathers, per-shard anchors
     are all-gathered along "idx" and merge-sorted, then chained.
     Reads stay data-parallel over "data"."""
-    from jax.experimental.shard_map import shard_map
+    from ._smap import shard_map
 
     from ..ops.anchors_hash import collect_anchors_hash
     from ..ops.chain_jax import lchain_dp_tiled
@@ -237,7 +237,7 @@ def make_index_sharded_map_step(mesh: Mesh, dix: DeviceIndex, mcap: int,
     over the "data" axis.  (SURVEY.md §2.5: allgather of per-shard
     seed hits.)"""
     import jax.numpy as jnp
-    from jax.experimental.shard_map import shard_map
+    from ._smap import shard_map
 
     from ..ops.chain_jax import lchain_dp_device
     from ..ops.pipeline import collect_anchors_device

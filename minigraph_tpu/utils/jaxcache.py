@@ -31,10 +31,15 @@ def enable() -> bool:
         return False
     # the cache exists to absorb the axon tunnel's remote-compile
     # costs; on the CPU backend compiles are cheap and loading AOT
-    # entries across machine-feature variations risks SIGILL
-    if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
-        return False
+    # entries across machine-feature variations risks SIGILL.  Decide
+    # from the live backend, not the env var: jax silently falls back
+    # to CPU when no accelerator is present.
     import jax
+    try:
+        if jax.default_backend() == "cpu":
+            return False
+    except Exception:
+        return False
     try:
         jax.config.update("jax_compilation_cache_dir", where)
         jax.config.update("jax_persistent_cache_min_compile_time_secs",

@@ -66,13 +66,26 @@ def get_lib():
         # different chains).  Load a per-mtime copy so every rebuild
         # maps fresh code.
         import shutil
-        import tempfile
+        # per-user 0700 cache dir (NOT the shared /tmp root: a
+        # predictable world-writable path could be pre-seeded by
+        # another user and dlopen'd as their code)
+        cdir = Path(os.environ.get("XDG_CACHE_HOME",
+                                   Path.home() / ".cache")) / "mgt"
+        cdir.mkdir(mode=0o700, parents=True, exist_ok=True)
+        if cdir.stat().st_uid != os.getuid():
+            raise OSError(f"{cdir} not owned by this user")
         mt = int(_SO_PATH.stat().st_mtime_ns)
-        vpath = Path(tempfile.gettempdir()) / f"libmgt-{mt}.so"
+        vpath = cdir / f"libmgt-{mt}.so"
         if not vpath.exists():
             tmp = vpath.with_suffix(".tmp%d" % os.getpid())
             shutil.copy2(_SO_PATH, tmp)
             os.replace(tmp, vpath)
+        for old in cdir.glob("libmgt-*.so"):
+            if old != vpath:
+                try:
+                    old.unlink()
+                except OSError:
+                    pass
         _lib = ctypes.CDLL(str(vpath))
         _configure(_lib)
     except OSError as e:

@@ -313,3 +313,60 @@ def test_anchor_cap_overflow_flag():
         ovf_big = np.asarray(big[3])
         assert (ovf_small == (n_big > 64)).all()
         assert not ovf_big.any()
+
+
+def test_hash_overflow_does_not_bleed_into_neighbor():
+    """An acap-overflowing read must not corrupt the NEXT read's
+    anchors: the scatter-based band expansion flattens (B, acap) into
+    one (B*acap,) array, so spilling emissions (offs >= acap) of a
+    flagged read used to mark the neighbor's slot range (regression
+    for the round-4 advisor 'high')."""
+    from minigraph_tpu.graph.gfa_io import read_gfa
+    from minigraph_tpu.index.midx import build_index
+    from minigraph_tpu.ops.anchors_hash import (HashJoinIndex,
+                                                collect_anchors_hash,
+                                                collect_anchors_exact_hash)
+
+    g = read_gfa("/root/reference/test/MT.gfa")
+    gi = build_index(g, K, W)
+    hi = HashJoinIndex.from_host(gi, occ_cap=16)
+    rng = np.random.default_rng(7)
+    ref = "".join((s.seq or "") for s in g.seg if s.rank == 0)
+    L = 2048
+    big = ref[:L]                       # exact slice: many anchors
+    Ln = 256                            # short read: stays under acap
+    st = int(rng.integers(0, len(ref) - Ln))
+    s = list(ref[st: st + Ln])
+    for p in rng.integers(0, Ln, Ln // 20):
+        s[p] = "ACGT"[int(rng.integers(0, 4))]
+    normal = "".join(s)
+    codes, lens = encode_batch([big, normal], pad_to=L)
+    sp = jax.jit(partial(sketch_planes, w=W, k=K))(codes, lens)
+    args = (sp.hh, sp.hl, sp.meta, sp.t_hh, sp.t_hl, sp.t_meta,
+            jnp.int32(50))
+    # acap=64 makes read 0 overflow (hundreds of anchors at 2 kb)
+    ax_s, ay_s, n_s, ovf_s = collect_anchors_hash(
+        hi.tag, hi.pay, hi.p_rid, hi.p_sel, *args, hbits=hi.hbits,
+        occ_cap=16, acap=64, b_chunk=2)
+    ax_b, ay_b, n_b, ovf_b = collect_anchors_hash(
+        hi.tag, hi.pay, hi.p_rid, hi.p_sel, *args, hbits=hi.hbits,
+        occ_cap=16, acap=2048, b_chunk=2)
+    assert bool(np.asarray(ovf_s)[0]) and not bool(np.asarray(ovf_s)[1])
+    n1 = int(np.asarray(n_b)[1])
+    assert n1 <= 64, "pick acap so the normal read fits"
+    assert (np.asarray(ax_s)[1, :n1] == np.asarray(ax_b)[1, :n1]).all()
+    assert (np.asarray(ay_s)[1, :n1] == np.asarray(ay_b)[1, :n1]).all()
+    # same property on the exact-parity variant (the production path)
+    r_s = collect_anchors_exact_hash(
+        hi.tag, hi.pay, hi.p_rid, hi.p_sel, *args, hbits=hi.hbits,
+        occ_cap=16, acap=64, b_chunk=2)
+    r_b = collect_anchors_exact_hash(
+        hi.tag, hi.pay, hi.p_rid, hi.p_sel, *args, hbits=hi.hbits,
+        occ_cap=16, acap=2048, b_chunk=2)
+    assert bool(np.asarray(r_s["overflow"])[0])
+    assert not bool(np.asarray(r_s["overflow"])[1])
+    n1 = int(np.asarray(r_b["n_a"])[1])
+    assert n1 <= 64
+    for k in ("axh", "axl", "ayh", "ayl"):
+        assert (np.asarray(r_s[k])[1, :n1]
+                == np.asarray(r_b[k])[1, :n1]).all()
