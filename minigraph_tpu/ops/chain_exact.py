@@ -22,19 +22,24 @@ facts that make an exact vectorized emulation possible:
      the over-approximate break position jb_over; the true break (if
      any) is at jb_true <= jb_over, and the true processed window
      [end_j_true, i) always CONTAINS [jb_over, i).
-  3. The skip counter is a floor-at-zero running sum of +-1 deltas,
-     which has the closed form n_t = S_t - min(0, min_{u<=t} S_u)
-     (prefix sums in processing order = suffix sums in index order) —
-     all associative scans, no sequential inner loop.
+  3. The floor-at-zero skip counter at any position is bounded by the
+     number of +1-capable rows above it: +1 rows are always valid &
+     marked & not-new, and only the argmax row is certainly new
+     (every valid row above it scores strictly below the max).  So
+     `count(valid & marked rows above x) <= max_skip` proves no break
+     can fire above x — one masked sum, no scans (round 5; the
+     earlier closed-form suffix-scan break emulation computed the
+     same decision 3 scans more expensively, with an identical 0%
+     flag rate measured on the 16 kb MHC workload).
 
-A step's full-window argmax j* >= jb_over therefore implies the true
-result equals the full-window result (any window containing the
-argmax yields the same max, and ties break to the largest j = first
-processed under the reference's strict > update).  Otherwise the read
-is flagged `uncertain` and routed to the exact host DP.  The max_ii
-secondary candidate (lchain.c:191-198) is applied when it fires under
-every possible break position and flagged when its firing depends on
-the unknown true break.
+A provably-unbroken scan down to the full-window argmax j* implies
+the true result equals the full-window result (any window containing
+the argmax yields the same max, and ties break to the largest j =
+first processed under the reference's strict > update).  Otherwise
+the read is flagged `uncertain` and routed to the exact host DP.  The
+max_ii secondary candidate (lchain.c:191-198) is applied when it
+fires under every possible break position and flagged when its firing
+could depend on the unknown true break.
 
 Single-query-segment flavor (n_seg == 1, !is_cdna): the production
 device path only maps single-segment fragments.
@@ -134,26 +139,20 @@ def lchain_dp_exact(ax, ay, n_a, max_dist_x, max_dist_y, bw, max_skip,
                                 I32(-1)), axis=1)
         best = M > q_span_i
 
-        # ---- exact break emulation (over-approximate marks) ----
-        # new-max indicator vs the descending-order running max
-        suf = jax.lax.cummax(sc_tot, axis=1, reverse=True)
-        excl = jnp.concatenate(
-            [suf[:, 1:], jnp.full((B, 1), NEG_BIG, I32)], axis=1)
-        run_before = jnp.maximum(q_span_i[:, None], excl)
-        new = valid & (sc_tot > run_before)
+        # ---- scan-free conservative break test (round 5) ----
+        # The floor-at-zero skip counter at any row is bounded by the
+        # number of +1-capable rows above it (+1 rows are valid &
+        # marked & not-new; only the argmax row is certainly new).
+        # count(above x) <= max_skip proves the scan reaches x.
         marked = cnt > 0
-        d = jnp.where(new, I32(-1),
-                      jnp.where(valid & marked & ~new, I32(1), I32(0)))
-        S = jax.lax.cumsum(d, axis=1, reverse=True)
-        Smin = jax.lax.cummin(S, axis=1, reverse=True)
-        n_after = S - jnp.minimum(0, Smin)
-        brk = (d == 1) & (n_after > max_skip)
-        jb = jnp.max(jnp.where(brk, iota, I32(-1)), axis=1)
-        has_break = jb >= 0
+        splus = (valid & marked
+                 & ~((iota == idx[:, None]) & best[:, None])).astype(I32)
+        cnt_above_idx = jnp.sum(
+            jnp.where(iota > idx[:, None], splus, 0), axis=1)
 
         max_f = jnp.where(best, M, q_span_i)
         max_j = jnp.where(best, idx, I32(-1))
-        step_unc = has_break & best & (idx < jb)
+        step_unc = best & (cnt_above_idx > max_skip)
 
         # ---- max_ii long-range candidate (lchain.c:191-198) ----
         stale = (max_ii < 0) | (max_ii < st_dist)
@@ -176,7 +175,10 @@ def lchain_dp_exact(ax, ay, n_a, max_dist_x, max_dist_y, bw, max_skip,
         delta = cand_ok & (max_f < tmp + f_mii)
         # fires under every possible end_j (end_j >= st_win - 1)
         fire_sure = has_mii & (max_ii < st_win - 1)
-        fire_maybe = has_mii & ~fire_sure & has_break & (max_ii < jb)
+        # conservative analog of `has_break & (max_ii < jb)`
+        cnt_above_mii = jnp.sum(
+            jnp.where(iota > max_ii[:, None], splus, 0), axis=1)
+        fire_maybe = has_mii & ~fire_sure & (cnt_above_mii > max_skip)
         apply = fire_sure & delta
         step_unc |= fire_maybe & delta
         f_i = jnp.where(apply, tmp + f_mii, max_f)
@@ -274,24 +276,17 @@ def lchain_dp_exact_win(ax, ay, n_a, max_dist_x, max_dist_y, bw, max_skip,
                                     I32(-1)), axis=1)
             best = M > q_span_i
 
-            suf = jax.lax.cummax(sc_tot, axis=1, reverse=True)
-            excl = jnp.concatenate(
-                [suf[:, 1:], jnp.full((B, 1), NEG_BIG, I32)], axis=1)
-            run_before = jnp.maximum(q_span_i[:, None], excl)
-            new = valid & (sc_tot > run_before)
+            # scan-free conservative break test (see lchain_dp_exact)
             marked = cw > 0
-            d = jnp.where(new, I32(-1),
-                          jnp.where(valid & marked & ~new, I32(1), I32(0)))
-            S = jax.lax.cumsum(d, axis=1, reverse=True)
-            Smin = jax.lax.cummin(S, axis=1, reverse=True)
-            n_after = S - jnp.minimum(0, Smin)
-            brk = (d == 1) & (n_after > max_skip)
-            jb = jnp.max(jnp.where(brk, jg, I32(-1)), axis=1)
-            has_break = jb >= 0
+            splus = (valid & marked
+                     & ~((jg == idx[:, None]) & best[:, None])) \
+                .astype(I32)
+            cnt_above_idx = jnp.sum(
+                jnp.where(jg > idx[:, None], splus, 0), axis=1)
 
             max_f = jnp.where(best, M, q_span_i)
             max_j = jnp.where(best, idx, I32(-1))
-            step_unc = (has_break & best & (idx < jb)) | overflow
+            step_unc = (best & (cnt_above_idx > max_skip)) | overflow
 
             stale = (max_ii < 0) | (max_ii < st_dist)
             fmsk = jnp.where(win, fw, NEG_BIG)
@@ -314,7 +309,9 @@ def lchain_dp_exact_win(ax, ay, n_a, max_dist_x, max_dist_y, bw, max_skip,
             cand_ok = has_mii & (tmp > NEG_BIG)
             delta = cand_ok & (max_f < tmp + f_mii)
             fire_sure = has_mii & (max_ii < st_win - 1)
-            fire_maybe = has_mii & ~fire_sure & has_break & (max_ii < jb)
+            cnt_above_mii = jnp.sum(
+                jnp.where(jg > max_ii[:, None], splus, 0), axis=1)
+            fire_maybe = has_mii & ~fire_sure & (cnt_above_mii > max_skip)
             apply = fire_sure & delta
             step_unc |= fire_maybe & delta
             f_i = jnp.where(apply, tmp + f_mii, max_f)

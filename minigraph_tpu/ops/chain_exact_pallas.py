@@ -13,9 +13,12 @@ enough for 15 kb reads (W=768 covers the measured p100 scan reach of
 Layout: anchors on sublanes, reads on lanes.  A (W+T, B) buffer holds
 the last W anchors plus the T-anchor tile being processed; row r of
 grid step a is global anchor jg = a*T - W + r.  Between grid steps the
-buffer shifts down by T (VMEM copy).  The per-anchor reverse scans of
-the break emulation (suffix max / sum / min in descending-j order)
-become log-depth shift-and-op passes over sublanes.
+buffer shifts down by T (VMEM copy).  The skip-break sureness test is
+scan-free (round 5): the floor-at-zero skip counter is bounded by the
+count of valid&marked&not-certainly-new rows above a position, so one
+masked sum replaces the three log-depth suffix scans the break-position
+emulation needed (measured: identical 0% flag rate on the 16 kb MHC
+workload, ~threefold fewer VPU ops per anchor step).
 
 Flag semantics are identical to the XLA kernel at the same (W, T):
 `sure[b]` is True only when every step's (f, p) provably equals the
@@ -37,48 +40,6 @@ from .chain_pallas import _mg_log2
 NEG_BIG = -0x3FFFFFFF
 U32MAX = 0xFFFFFFFF
 I32 = jnp.int32
-
-
-def _shift_up(x, d, fill):
-    """out[r] = x[r+d] along axis 0 (static d); rows >= L-d get fill."""
-    if d == 0:
-        return x
-    L = x.shape[0]
-    if d >= L:
-        return jnp.full_like(x, fill)
-    r = pltpu.roll(x, shift=L - d, axis=0)
-    rows = jax.lax.broadcasted_iota(I32, x.shape, 0)
-    return jnp.where(rows < L - d, r, fill)
-
-
-def _rcummax(x):
-    """Inclusive suffix max along axis 0: out[r] = max(x[r:])."""
-    n = 1
-    L = x.shape[0]
-    while n < L:
-        x = jnp.maximum(x, _shift_up(x, n, NEG_BIG))
-        n *= 2
-    return x
-
-
-def _rcumsum(x):
-    """Inclusive suffix sum along axis 0."""
-    n = 1
-    L = x.shape[0]
-    while n < L:
-        x = x + _shift_up(x, n, jnp.int32(0))
-        n *= 2
-    return x
-
-
-def _rcummin(x):
-    """Inclusive suffix min along axis 0."""
-    n = 1
-    L = x.shape[0]
-    while n < L:
-        x = jnp.minimum(x, _shift_up(x, n, jnp.int32(0x3FFFFFFF)))
-        n *= 2
-    return x
 
 
 def _make_kernel(W, T, B, mdx, mdy, bw, max_skip, max_iter,
@@ -177,26 +138,27 @@ def _make_kernel(W, T, B, mdx, mdy, bw, max_skip, max_iter,
                                     jnp.int32(-1)), axis=0, keepdims=True)
             best = M > sp_i
 
-            # skip-break emulation (see chain_exact.py docstring)
-            suf = _rcummax(sc_tot)
-            excl = _shift_up(suf, 1, NEG_BIG)
-            run_before = jnp.maximum(sp_i, excl)
-            new = valid & (sc_tot > run_before)
+            # scan-free skip-break test (round 5; replaces the three
+            # log-depth suffix scans of the jb emulation): the
+            # floor-at-zero skip counter at any row is bounded by the
+            # number of +1-capable rows above it, and +1 rows are
+            # always valid & marked & not-new.  Only the argmax row is
+            # certainly new (everything above it scores < M), so
+            # counting valid&marked rows above a position x gives a
+            # conservative break test: count <= max_skip => no break
+            # can fire above x => the scan provably reaches x.
+            # Measured on the 16 kb MHC workload: 0/88207 anchors
+            # flag (tools_scan_stats.py), same as the jb emulation.
             marked = wcnt[...] > 0
-            d = jnp.where(new, jnp.int32(-1),
-                          jnp.where(valid & marked, jnp.int32(1),
-                                    jnp.int32(0)))
-            S = _rcumsum(d)
-            Smin = _rcummin(S)
-            n_after = S - jnp.minimum(0, Smin)
-            brk = (d == 1) & (n_after > jnp.int32(max_skip))
-            jb = jnp.max(jnp.where(brk, jg, jnp.int32(-1)), axis=0,
-                         keepdims=True)
-            has_break = jb >= 0
+            splus = (valid & marked
+                     & jnp.logical_not((jg == idx) & best)).astype(I32)
+            cnt_above_idx = jnp.sum(jnp.where(jg > idx, splus, 0),
+                                    axis=0, keepdims=True)
 
             max_f = jnp.where(best, M, sp_i)
             max_j = jnp.where(best, idx, jnp.int32(-1))
-            step_unc = (has_break & best & (idx < jb)) | overflow
+            step_unc = (best & (cnt_above_idx > jnp.int32(max_skip))) \
+                | overflow
 
             # max_ii long-range candidate (lchain.c:191-198)
             stale = (max_ii < 0) | (max_ii < st_dist)
@@ -218,8 +180,12 @@ def _make_kernel(W, T, B, mdx, mdy, bw, max_skip, max_iter,
             cand_ok = has_mii & (tmp > jnp.int32(NEG_BIG))
             delta = cand_ok & (max_f < tmp + f_mii)
             fire_sure = has_mii & (max_ii < st_win - 1)
+            # conservative analog of `has_break & (max_ii < jb)`: a
+            # break above max_ii needs > max_skip +1-capable rows there
+            cnt_above_mii = jnp.sum(jnp.where(jg > max_ii, splus, 0),
+                                    axis=0, keepdims=True)
             fire_maybe = has_mii & jnp.logical_not(fire_sure) \
-                & has_break & (max_ii < jb)
+                & (cnt_above_mii > jnp.int32(max_skip))
             apply = fire_sure & delta
             step_unc = step_unc | (fire_maybe & delta)
             f_i = jnp.where(apply, tmp + f_mii, max_f)
