@@ -558,6 +558,10 @@ class DeviceFront:
             step._unpack = unpack
             step._meta = meta
             step._caps = (cap_flat, cap_mini)
+            # raw traceable body (tables, codes, lens, max_occ) ->
+            # (packed buf, full planes): lets the multichip dryrun jit
+            # the PRODUCTION fused step under explicit mesh shardings
+            step._traceable = step_body
             self._fns[pad_len] = fn = step
         return fn
 

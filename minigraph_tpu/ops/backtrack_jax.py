@@ -10,8 +10,20 @@ see native/mgt_tail.c:186-227).
 
 Semantics replicated exactly:
   * candidate starts = anchors with f >= min_sc, visited in f-desc
-    order, ties by larger index first (ascending stable sort on f,
-    traversed from the top — the 128-bit radix pair order);
+    order.  The reference's candidate order comes from ksort.h's
+    radix_sort_128x — an in-place MSD american-flag sort that is NOT
+    stable, so its tie permutation has no closed form the device can
+    reproduce.  The kernel orders ties by larger index first and
+    DETECTS when a tie could have mattered: whenever a walk stops at
+    (or a candidate is found claimed by) a chain whose start has the
+    SAME f as the current candidate, the equal-f pair interacted and
+    the read is flagged to the exact host path.  Non-interacting ties
+    (the overwhelmingly common kind — 0/128 interacting on the 2 kb
+    MHC bench reads vs 38% of reads having some equal-f candidates)
+    produce identical output under every tie order and stay on
+    device.  A first-anchor-x tie between two kept chains is flagged
+    for the same reason at compaction time (build-order ties there
+    inherit the candidate order);
   * peak_cut walk: s = f_start - f[at] per parent step, first maximum
     wins, stop on drop > max_drop / root / claimed anchor (the
     stopping anchor itself may become the cut);
@@ -23,14 +35,26 @@ Semantics replicated exactly:
 
 The per-lane sequential walk runs as a SIMD interpreter: one
 lax.while_loop where every iteration advances each lane's state
-machine by one step (select-candidate / walk / claim).  Lanes that
-exceed the step budget set an `unsure` flag and the read falls back
-to the exact host path — the same exact-or-flag contract as the
-chain kernel.  All i32; runs under the x64-free fused step.
+machine.  Round-5 structure (2x fewer iterations than the r4
+three-mode select/walk/claim interpreter):
+
+  * the walk CLAIMS AS IT GOES (vbuf append + claimed marks fused
+    into the walk step); a walk never revisits its own path (parent
+    chains strictly decrease), so self-claims are invisible to it and
+    only the cross-chain semantics matter — which are sequential
+    anyway.  At walk end, overshoot past the cut (= peak) is undone
+    position-by-position (mode 2), typically a handful of steps.
+  * selection is O(1) iterations per chain instead of one iteration
+    per examined candidate: a rank-indexed claimed plane (claimed_k,
+    maintained alongside the anchor-indexed bitmap via the inverse
+    candidate permutation) turns "skip claimed candidates" into one
+    masked max.
+
+Lanes that exceed the step budget set an `unsure` flag and the read
+falls back to the exact host path — the same exact-or-flag contract
+as the chain kernel.  All i32; runs under the x64-free fused step.
 """
 from __future__ import annotations
-
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -63,6 +87,10 @@ def backtrack_compact(f, p, n_a, axh, axl, ayh, ayl,
     s_key, s_idx = jax.lax.sort((key, jnp.broadcast_to(idx, (B, A))),
                                 num_keys=2)
     n_z = cand.sum(axis=1).astype(I32)                  # (B,)
+    # inverse permutation: rank of anchor a in the candidate order
+    # (sort (s_idx, rank) by s_idx -> ranks in anchor order)
+    _, r_of = jax.lax.sort((s_idx, jnp.broadcast_to(idx, (B, A))),
+                           num_keys=1)
 
     max_steps = jnp.int32(8 * A + 16)
 
@@ -78,15 +106,19 @@ def backtrack_compact(f, p, n_a, axh, axl, ayh, ayl,
         return jnp.sum(jnp.where(oh(j), plane.astype(I32), 0),
                        axis=1, dtype=I32)
 
-    # state: mode 0=select 1=walk 2=claim 3=done
+    # state: mode 0=select 1=walk 2=undo 3=done
     st0 = dict(
         mode=jnp.where(n_z > 0, 0, 3).astype(I32),
         k=n_z - 1,
         at=jnp.zeros(B, I32), best_s=jnp.zeros(B, I32),
-        best_at=jnp.zeros(B, I32), start=jnp.zeros(B, I32),
-        sc0=jnp.zeros(B, I32), cut=jnp.zeros(B, I32),
-        cur=jnp.zeros(B, I32), nv0=jnp.zeros(B, I32),
+        best_at=jnp.zeros(B, I32), best_pos=jnp.zeros(B, I32),
+        start=jnp.zeros(B, I32), sc0=jnp.zeros(B, I32),
+        cut=jnp.zeros(B, I32), nv0=jnp.zeros(B, I32),
         claimed=jnp.zeros((B, A), jnp.bool_),
+        claimed_k=idx >= n_z[:, None],   # ranks past n_z never select
+        # f of the claiming chain's start, for equal-f tie detection
+        claimf=jnp.full((B, A), -0x3FFFFFFF, I32),
+        is_start=jnp.zeros((B, A), jnp.bool_),
         vbuf=jnp.zeros((B, A), I32),
         u_sc=jnp.zeros((B, ucap), I32),
         u_cnt=jnp.zeros((B, ucap), I32),
@@ -100,47 +132,13 @@ def backtrack_compact(f, p, n_a, axh, axl, ayh, ayl,
 
     ur_oh = jnp.arange(ucap, dtype=I32)[None, :]
 
-    def body(st):
-        mode = st["mode"]
-        # --- mode 0: select next unclaimed candidate ---
-        sel = mode == 0
-        kk = st["k"]
-        done_k = kk < 0
-        cand_i = take(s_idx, kk)
-        cand_claimed = take(st["claimed"], cand_i) > 0
-        # claimed candidate: k-1, stay in select
-        k_new = jnp.where(sel & ~done_k & cand_claimed, kk - 1, kk)
-        to_done = sel & done_k
-        to_walk = sel & ~done_k & ~cand_claimed
-        f_cand = take(f, cand_i)
-        # --- mode 1: one walk step ---
-        wlk = mode == 1
-        at2 = take(p, st["at"])
-        root = at2 < 0
-        s = jnp.where(root, st["sc0"], st["sc0"] - take(f, at2))
-        better = s > st["best_s"]
-        drop = ~better & (st["best_s"] - s > jnp.int32(max_drop))
-        at2_claimed = (take(st["claimed"], at2) > 0) & ~root
-        walk_end = wlk & (drop | root | at2_claimed)
-        best_s_n = jnp.where(wlk & better, s, st["best_s"])
-        best_at_n = jnp.where(wlk & better, at2, st["best_at"])
-        # --- mode 2: one claim step ---
-        clm = mode == 2
-        at_cut = st["cur"] == st["cut"]
-        do_claim = clm & ~at_cut
-        # append cur to vbuf[n_v], claim it (one-hot writes)
-        nv = st["n_v"]
-        w_v = (idx == nv[:, None]) & do_claim[:, None]
-        vbuf = jnp.where(w_v, st["cur"][:, None], st["vbuf"])
-        claimed = st["claimed"] | (oh(st["cur"]) & do_claim[:, None])
-        nv = jnp.where(do_claim, nv + 1, nv)
-        cur_n = jnp.where(do_claim, take(p, st["cur"]), st["cur"])
-        # chain finished: accept/reject
-        fin = clm & at_cut
-        cut_root = st["cut"] < 0
-        sc = jnp.where(cut_root, st["sc0"],
-                       st["sc0"] - take(f, st["cut"]))
-        cnt = nv - st["nv0"]
+    def finish_chain(st, fin, cut, nv_keep):
+        """Accept/reject the finished chain (lanes where fin); returns
+        updated (u_sc, u_cnt, n_u, n_v, unsure, k, mode pieces are
+        handled by the caller)."""
+        cut_root = cut < 0
+        sc = jnp.where(cut_root, st["sc0"], st["sc0"] - take(f, cut))
+        cnt = nv_keep - st["nv0"]
         acc = fin & (sc >= jnp.int32(min_sc)) \
             & (cnt >= jnp.int32(min_cnt)) & (cnt > 0)
         nu = st["n_u"]
@@ -150,37 +148,138 @@ def backtrack_compact(f, p, n_a, axh, axl, ayh, ayl,
         u_sc = jnp.where(w_u, sc[:, None], st["u_sc"])
         u_cnt = jnp.where(w_u, cnt[:, None], st["u_cnt"])
         nu = jnp.where(put, nu + 1, nu)
-        nv = jnp.where(fin & ~acc, st["nv0"], nv)   # reject: rewind v
-        k_new = jnp.where(fin, k_new - 1, k_new)
+        # reject: rewind v (claims stay, lchain.c:63-66)
+        n_v = jnp.where(fin, jnp.where(acc, nv_keep, st["nv0"]),
+                        st["n_v"])
+        return u_sc, u_cnt, nu, n_v, over_u
+
+    def body(st):
+        mode = st["mode"]
+        claimed, claimed_k = st["claimed"], st["claimed_k"]
+        vbuf, nv = st["vbuf"], st["n_v"]
+
+        # --- mode 0: select the highest-ranked unclaimed candidate
+        # (one masked max; O(1) iterations per chain) ---
+        sel = mode == 0
+        k_free = jnp.max(jnp.where(
+            ~claimed_k & (idx <= st["k"][:, None]), idx, I32(-1)),
+            axis=1)
+        to_done = sel & (k_free < 0)
+        to_walk = sel & (k_free >= 0)
+        cand_i = take(s_idx, k_free)
+        f_cand = take(f, cand_i)
+        # entering walk: append + claim the start anchor
+        start_n = jnp.where(to_walk, cand_i, st["start"])
+        sc0_n = jnp.where(to_walk, f_cand, st["sc0"])
+
+        # --- mode 1: one walk step from `at` (claims as it goes) ---
+        wlk = mode == 1
+        at2 = take(p, st["at"])
+        root = at2 < 0
+        fa2 = take(f, at2)
+        s = jnp.where(root, st["sc0"], st["sc0"] - fa2)
+        better = s > st["best_s"]
+        drop = ~better & (st["best_s"] - s > jnp.int32(max_drop))
+        at2_claimed = (take(claimed, at2) > 0) & ~root
+        # the claimer's start-f equals this walk's start-f: the
+        # reference's unstable tie order could have swapped the two
+        # chains — exact-or-flag
+        tie_hit = wlk & at2_claimed \
+            & (take(st["claimf"], at2) == st["sc0"])
+        walk_end = wlk & (drop | root | at2_claimed)
+        walk_go = wlk & ~walk_end
+        best_s_n = jnp.where(wlk & better, s, st["best_s"])
+        best_at_n = jnp.where(wlk & better, at2, st["best_at"])
+        # position at2 will occupy if appended (this iteration, when
+        # walk continues); ending steps never append at2
+        best_pos_n = jnp.where(walk_go & better, nv, st["best_pos"])
+        # walk entry: best starts at the candidate itself with s = 0
+        best_s_n = jnp.where(to_walk, 0, best_s_n)
+        best_at_n = jnp.where(to_walk, cand_i, best_at_n)
+
+        # append+claim: the selected start (to_walk) or at2 (walk_go)
+        app = to_walk | walk_go
+        app_i = jnp.where(to_walk, cand_i, at2)
+        app_oh = oh(app_i) & app[:, None]
+        claimed = claimed | app_oh
+        # claimf stays stale on undone (visited-then-unclaimed) nodes
+        # on purpose: claiming a node an equal-f walk VISITED is also
+        # an interaction (under the reference's tie order the other
+        # chain could have claimed it first) — detect before the
+        # overwrite
+        tie_hit = tie_hit | (app
+                             & (take(st["claimf"], app_i) == sc0_n))
+        claimf = jnp.where(app_oh, sc0_n[:, None], st["claimf"])
+        is_start = st["is_start"] | (oh(cand_i) & to_walk[:, None])
+        rk = take(r_of, app_i)
+        claimed_k = claimed_k | (oh(rk) & app[:, None])
+        w_v = (idx == nv[:, None]) & app[:, None]
+        vbuf = jnp.where(w_v, app_i[:, None], vbuf)
+        nv = jnp.where(app, nv + 1, nv)
+
+        # walk end: resolve the cut.  cut == best_at; if the best was
+        # set on the ending step itself (best_at == at2, never
+        # appended) or the walk root-ended with a final improvement
+        # (best_at == -1), every appended node is kept; otherwise undo
+        # speculative claims back to best_pos (cut excluded from the
+        # claim set, so best_pos itself is undone too).
+        cut_n = jnp.where(walk_end, best_at_n, st["cut"])
+        keep_all = walk_end & ((best_at_n == at2) | (best_at_n < 0))
+        need_undo = walk_end & ~keep_all & (nv > best_pos_n)
+        fin_now = walk_end & ~need_undo
+        nv_keep = jnp.where(keep_all, nv, best_pos_n)
+
+        # --- mode 2: one undo step (unclaim vbuf[nv-1]) ---
+        und = mode == 2
+        u_at = take(vbuf, nv - 1)
+        u_oh = oh(u_at) & und[:, None]
+        claimed = claimed & ~u_oh
+        is_start = is_start & ~u_oh
+        u_rk = take(r_of, u_at)
+        claimed_k = claimed_k & ~(oh(u_rk) & und[:, None])
+        nv = jnp.where(und, nv - 1, nv)
+        undo_done = und & (nv <= st["best_pos"])
+        fin_now = fin_now | undo_done
+
+        # --- chain completion (accept/reject) ---
+        cutv = jnp.where(undo_done, st["cut"], cut_n)
+        u_sc, u_cnt, nu, n_v_new, over_u = finish_chain(
+            dict(st, n_v=nv), fin_now, cutv, jnp.where(
+                undo_done, nv, nv_keep))
+        k_new = jnp.where(fin_now, st["k"] - 1, st["k"])
+        # NB k is only an upper bound for the masked-max select; the
+        # claimed_k plane is what actually skips visited candidates
+        k_new = jnp.where(to_walk, k_free, k_new)
 
         # --- transitions ---
         mode_n = mode
         mode_n = jnp.where(to_done, 3, mode_n)
-        # enter walk: at=start=cand, best_s=0, best_at=cand
         mode_n = jnp.where(to_walk, 1, mode_n)
-        start_n = jnp.where(to_walk, cand_i, st["start"])
-        sc0_n = jnp.where(to_walk, f_cand, st["sc0"])
-        at_init = jnp.where(to_walk, cand_i, st["at"])
-        bs_n = jnp.where(to_walk, 0, best_s_n)
-        ba_n = jnp.where(to_walk, cand_i, best_at_n)
-        # walk step advance / end
-        at_n = jnp.where(wlk & ~walk_end, at2, at_init)
-        mode_n = jnp.where(walk_end, 2, mode_n)
-        cut_n = jnp.where(walk_end, ba_n, st["cut"])
-        cur_n = jnp.where(walk_end, start_n, cur_n)
-        nv0_n = jnp.where(walk_end, nv, st["nv0"])
-        # claim finished -> back to select
-        mode_n = jnp.where(fin, 0, mode_n)
+        mode_n = jnp.where(walk_end & need_undo, 2, mode_n)
+        mode_n = jnp.where(fin_now, 0, mode_n)
+        at_n = jnp.where(to_walk, cand_i,
+                         jnp.where(walk_go, at2, st["at"]))
 
-        return dict(mode=mode_n, k=k_new, at=at_n, best_s=bs_n,
-                    best_at=ba_n, start=start_n, sc0=sc0_n, cut=cut_n,
-                    cur=cur_n, nv0=nv0_n, claimed=claimed, vbuf=vbuf,
-                    u_sc=u_sc, u_cnt=u_cnt, n_u=nu, n_v=nv,
-                    unsure=st["unsure"] | over_u,
+        return dict(mode=mode_n, k=k_new, at=at_n, best_s=best_s_n,
+                    best_at=best_at_n, best_pos=jnp.where(
+                        to_walk, nv - 1, best_pos_n),
+                    start=start_n, sc0=sc0_n, cut=cut_n,
+                    nv0=jnp.where(to_walk, nv - 1, st["nv0"]),
+                    claimed=claimed, claimed_k=claimed_k,
+                    claimf=claimf, is_start=is_start, vbuf=vbuf,
+                    u_sc=u_sc, u_cnt=u_cnt, n_u=nu,
+                    n_v=jnp.where(fin_now, n_v_new, nv),
+                    unsure=st["unsure"] | over_u | tie_hit,
                     steps=st["steps"] + 1)
 
     st = jax.lax.while_loop(cond, body, st0)
     unsure = st["unsure"] | (st["mode"] != 3)
+    # a candidate claimed mid-path by an equal-f chain was silently
+    # skipped by the select — the reference's tie order could instead
+    # have walked it first
+    unsure = unsure | jnp.any(
+        st["claimed"] & cand & (st["claimf"] == f) & ~st["is_start"],
+        axis=1)
 
     # ---- compact: chains by first-anchor x asc (stable) ----
     n_u, n_v = st["n_u"], st["n_v"]
@@ -202,9 +301,15 @@ def backtrack_compact(f, p, n_a, axh, axl, ayh, ayl,
     ord_c = jnp.arange(ucap, dtype=I32)[None, :] \
         + jnp.zeros((B, 1), I32)
     # ord_c is an explicit third key: x-ties keep build (score-desc)
-    # order exactly like the host's stable radix on (x, coff|c) pairs
-    _, _, perm = jax.lax.sort(
+    # order.  Two kept chains tying on first-anchor x inherit the
+    # candidate tie order the reference's unstable radix produced —
+    # flag those reads rather than guess.
+    skh, skl, perm = jax.lax.sort(
         (kxh ^ SB, kxl ^ SB, ord_c), num_keys=3)
+    unsure = unsure | jnp.any(
+        (skh[:, 1:] == skh[:, :-1]) & (skl[:, 1:] == skl[:, :-1])
+        & (jnp.arange(1, ucap, dtype=I32)[None, :] < n_u[:, None]),
+        axis=1)
     cnt_o = jnp.take_along_axis(u_cnt, perm, axis=1)
     sc_o = jnp.take_along_axis(u_sc, perm, axis=1)
     coff_src_o = jnp.take_along_axis(coff, perm, axis=1)

@@ -105,3 +105,69 @@ def test_backtrack_compact_parity(fp_fixture):
         assert np.array_equal(dy, hy[:dnv]), i
         n_checked += 1
     assert n_checked >= 20, n_checked
+
+
+@pytest.mark.parametrize("max_drop", [5, 60, 500])
+def test_backtrack_compact_fuzz_forest(max_drop):
+    """Adversarial synthetic parent forests: random branching, f
+    values that rise and fall (stressing the peak-cut walk's
+    overshoot-undo), tiny max_drop, rejected chains, and ucap
+    pressure — against the native host backtrack."""
+    rng = np.random.default_rng(max_drop)
+    B, N_ = 24, 256
+    F = np.zeros((B, N_), np.int32)
+    P = np.full((B, N_), -1, np.int32)
+    AX = np.zeros((B, N_), np.uint64)
+    AY = np.zeros((B, N_), np.uint64)
+    NA = np.zeros(B, np.int32)
+    for b in range(B):
+        n = int(rng.integers(20, N_))
+        NA[b] = n
+        # random forest: each anchor chains to a recent predecessor
+        # (or roots); f random-walks so peaks sit mid-chain
+        for i in range(n):
+            if i and rng.random() < 0.9:
+                j = int(rng.integers(max(0, i - 12), i))
+                P[b, i] = j
+                F[b, i] = F[b, j] + int(rng.integers(-40, 60))
+            else:
+                F[b, i] = int(rng.integers(10, 80))
+        AX[b, :n] = np.sort(rng.integers(0, 1 << 33, n).astype(np.uint64))
+        AY[b, :n] = rng.integers(0, 1 << 40, n).astype(np.uint64)
+    out = jax.jit(lambda *a: backtrack_compact(
+        *a, min_cnt=3, min_sc=40, max_drop=max_drop, ucap=64))(
+        jnp.asarray(F), jnp.asarray(P), jnp.asarray(NA),
+        jnp.asarray((AX >> np.uint64(32)).astype(np.uint32)),
+        jnp.asarray((AX & np.uint64(0xFFFFFFFF)).astype(np.uint32)),
+        jnp.asarray((AY >> np.uint64(32)).astype(np.uint32)),
+        jnp.asarray((AY & np.uint64(0xFFFFFFFF)).astype(np.uint32)))
+    out = {k: np.asarray(v) for k, v in out.items()}
+    n_checked = 0
+    for b in range(B):
+        if out["bt_unsure"][b]:
+            continue
+        n = int(NA[b])
+        hx, hy, hnu, hu = lchain_dp_from_fp(
+            F[b, :n], P[b, :n],
+            max_drop, 25, 3, 40, False,
+            AX[b, :n].copy(), AY[b, :n].copy())
+        dnu = int(out["n_u"][b])
+        assert dnu == hnu, (b, dnu, hnu)
+        du = (out["u_sc"][b, :dnu].astype(np.uint64) << np.uint64(32)) \
+            | out["u_cnt"][b, :dnu].astype(np.uint64)
+        assert np.array_equal(du, hu), b
+        dnv = int(out["n_v"][b])
+        n_keep = int(hu.astype(np.uint64).astype(np.uint32).sum()) \
+            if hnu else 0
+        assert dnv == n_keep, (b, dnv, n_keep)
+        dx = (out["c_axh"][b, :dnv].astype(np.uint64) << np.uint64(32)) \
+            | out["c_axl"][b, :dnv].astype(np.uint64)
+        dy = (out["c_ayh"][b, :dnv].astype(np.uint64) << np.uint64(32)) \
+            | out["c_ayl"][b, :dnv].astype(np.uint64)
+        assert np.array_equal(dx, hx[:dnv]), b
+        assert np.array_equal(dy, hy[:dnv]), b
+        n_checked += 1
+    # random forests tie candidate f values often (the tie-interaction
+    # flag then routes the lane to the host path); a healthy majority
+    # must still be unflagged and every unflagged lane byte-exact
+    assert n_checked >= B // 3, n_checked
