@@ -417,6 +417,49 @@ def bench_stage(gfa, reads_fa):
         f"{B / dt:.0f} reads/s/chip")
 
 
+def measure_link():
+    """Measured inputs of the split controller's economics (VERDICT r4
+    #8: make the locally-attached-chip projection falsifiable).  The
+    claim 'the chip would carry more on a local link' reduces to this
+    model: t_dev(read) = dispatch_floor/B + bytes_up/h2d + compute +
+    bytes_down/d2h.  Emitting the measured terms lets anyone re-check
+    the routing verdict the day any term changes."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    model = {}
+    try:
+        x = jnp.zeros((8, 128), jnp.uint32)
+        np.asarray(x + 1)                       # warm
+        t0 = time.perf_counter()
+        for _ in range(3):
+            np.asarray(x + 1)
+        model["dispatch_rtt_ms"] = round(
+            (time.perf_counter() - t0) / 3 * 1e3, 2)
+        big = jnp.zeros((1 << 20,), jnp.uint32)  # 4 MB
+        np.asarray(big[:8])
+        t0 = time.perf_counter()
+        buf = np.asarray(big)
+        dt = time.perf_counter() - t0
+        model["d2h_MB_s"] = round(buf.nbytes / dt / 1e6, 1)
+        hb = np.zeros((1 << 20,), np.uint32)
+        t0 = time.perf_counter()
+        jnp.asarray(hb).block_until_ready()
+        model["h2d_MB_s"] = round(hb.nbytes / (time.perf_counter() - t0)
+                                  / 1e6, 1)
+    except Exception as e:
+        log(f"link model skipped: {type(e).__name__} {e}")
+        return model
+    # projection: on a local link (PCIe/ICI-class, >=10 GB/s, ~20 us
+    # dispatch) the transport terms vanish and the chip's usable
+    # throughput is bounded by the fused-step compute alone; bench
+    # stderr carries the per-stage us/read table ([devprof]) that
+    # closes the model.
+    log(f"link model: {json.dumps(model)}")
+    return model
+
+
 def device_ok(timeout=240):
     """Probe the accelerator in a SUBPROCESS: the tunnel can wedge and
     then jax.devices() hangs indefinitely in-process (a co-tenant's
@@ -697,6 +740,12 @@ def main():
         if long_vs is not None:
             out["long_vs_baseline"] = round(long_vs, 3)
     out.update(long_detail)
+    try:
+        lm = measure_link()
+        if lm:
+            out["link_model"] = lm
+    except Exception as e:
+        log(f"link model failed: {type(e).__name__} {e}")
     # host-path sub-metrics (interleaved vs oracle: -c, sr, 16 kb) so
     # the judged JSON always carries the full workload picture
     if time.time() - t_start < 2300:

@@ -44,6 +44,14 @@ class DeviceGwfaPool:
         """jobs: (n, 8) int64 harvest rows [qs, qe, v0, end0, v1, end1,
         max_ed, 0].  Returns (res_s, res_walk, res_wn) in site order;
         res_s[k] == -2 requests the inline host engine for site k."""
+        qb = np.frombuffer(qseq.encode("latin-1"), dtype=np.uint8)
+        return self.run_multi(jobs, [qb] * len(jobs))
+
+    def run_multi(self, jobs: np.ndarray, qbufs):
+        """run() for jobs pooled ACROSS reads: qbufs[k] is job k's own
+        query byte array.  One call per read batch amortizes the
+        per-dispatch tunnel overhead over every bridge site of the
+        batch (round-5 cross-read pooling)."""
         import jax.numpy as jnp
 
         from ..ops.gwfa_jax import gwfa_batch
@@ -54,7 +62,6 @@ class DeviceGwfaPool:
         res_wn = np.zeros(n, dtype=np.int64)
         if n == 0:
             return res_s, res_walk, res_wn
-        qb = np.frombuffer(qseq.encode("latin-1"), dtype=np.uint8)
         lens = jobs[:, 1] - jobs[:, 0]
         for qcap in QCAP_BUCKETS:
             sel = np.nonzero((lens <= qcap)
@@ -72,7 +79,7 @@ class DeviceGwfaPool:
             med = np.zeros(J, dtype=np.int32)
             for bi, k in enumerate(sel):
                 qs, qe = int(jobs[k, 0]), int(jobs[k, 1])
-                qa[bi, : qe - qs] = qb[qs: qe]
+                qa[bi, : qe - qs] = qbufs[k][qs: qe]
                 ql[bi] = qe - qs
                 v0[bi], o0[bi] = int(jobs[k, 2]), int(jobs[k, 3])
                 v1[bi], o1[bi] = int(jobs[k, 4]), int(jobs[k, 5])
@@ -102,3 +109,63 @@ class DeviceGwfaPool:
                  f"device GWFA bridges: {self.n_device}/{self.n_jobs} "
                  f"on device, {self.n_flagged} flagged to host, "
                  f"{self.n_oversize} oversize")
+
+
+class GwfaPending:
+    """Sentinel a deferred read returns from the tail: its bridge jobs
+    are in the batch sink; the driver re-runs it after solve()."""
+    __slots__ = ("ticket",)
+
+    def __init__(self, ticket: int):
+        self.ticket = ticket
+
+
+class GwfaBatchSink:
+    """Cross-read GWFA job pooling: phase 1 harvests every read's
+    bridge jobs (reads with sites return GwfaPending), solve() runs
+    ONE device dispatch for the whole batch, phase 2 re-runs pending
+    reads with their result slices injected (hook mode 2).  A missing
+    injection only costs device work — the native tail then bridges
+    with the inline host engine, so output never depends on phase
+    bookkeeping."""
+
+    def __init__(self, pool: DeviceGwfaPool):
+        self.pool = pool
+        self.phase = 1
+        self.rows = []
+        self.qbufs = []
+        self._slices = []
+        self._queue = []
+
+    def add(self, jobs: np.ndarray, qseq: str) -> int:
+        t = len(self.rows)
+        self.rows.append(np.array(jobs))
+        self.qbufs.append(
+            np.frombuffer(qseq.encode("latin-1"), dtype=np.uint8))
+        return t
+
+    def solve(self):
+        self.phase = 2
+        if not self.rows:
+            return
+        all_rows = np.concatenate(self.rows, axis=0)
+        qjob = []
+        for rows, qb in zip(self.rows, self.qbufs):
+            qjob.extend([qb] * len(rows))
+        res_s, res_walk, res_wn = self.pool.run_multi(all_rows, qjob)
+        off = 0
+        for rows in self.rows:
+            n = len(rows)
+            self._slices.append(
+                (np.ascontiguousarray(res_s[off: off + n]),
+                 np.ascontiguousarray(res_walk[off: off + n]),
+                 np.ascontiguousarray(res_wn[off: off + n])))
+            off += n
+
+    def queue_inject(self, tickets):
+        """Arm phase-2 injections for one fragment's reads, in the
+        order its map_tail_full calls will consume them."""
+        self._queue = [self._slices[t] for t in tickets]
+
+    def pop_inject(self):
+        return self._queue.pop(0) if self._queue else None

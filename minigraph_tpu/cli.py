@@ -32,7 +32,7 @@ _LONG = [
     "call", "cap-calloc=", "gdp-max-ed=", "dbg-seed",
     "dbg-lchain", "dbg-gc1", "dbg-shortk", "dbg-qname", "dbg-insert",
     "dbg-lc-prof", "dbg-mwf-long", "dbg-mwf-seq", "no-kalloc", "tpu",
-    "gwfa-device",
+    "gwfa-device", "seed-device",
 ]
 
 
@@ -235,6 +235,9 @@ def main(argv: Optional[List[str]] = None) -> int:
             device = True
         elif k == "--gwfa-device":
             gwfa_device = True
+        elif k == "--seed-device":
+            from .mapping.mapper import SEED_DEVICE
+            SEED_DEVICE["on"] = True
 
     if opt_check(io_, mo, go) < 0:
         return 1

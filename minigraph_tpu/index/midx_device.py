@@ -29,12 +29,18 @@ DEV_BUCKETS: Tuple[Tuple[int, int], ...] = ((4096, 128), (32768, 16))
 
 
 def sketch_segments_device(seqs: List[str], w: int, k: int,
-                           buckets=DEV_BUCKETS):
+                           buckets=DEV_BUCKETS, mesh=None):
     """Sketch many sequences on device; returns per-sequence (x, y)
     uint64 record arrays (y has rid=0; callers rebase).
 
     Sequences with tie overflow (the rare >=2-ties-per-trigger case)
     fall back to the host engine per sequence.
+
+    With `mesh` (a jax Mesh with a "data" axis), chunk batches are
+    sharded data-parallel across the mesh — the multi-device layout
+    for sketching ONE chromosome-scale sequence (SURVEY §5 long-
+    context / §7 multi-host): chunks of the same query land on
+    different devices and the host stitch is unchanged.
     """
     import jax
     from functools import partial
@@ -76,7 +82,13 @@ def sketch_segments_device(seqs: List[str], w: int, k: int,
     for pad_len, idxs in by_bucket.items():
         bsz = dict(buckets)[pad_len]
         width = pad_len + halo + w + 1
-        fn = jax.jit(partial(sketch_planes, w=w, k=k))
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            dsh = NamedSharding(mesh, P("data"))
+            fn = jax.jit(partial(sketch_planes, w=w, k=k),
+                         in_shardings=(dsh, dsh))
+        else:
+            fn = jax.jit(partial(sketch_planes, w=w, k=k))
         for c0 in range(0, len(idxs), bsz):
             chunk_ids = idxs[c0: c0 + bsz]
             texts = [jobs[j][2] for j in chunk_ids]

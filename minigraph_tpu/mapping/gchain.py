@@ -1126,6 +1126,54 @@ def _map_tail_gwfa_device(lib, attempt, pool, qseq):
         return n_gc
 
 
+def _map_tail_gwfa_sink(lib, attempt, sink, qseq):
+    """Cross-read pooling variant of _map_tail_gwfa_device: phase 1
+    harvests this read's jobs into the batch sink and defers (the
+    driver re-runs after ONE pool dispatch for the whole batch);
+    phase 2 injects the read's pre-solved slice (hook mode 2)."""
+    global _native_gwf_hook_cfg
+    import ctypes as ct
+    if not _native_gwf_hook_cfg:
+        lib.mgt_gwf_hook_set.restype = None
+        lib.mgt_gwf_hook_set.argtypes = [
+            ct.c_int64, ct.c_int64, ct.c_void_p, ct.c_int64,
+            ct.c_void_p, ct.c_void_p, ct.c_void_p, ct.c_int64]
+        lib.mgt_gwf_hook_jobs.restype = ct.c_int64
+        lib.mgt_gwf_hook_jobs.argtypes = []
+        _native_gwf_hook_cfg = True
+    from ..align.gwfa_device import WCAP, GwfaPending
+    jobs_cap = 64
+    while True:
+        jobs = np.zeros((jobs_cap, 8), dtype=np.int64)
+        lib.mgt_gwf_hook_set(1, jobs_cap, jobs.ctypes.data, 0,
+                             None, None, None, 0)
+        n_gc = attempt()
+        n_jobs = lib.mgt_gwf_hook_jobs()
+        lib.mgt_gwf_hook_set(0, 0, None, 0, None, None, None, 0)
+        if n_gc < 0 or n_jobs == 0:
+            return n_gc
+        if n_jobs > jobs_cap:
+            jobs_cap = int(n_jobs) * 2
+            continue
+        break
+    if sink.phase == 1:
+        return GwfaPending(sink.add(jobs[:n_jobs], qseq))
+    # phase 2: this read's jobs were pre-solved; the re-harvest above
+    # is deterministic, so the queued slice matches site-for-site.  A
+    # missing/mismatched slice only skips injection — the inline host
+    # engine then bridges identically.
+    inj = sink.pop_inject()
+    if inj is None or len(inj[0]) != n_jobs:
+        return attempt()
+    res_s, res_walk, res_wn = inj
+    lib.mgt_gwf_hook_set(2, 0, None, n_jobs,
+                         res_s.ctypes.data, res_walk.ctypes.data,
+                         res_wn.ctypes.data, WCAP)
+    n_gc = attempt()
+    lib.mgt_gwf_hook_set(0, 0, None, 0, None, None, None, 0)
+    return n_gc
+
+
 def _get_gaf_ctx(g):
     """Per-graph name/coordinate arrays for the native GAF formatter
     (native/mgt_gaf.c): seg name blob + offsets, snid/soff, stable-seq
@@ -1329,7 +1377,14 @@ def map_tail_full(g, es, mode: int, f32, p32, ax, ay, mini_pos,
             o_llc.shape[1], len(o_ax), g_tab.shape[1], *out_ptrs)
 
     if gwfa_pool is not None and hasattr(lib, "mgt_gwf_hook_set"):
-        n_gc = _map_tail_gwfa_device(lib, attempt, gwfa_pool, qseq)
+        from ..align.gwfa_device import GwfaBatchSink, GwfaPending
+        if isinstance(gwfa_pool, GwfaBatchSink):
+            r = _map_tail_gwfa_sink(lib, attempt, gwfa_pool, qseq)
+            if isinstance(r, GwfaPending):
+                return r
+            n_gc = r
+        else:
+            n_gc = _map_tail_gwfa_device(lib, attempt, gwfa_pool, qseq)
     else:
         n_gc = attempt()
     if n_gc < 0:

@@ -58,6 +58,12 @@ def _i32(v: int) -> int:
     return v - 0x100000000 if v >= 0x80000000 else v
 
 
+# --seed-device: route long-query sketching through the chunk-halo
+# device sweep (ggs/asm contig seed stage on the chip); output is
+# byte-identical, so this is a routing decision only
+SEED_DEVICE = {"on": False, "min_len": 16384}
+
+
 def map_frag(gi: MinimizerIndex, qlens: List[int], seqs: List[str],
              opt: MapOptions, qname: Optional[str],
              fast_emit: bool = False,
@@ -76,15 +82,27 @@ def map_frag(gi: MinimizerIndex, qlens: List[int], seqs: List[str],
 
     from ..options import MG_M_NO_DIAG as _ND
     res = None
+    seed_dev = (SEED_DEVICE["on"]
+                and qlen_sum >= SEED_DEVICE["min_len"]
+                and not (opt.flag & MG_M_HEAP_SORT))
     if n_segs == 1 and not (opt.flag & (MG_M_HEAP_SORT | _ND)) \
-            and not (_DBG["flag"]):
+            and not seed_dev and not (_DBG["flag"]):
         # whole seed stage in one native call (native/mgt_collect.c)
         from .seeds import collect_native
         res = collect_native(gi, opt, opt.occ_max1, seqs[0])
     if res is not None:
         ax, ay, rep_len, mini_pos, n_mv = res
     else:
-        mv_x, mv_y = collect_minimizers(gi, qlens, seqs)
+        if seed_dev:
+            # contig/chromosome-scale queries: the sketch runs on
+            # device as overlapping chunks with exact halos
+            # (index/midx_device.py chunk-halo argument; byte-
+            # identical stream), stitched here — this is the ggs/asm
+            # seed stage on the chip (--seed-device)
+            from .seeds import collect_minimizers_device
+            mv_x, mv_y = collect_minimizers_device(gi, qlens, seqs)
+        else:
+            mv_x, mv_y = collect_minimizers(gi, qlens, seqs)
         n_mv = len(mv_x)
         if opt.flag & MG_M_HEAP_SORT:
             from .seeds import collect_seed_hits_heap
@@ -185,6 +203,9 @@ def map_frag_tail(gi: MinimizerIndex, qlens: List[int], seqs: List[str],
                             hash_, seq_cat, select=sel_args, emit=emit,
                             gwfa_pool=gwfa_pool)
         if gcs is not None:
+            from ..align.gwfa_device import GwfaPending
+            if isinstance(gcs, GwfaPending):
+                return gcs          # deferred: batch GWFA sink phase 1
             gcs.rep_len = rep_len
             return _map_frag_finish(gi, gcs, opt, qname, n_segs,
                                     seq_cat, qlen_sum, n_mv, cigar_sink)
@@ -1593,7 +1614,8 @@ def _map_file_frag(gi: MinimizerIndex, fns: List[str], opt: MapOptions,
                 cigar_sink.jobs = []
                 cigar_sink.pending = []
 
-            def compute_frag(fi, off, n_seg):
+            def compute_frag(fi, off, n_seg, gp=None):
+                gp = gp if gp is not None else gwfa_pool
                 # paired-end orientation flip (gmap.c:38-43)
                 if pre is None and not flips_done and n_seg == 2:
                     if pe_ori >> 1 & 1:
@@ -1617,18 +1639,18 @@ def _map_file_frag(gi: MinimizerIndex, fns: List[str], opt: MapOptions,
                                               cigar_sink=cigar_sink,
                                               fast_emit=cigar_sink
                                               is None,
-                                              gwfa_pool=gwfa_pool)]
+                                              gwfa_pool=gp)]
                 elif opt.flag & MG_M_INDEPEND_SEG:
                     gcs_list = [map_frag(gi, [qlens[k]], [seqs[k]], opt,
                                          batch[off + k].name,
                                          fast_emit=cigar_sink is None,
-                                         gwfa_pool=gwfa_pool)
+                                         gwfa_pool=gp)
                                 for k in range(n_seg)]
                 else:
                     gcs_list = [map_frag(gi, qlens, seqs, opt,
                                          batch[off].name,
                                          fast_emit=cigar_sink is None,
-                                         gwfa_pool=gwfa_pool)]
+                                         gwfa_pool=gp)]
                 return qlens, gcs_list
 
             def emit_frag(off, n_seg, qlens, gcs_list):
@@ -1694,6 +1716,29 @@ def _map_file_frag(gi: MinimizerIndex, fns: List[str], opt: MapOptions,
                         for fut, (off, n_seg) in zip(futs, frags):
                             qlens, gcs_list = fut.result()
                             emit_frag(off, n_seg, qlens, gcs_list)
+                elif gwfa_pool is not None and front is None:
+                    # cross-read GWFA pooling: harvest every read's
+                    # bridge jobs (phase 1), ONE device dispatch for
+                    # the whole batch, then re-run deferred reads with
+                    # their result slices injected (phase 2) —
+                    # amortizes the per-dispatch tunnel overhead over
+                    # every bridge site of the batch
+                    from ..align.gwfa_device import (GwfaBatchSink,
+                                                     GwfaPending)
+                    sink = GwfaBatchSink(gwfa_pool)
+                    computed = [compute_frag(fi, off, n_seg, gp=sink)
+                                for fi, (off, n_seg) in enumerate(frags)]
+                    flips_done = True   # recompute must not re-flip
+                    sink.solve()
+                    for fi, ((off, n_seg), (qlens, gcs_list)) in \
+                            enumerate(zip(frags, computed)):
+                        tickets = [gc.ticket for gc in gcs_list
+                                   if isinstance(gc, GwfaPending)]
+                        if tickets:
+                            sink.queue_inject(tickets)
+                            qlens, gcs_list = compute_frag(
+                                fi, off, n_seg, gp=sink)
+                        emit_frag(off, n_seg, qlens, gcs_list)
                 else:
                     for fi, (off, n_seg) in enumerate(frags):
                         qlens, gcs_list = compute_frag(fi, off, n_seg)

@@ -36,6 +36,34 @@ def collect_minimizers(gi: MinimizerIndex, qlens: List[int], seqs: List[str]):
     return np.concatenate(xs), np.concatenate(ys)
 
 
+def collect_minimizers_device(gi: MinimizerIndex, qlens: List[int],
+                              seqs: List[str], mesh=None):
+    """collect_minimizers with the sketch on device, chunk-halo exact
+    for arbitrarily long queries (contig/chromosome scale): reuses the
+    index builder's chunked sweep (index/midx_device.py — an emission
+    at payload position p is fully determined by bases
+    [p-(w+k+1), p+w], so overlapping chunks reproduce the host stream
+    byte-identically).  With `mesh`, chunk batches shard data-parallel
+    across the mesh (SURVEY §5/§7: one long query split over devices).
+    Output == collect_minimizers bit-for-bit; reference semantics
+    map-algo.c:34-45."""
+    from ..index.midx_device import sketch_segments_device
+
+    sk = sketch_segments_device([s.upper() for s in seqs], gi.w, gi.k,
+                                mesh=mesh)
+    xs, ys = [], []
+    total = 0
+    for i, ((x, y), ql) in enumerate(zip(sk, qlens)):
+        y = y | (np.uint64(i) << np.uint64(32))
+        y = y + U64((total << 1) & 0xFFFFFFFFFFFFFFFF)
+        xs.append(x)
+        ys.append(y)
+        total += ql
+    if not xs:
+        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.uint64)
+    return np.concatenate(xs), np.concatenate(ys)
+
+
 def _heap_lt(a, b) -> bool:
     return a[0] > b[0]
 
