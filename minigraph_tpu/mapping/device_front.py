@@ -279,9 +279,21 @@ class DeviceFront:
 
             def chain_body(axh, axl, ayh, ayl, n_a):
                 if use_pallas:
-                    from ..ops.chain_exact_pallas import \
-                        chain_exact_pallas_traced
-                    f, p, sure = chain_exact_pallas_traced(
+                    import os as _os
+                    # round-5 chunked-walk kernel (evaluates the
+                    # measured ~26-row scan, not the p99 window;
+                    # ops/chain_chunked_pallas.py) — opt-in until
+                    # measured on the chip; requires the iteration
+                    # clamp to clear the buffer
+                    if (_os.environ.get("MGT_CHAIN_CHUNKED")
+                            and opt.max_lc_iter >= win + min(128, acap)
+                            and win >= 128):
+                        from ..ops.chain_chunked_pallas import \
+                            chain_chunked_pallas_traced as _chain_tr
+                    else:
+                        from ..ops.chain_exact_pallas import \
+                            chain_exact_pallas_traced as _chain_tr
+                    f, p, sure = _chain_tr(
                         axh, axl, ayh, ayl, n_a, int(self.mdx_adj),
                         int(self.mdy_adj), int(opt.bw),
                         int(opt.max_lc_skip), int(opt.max_lc_iter),
