@@ -216,9 +216,18 @@ class DeviceFront:
             # path (throughput-only trade)
             if pad_len <= 2048:
                 qcap, acap = 384, 512
-            else:
+            elif pad_len <= 8192:
                 qcap = max(256, pad_len // 4)
                 acap = pad_len // 2 if pad_len <= 4096 else pad_len // 4
+            else:
+                # long buckets: measured n_a on the 16 kb MHC workload
+                # is mean 1413 / max 1943 (~L/9), so L/6 rounded to the
+                # tile keeps ~1.4x headroom while narrowing the
+                # backtrack/pack planes and the anchor sort ~1.5x; a
+                # denser read overflow-flags to the exact host path
+                # (throughput-only trade, like the r4 2 kb caps)
+                qcap = pad_len // 4
+                acap = (pad_len // 6 // 128) * 128
             do_chain = self.chain_enabled
             # window policy (chain_window=None): on the chip the chain
             # runs as a Pallas kernel with the window in VMEM, so a
