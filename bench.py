@@ -714,6 +714,19 @@ def main():
                           "--reps", "3"])
         except Exception as e:
             log(f"roofline table skipped: {type(e).__name__} {e}")
+        # round-5 chunked-walk chain kernel, same table for the
+        # A/B record (ops/chain_chunked_pallas.py)
+        try:
+            from minigraph_tpu.tools import devprof
+            os.environ["MGT_CHAIN_CHUNKED"] = "1"
+            try:
+                log("[devprof] chunked-walk chain kernel variant:")
+                devprof.main(["--bucket", "2048x256", "--n", "256",
+                              "--reps", "3"])
+            finally:
+                os.environ.pop("MGT_CHAIN_CHUNKED", None)
+        except Exception as e:
+            log(f"chunked roofline skipped: {type(e).__name__} {e}")
     long_rps = long_vs = None
     long_detail = {}
     if time.time() - t_start < 1500:
