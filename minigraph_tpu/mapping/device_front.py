@@ -255,13 +255,17 @@ class DeviceFront:
             if self.hashed:
                 from ..ops.anchors_hash import collect_anchors_exact_hash
 
+                import os as _os
+                narrow = bool(_os.environ.get("MGT_NARROW_QCOMPACT"))
+
                 def collect_body(t1, t2, t3, t4, codes, lens, max_occ):
                     sp = sketch_planes(codes, lens, self.gi.w, self.gi.k)
                     res = collect_anchors_exact_hash(
                         t1, t2, t3, t4, sp.hh, sp.hl, sp.meta,
                         sp.t_hh, sp.t_hl, sp.t_meta, max_occ,
                         hbits=self.ji.hbits, occ_cap=self.occ_cap,
-                        qcap=qcap, acap=acap, b_chunk=self.b_chunk)
+                        qcap=qcap, acap=acap, b_chunk=self.b_chunk,
+                        narrow=narrow)
                     res["overflow"] = res["overflow"] | sp.overflow
                     # cnt <= 255 decides every occurrence test
                     # (max_occ caps at 250); u8 shrinks the fetch

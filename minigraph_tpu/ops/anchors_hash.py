@@ -258,11 +258,12 @@ def collect_anchors_hash(tag, pay, p_rid, p_sel, hh, hl, meta,
 
 
 @partial(jax.jit, static_argnames=("hbits", "occ_cap", "qcap", "acap",
-                                   "b_chunk"))
+                                   "b_chunk", "narrow"))
 def collect_anchors_exact_hash(tag, pay, p_rid, p_sel, hh, hl, meta,
                                t_hh, t_hl, t_meta, max_occ, hbits: int,
                                occ_cap: int, qcap: int = 512,
-                               acap: int = 2048, b_chunk: int = 32):
+                               acap: int = 2048, b_chunk: int = 32,
+                               narrow: bool = False):
     """Byte-parity anchor collection with the cuckoo-hash probe.
 
     The K-independent sibling of anchors_jax.collect_anchors_exact for
@@ -279,10 +280,28 @@ def collect_anchors_exact_hash(tag, pay, p_rid, p_sel, hh, hl, meta,
 
     n_q = jnp.sum(cemit, axis=1).astype(jnp.int32)
     q_overflow = n_q > qcap
-    _, qhh, qhl, qmeta = jax.lax.sort(
-        (jnp.logical_not(cemit), chh, chl, cmeta), dimension=1,
-        num_keys=1, is_stable=True)
-    qhh, qhl, qmeta = qhh[:, :qcap], qhl[:, :qcap], qmeta[:, :qcap]
+    if narrow:
+        # the emission compaction is a stable PARTITION, not a sort:
+        # sort ONE u32 key (flag in the top bit, slot index below —
+        # exactly reproducing the stable boolean sort's permutation)
+        # and gather the three payload planes only up to qcap.  Cuts
+        # the bitonic passes' bandwidth ~4x on the wide long-read
+        # planes at the cost of 3 narrow gathers; bitwise-identical
+        # output (tests/test_join_pipeline.py covers both settings).
+        S2 = chh.shape[1]
+        slot = jnp.arange(S2, dtype=jnp.uint32)[None, :]
+        key = jnp.where(cemit, slot, slot | jnp.uint32(0x80000000))
+        skey = jax.lax.sort(key, dimension=1)
+        idx = (skey[:, :qcap] & jnp.uint32(0x7FFFFFFF)) \
+            .astype(jnp.int32)
+        qhh = jnp.take_along_axis(chh, idx, axis=1)
+        qhl = jnp.take_along_axis(chl, idx, axis=1)
+        qmeta = jnp.take_along_axis(cmeta, idx, axis=1)
+    else:
+        _, qhh, qhl, qmeta = jax.lax.sort(
+            (jnp.logical_not(cemit), chh, chl, cmeta), dimension=1,
+            num_keys=1, is_stable=True)
+        qhh, qhl, qmeta = qhh[:, :qcap], qhl[:, :qcap], qmeta[:, :qcap]
     qvalid = jnp.arange(qcap)[None, :] < jnp.minimum(n_q, qcap)[:, None]
 
     # ---- probe: two cuckoo choices, 4 gathers ----

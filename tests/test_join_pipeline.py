@@ -315,6 +315,41 @@ def test_anchor_cap_overflow_flag():
         assert not ovf_big.any()
 
 
+def test_narrow_qcompact_bitwise_equal():
+    """narrow=True (1-key partition sort + payload gathers) must be
+    bitwise-identical to the 4-operand stable sort."""
+    from minigraph_tpu.graph.gfa_io import read_gfa
+    from minigraph_tpu.index.midx import build_index
+    from minigraph_tpu.ops.anchors_hash import (HashJoinIndex,
+                                                collect_anchors_exact_hash)
+
+    g = read_gfa("/root/reference/test/MT.gfa")
+    gi = build_index(g, K, W)
+    hi = HashJoinIndex.from_host(gi, occ_cap=16)
+    rng = np.random.default_rng(29)
+    ref = "".join((s.seq or "") for s in g.seg if s.rank == 0)
+    B, L = 6, 2048
+    reads = []
+    for _ in range(B):
+        st = int(rng.integers(0, len(ref) - L))
+        s = list(ref[st: st + L])
+        for p in rng.integers(0, L, L // 15):
+            s[p] = "ACGT"[int(rng.integers(0, 4))]
+        reads.append("".join(s))
+    reads[0] = "ACGT" * (L // 4)     # tie-heavy read
+    codes, lens = encode_batch(reads, pad_to=L)
+    sp = jax.jit(partial(sketch_planes, w=W, k=K))(codes, lens)
+    args = (sp.hh, sp.hl, sp.meta, sp.t_hh, sp.t_hl, sp.t_meta,
+            jnp.int32(50))
+    outs = [collect_anchors_exact_hash(
+        hi.tag, hi.pay, hi.p_rid, hi.p_sel, *args, hbits=hi.hbits,
+        occ_cap=16, acap=1024, qcap=512, b_chunk=2, narrow=nw)
+        for nw in (False, True)]
+    for k in outs[0]:
+        assert (np.asarray(outs[0][k])
+                == np.asarray(outs[1][k])).all(), k
+
+
 def test_hash_overflow_does_not_bleed_into_neighbor():
     """An acap-overflowing read must not corrupt the NEXT read's
     anchors: the scatter-based band expansion flattens (B, acap) into

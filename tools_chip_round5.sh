@@ -16,6 +16,10 @@ log=/tmp/chip_r5_$(date +%H%M).log
   timeout 2400 python -m minigraph_tpu.tools.devprof --bucket 16384x128 --n 128 --reps 3
   echo "=== devprof 16kb chunked B=128 ==="
   MGT_CHAIN_CHUNKED=1 timeout 2400 python -m minigraph_tpu.tools.devprof --bucket 16384x128 --n 128 --reps 3
+  echo "=== devprof 16kb chunked + narrow collect ==="
+  MGT_CHAIN_CHUNKED=1 MGT_NARROW_QCOMPACT=1 timeout 2400 python -m minigraph_tpu.tools.devprof --bucket 16384x128 --n 128 --reps 3
+  echo "=== devprof 2kb narrow collect ==="
+  MGT_NARROW_QCOMPACT=1 timeout 1800 python -m minigraph_tpu.tools.devprof --bucket 2048x256 --n 256 --reps 3
   echo "=== bench (full) ==="
   timeout 3600 python bench.py
 } > "$log" 2>&1
