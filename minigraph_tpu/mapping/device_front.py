@@ -31,7 +31,7 @@ META_Q_MASK = (1 << 25) - 1
 # batches waste 4-8x of the chip (measured 29 ms/batch at B=16 and
 # B=128 alike on the 16 kb bucket).
 DEFAULT_BUCKETS: Tuple[Tuple[int, int], ...] = (
-    (2048, 256), (8192, 128), (32768, 32))
+    (2048, 256), (8192, 128), (32768, 128))
 
 
 @dataclass
