@@ -106,19 +106,33 @@ def backtrack_compact(f, p, n_a, axh, axl, ayh, ayl,
         return jnp.sum(jnp.where(oh(j), plane.astype(I32), 0),
                        axis=1, dtype=I32)
 
+    # Packed per-anchor plane: one take yields parent, claim state,
+    # and the claimer's f at once (the interpreter is bound by the
+    # number of (B, A) one-hot passes per iteration).  Bits:
+    #   [0..13]  p+1                (A < 16384, asserted by the front)
+    #   14       claimed
+    #   15       chain start
+    #   16       visited (claimf valid; survives undo)
+    #   [17..31] low 15 bits of the claiming chain's start-f — the
+    #            equal-f tie tests compare these 15 bits, so a 2^-15
+    #            collision can only ADD a (conservative) flag
+    assert A < (1 << 14), "packed parent field"
+    PK_P = jnp.int32(0x3FFF)
+    PK_CLAIMED = jnp.int32(1 << 14)
+    PK_START = jnp.int32(1 << 15)
+    PK_VIS = jnp.int32(1 << 16)
+    F15 = jnp.int32(0x7FFF)
+
     # state: mode 0=select 1=walk 2=undo 3=done
     st0 = dict(
         mode=jnp.where(n_z > 0, 0, 3).astype(I32),
         k=n_z - 1,
-        at=jnp.zeros(B, I32), best_s=jnp.zeros(B, I32),
+        pk_at=jnp.zeros(B, I32), best_s=jnp.zeros(B, I32),
         best_at=jnp.zeros(B, I32), best_pos=jnp.zeros(B, I32),
         start=jnp.zeros(B, I32), sc0=jnp.zeros(B, I32),
         cut=jnp.zeros(B, I32), nv0=jnp.zeros(B, I32),
-        claimed=jnp.zeros((B, A), jnp.bool_),
+        pk=p + 1,
         claimed_k=idx >= n_z[:, None],   # ranks past n_z never select
-        # f of the claiming chain's start, for equal-f tie detection
-        claimf=jnp.full((B, A), -0x3FFFFFFF, I32),
-        is_start=jnp.zeros((B, A), jnp.bool_),
         vbuf=jnp.zeros((B, A), I32),
         u_sc=jnp.zeros((B, ucap), I32),
         u_cnt=jnp.zeros((B, ucap), I32),
@@ -155,7 +169,7 @@ def backtrack_compact(f, p, n_a, axh, axl, ayh, ayl,
 
     def body(st):
         mode = st["mode"]
-        claimed, claimed_k = st["claimed"], st["claimed_k"]
+        pk, claimed_k = st["pk"], st["claimed_k"]
         vbuf, nv = st["vbuf"], st["n_v"]
 
         # --- mode 0: select the highest-ranked unclaimed candidate
@@ -168,24 +182,29 @@ def backtrack_compact(f, p, n_a, axh, axl, ayh, ayl,
         to_walk = sel & (k_free >= 0)
         cand_i = take(s_idx, k_free)
         f_cand = take(f, cand_i)
+        pk_cand = take(pk, cand_i)
         # entering walk: append + claim the start anchor
         start_n = jnp.where(to_walk, cand_i, st["start"])
         sc0_n = jnp.where(to_walk, f_cand, st["sc0"])
 
-        # --- mode 1: one walk step from `at` (claims as it goes) ---
+        # --- mode 1: one walk step from `at` (claims as it goes);
+        # the packed word carried from the previous step supplies
+        # p[at] without a take, and one take of pk[at2] yields claim
+        # state + claimer-f + next parent together ---
         wlk = mode == 1
-        at2 = take(p, st["at"])
+        at2 = (st["pk_at"] & PK_P) - 1
         root = at2 < 0
+        pk2 = take(pk, at2)
         fa2 = take(f, at2)
         s = jnp.where(root, st["sc0"], st["sc0"] - fa2)
         better = s > st["best_s"]
         drop = ~better & (st["best_s"] - s > jnp.int32(max_drop))
-        at2_claimed = (take(claimed, at2) > 0) & ~root
+        at2_claimed = ((pk2 & PK_CLAIMED) > 0) & ~root
         # the claimer's start-f equals this walk's start-f: the
         # reference's unstable tie order could have swapped the two
         # chains — exact-or-flag
         tie_hit = wlk & at2_claimed \
-            & (take(st["claimf"], at2) == st["sc0"])
+            & (((pk2 >> 17) & F15) == (st["sc0"] & F15))
         walk_end = wlk & (drop | root | at2_claimed)
         walk_go = wlk & ~walk_end
         best_s_n = jnp.where(wlk & better, s, st["best_s"])
@@ -200,17 +219,20 @@ def backtrack_compact(f, p, n_a, axh, axl, ayh, ayl,
         # append+claim: the selected start (to_walk) or at2 (walk_go)
         app = to_walk | walk_go
         app_i = jnp.where(to_walk, cand_i, at2)
-        app_oh = oh(app_i) & app[:, None]
-        claimed = claimed | app_oh
-        # claimf stays stale on undone (visited-then-unclaimed) nodes
-        # on purpose: claiming a node an equal-f walk VISITED is also
-        # an interaction (under the reference's tie order the other
+        base = jnp.where(to_walk, pk_cand, pk2)
+        # the visited bit + stale claimer-f survive undo on purpose:
+        # claiming a node an equal-f walk VISITED is also an
+        # interaction (under the reference's tie order the other
         # chain could have claimed it first) — detect before the
         # overwrite
-        tie_hit = tie_hit | (app
-                             & (take(st["claimf"], app_i) == sc0_n))
-        claimf = jnp.where(app_oh, sc0_n[:, None], st["claimf"])
-        is_start = st["is_start"] | (oh(cand_i) & to_walk[:, None])
+        tie_hit = tie_hit | (app & ((base & PK_VIS) > 0)
+                             & (((base >> 17) & F15)
+                                == (sc0_n & F15)))
+        newv = (base & PK_P) | PK_CLAIMED | PK_VIS \
+            | jnp.where(to_walk, PK_START, 0) \
+            | ((sc0_n & F15) << 17)
+        app_oh = oh(app_i) & app[:, None]
+        pk = jnp.where(app_oh, newv[:, None], pk)
         rk = take(r_of, app_i)
         claimed_k = claimed_k | (oh(rk) & app[:, None])
         w_v = (idx == nv[:, None]) & app[:, None]
@@ -229,12 +251,12 @@ def backtrack_compact(f, p, n_a, axh, axl, ayh, ayl,
         fin_now = walk_end & ~need_undo
         nv_keep = jnp.where(keep_all, nv, best_pos_n)
 
-        # --- mode 2: one undo step (unclaim vbuf[nv-1]) ---
+        # --- mode 2: one undo step (unclaim vbuf[nv-1]; the visited
+        # bit and claimer-f stay for the tie detection) ---
         und = mode == 2
         u_at = take(vbuf, nv - 1)
         u_oh = oh(u_at) & und[:, None]
-        claimed = claimed & ~u_oh
-        is_start = is_start & ~u_oh
+        pk = jnp.where(u_oh, pk & ~(PK_CLAIMED | PK_START), pk)
         u_rk = take(r_of, u_at)
         claimed_k = claimed_k & ~(oh(u_rk) & und[:, None])
         nv = jnp.where(und, nv - 1, nv)
@@ -257,16 +279,18 @@ def backtrack_compact(f, p, n_a, axh, axl, ayh, ayl,
         mode_n = jnp.where(to_walk, 1, mode_n)
         mode_n = jnp.where(walk_end & need_undo, 2, mode_n)
         mode_n = jnp.where(fin_now, 0, mode_n)
-        at_n = jnp.where(to_walk, cand_i,
-                         jnp.where(walk_go, at2, st["at"]))
+        # the carried word's p bits identify the next walk position
+        # (claim-bit updates to pk[app_i] never touch the p field)
+        pk_at_n = jnp.where(to_walk, pk_cand,
+                            jnp.where(walk_go, pk2, st["pk_at"]))
 
-        return dict(mode=mode_n, k=k_new, at=at_n, best_s=best_s_n,
+        return dict(mode=mode_n, k=k_new, pk_at=pk_at_n,
+                    best_s=best_s_n,
                     best_at=best_at_n, best_pos=jnp.where(
                         to_walk, nv - 1, best_pos_n),
                     start=start_n, sc0=sc0_n, cut=cut_n,
                     nv0=jnp.where(to_walk, nv - 1, st["nv0"]),
-                    claimed=claimed, claimed_k=claimed_k,
-                    claimf=claimf, is_start=is_start, vbuf=vbuf,
+                    pk=pk, claimed_k=claimed_k, vbuf=vbuf,
                     u_sc=u_sc, u_cnt=u_cnt, n_u=nu,
                     n_v=jnp.where(fin_now, n_v_new, nv),
                     unsure=st["unsure"] | over_u | tie_hit,
@@ -276,9 +300,13 @@ def backtrack_compact(f, p, n_a, axh, axl, ayh, ayl,
     unsure = st["unsure"] | (st["mode"] != 3)
     # a candidate claimed mid-path by an equal-f chain was silently
     # skipped by the select — the reference's tie order could instead
-    # have walked it first
+    # have walked it first (15-bit f compare: collisions only add
+    # conservative flags)
+    pkf = st["pk"]
     unsure = unsure | jnp.any(
-        st["claimed"] & cand & (st["claimf"] == f) & ~st["is_start"],
+        ((pkf & PK_CLAIMED) > 0) & cand
+        & (((pkf >> 17) & F15) == (f & F15))
+        & ((pkf & PK_START) == 0),
         axis=1)
 
     # ---- compact: chains by first-anchor x asc (stable) ----
