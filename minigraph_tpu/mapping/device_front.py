@@ -79,7 +79,7 @@ class DeviceFront:
     def __init__(self, gi: MinimizerIndex, opt: MapOptions,
                  buckets: Sequence[Tuple[int, int]] = DEFAULT_BUCKETS,
                  occ_cap: int = 16, b_chunk: int = 32, chain: bool = True,
-                 chain_window: int = None):
+                 chain_window: int = None, use_pallas: bool = None):
         from ..options import MG_M_RMQ, MG_M_SPLICE, MG_M_SR
         from ..ops.anchors_jax import JoinIndex
         from ..utils.hashes import expf
@@ -89,6 +89,14 @@ class DeviceFront:
         self.opt = opt
         self.occ_cap = occ_cap
         self.b_chunk = b_chunk
+        # Mosaic kernels only lower for real TPU devices.  The default
+        # (None) decides from jax.default_backend(), which is WRONG
+        # when the step is jitted onto a virtual CPU mesh while a TPU
+        # plugin owns the default backend (the dryrun_multichip case:
+        # make_mesh falls back to jax.devices("cpu") but
+        # default_backend() still says "tpu") — callers jitting onto
+        # CPU meshes must pass use_pallas=False.
+        self._use_pallas = use_pallas
         # probe backend: the MXU equality join scans O(K) key columns
         # per query — ideal below ~1e5 distinct minimizers; above that
         # the K-independent cuckoo-hash gathers win (ops/anchors_hash)
@@ -182,7 +190,8 @@ class DeviceFront:
             # CPU backends (the test mesh) Pallas would need interpret
             # mode, so keep the XLA sketch there; chip-path GAF parity
             # vs the oracle is asserted in bench.py on every run.
-            use_pallas = jax.default_backend() not in ("cpu",)
+            use_pallas = (self._use_pallas if self._use_pallas is not None
+                          else jax.default_backend() not in ("cpu",))
             if use_pallas:
                 from ..ops.sketch_jax4 import SketchPlanes
                 from ..ops.sketch_pallas import sketch_planes_pallas_traced

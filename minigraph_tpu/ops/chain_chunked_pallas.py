@@ -61,7 +61,7 @@ def _make_kernel(W, T, B, mdx, mdy, bw, max_skip, pen_gap, pen_skip):
 
     def kernel(nmax_ref, n_ref, xh_ref, tp_ref, qp_ref, sp_ref,
                f_ref, p_ref, unc_ref,
-               wh, wtp, wqp, wsp, wf, wcnt, pmf, pml):
+               wh, wtp, wqp, wsp, wf, wcnt, pmf, pml, wst):
         a = pl.program_id(0)
         run = (a == 0) | (a * jnp.int32(T) < nmax_ref[0])
         n = n_ref[0:1, :]
@@ -182,12 +182,29 @@ def _make_kernel(W, T, B, mdx, mdy, bw, max_skip, pen_gap, pen_skip):
                 # (rows >= t0 inside it are re-masked via jcap)
                 bstart = (jnp.int32(W - TOP - 1) + t) // jnp.int32(BLK)
 
-                def wcond(st):
-                    b, M_r, idx_r, cs, ca, going = st
-                    return (b >= 0) & jnp.any(going)
+                # the deep-walk state vectors live in scratch memory
+                # (wst rows: 0=M, 1=idx, 2=cnt_seen, 3=cnt_above,
+                # 4=going) and only the scalar block index rides the
+                # while carry: an scf.while with vector carries trips
+                # a Mosaic layout-unification failure (the keepdims
+                # reductions produce replicated {*,0} sublane offsets
+                # that the body's yields can't match), and a memory
+                # round-trip gives every iteration a canonical layout.
+                wst[0:1, :] = M
+                wst[1:2, :] = idx
+                wst[2:3, :] = cnt_seen
+                wst[3:4, :] = cnt_above
+                wst[4:5, :] = deeper.astype(I32)
 
-                def wbody(st):
-                    b, M_r, idx_r, cs, ca, going = st
+                def wcond(b):
+                    return (b >= 0) & jnp.any(wst[4:5, :] != 0)
+
+                def wbody(b):
+                    M_r = wst[0:1, :]
+                    idx_r = wst[1:2, :]
+                    cs = wst[2:3, :]
+                    ca = wst[3:4, :]
+                    going = wst[4:5, :] != 0
                     pm = jnp.where(
                         vmatch1, pmf[pl.ds(b, 1), :],
                         jnp.where(vmatch2, pml[pl.ds(b, 1), :],
@@ -214,17 +231,17 @@ def _make_kernel(W, T, B, mdx, mdy, bw, max_skip, pen_gap, pen_skip):
                         jnp.where(going & (jg_b > i_b), sp_b, 0),
                         axis=0, keepdims=True)
                     upd = going & (m_b > M_r)
-                    idx_r = jnp.where(upd, i_b, idx_r)
-                    ca = jnp.where(upd, cs + sa_b, ca)
-                    M_r = jnp.where(upd, m_b, M_r)
-                    cs = cs + s_b
-                    going = going & cand_b[0:1, :]
-                    return (b - 1, M_r, idx_r, cs, ca, going)
+                    wst[1:2, :] = jnp.where(upd, i_b, idx_r)
+                    wst[3:4, :] = jnp.where(upd, cs + sa_b, ca)
+                    wst[0:1, :] = jnp.where(upd, m_b, M_r)
+                    wst[2:3, :] = cs + s_b
+                    wst[4:5, :] = (going & cand_b[0:1, :]).astype(I32)
+                    return b - 1
 
-                b0, M, idx, cnt_seen, cnt_above, _g = \
-                    jax.lax.while_loop(
-                        wcond, wbody,
-                        (bstart, M, idx, cnt_seen, cnt_above, deeper))
+                jax.lax.while_loop(wcond, wbody, bstart)
+                M = wst[0:1, :]
+                idx = wst[1:2, :]
+                cnt_above = wst[3:4, :]
 
                 best = M > sp_i
                 f_i = jnp.where(best, M, sp_i)
@@ -323,6 +340,7 @@ def chain_chunked_pallas_traced(axh, axl, ayh, ayl, n_a, mdx, mdy, bw,
             pltpu.VMEM((W + T, B), I32),          # wcnt
             pltpu.VMEM((W // BLK, B), I32),       # pmf
             pltpu.VMEM((W // BLK, B), I32),       # pml
+            pltpu.VMEM((8, B), I32),              # wst (deep-walk st)
         ],
         interpret=interpret,
     )(nmax, nrow, xh, tp, qp, sp)
